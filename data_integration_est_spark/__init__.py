@@ -1,0 +1,44 @@
+"""data_integration_est_spark — a PySpark-native data-integration estimation engine.
+
+A from-scratch, Spark-first re-implementation of the query and data-processing
+capabilities of the reference repository ``JoseAndReyes/data_integration_est``
+(an R survey/dplyr library implementing the RegDI calibration estimator of
+Kim & Tam (2021) and the PC pseudo-calibration estimator of Golini & Righi
+(2024), plus a Monte Carlo simulation harness).
+
+Architecture (see SURVEY.md for the full blueprint):
+
+- All O(N) work is expressed as lazy DataFrame transformations; only
+  O(k^2 * groups) Gram-matrix aggregates reach the driver (k = number of
+  calibration/model columns, <= ~10 in every reference usage).
+- GREG calibration / OLS / logistic-IRLS are implemented as a shared
+  Gram-aggregation kernel (one ``df.agg`` producing the k x k cross-product
+  matrix) + a tiny numpy solve on the driver + a broadcast of the k-vector
+  back into a column expression.  No row-level Python UDFs anywhere in the
+  estimator hot path.
+- Monte Carlo replication is vectorized: ``sim_id`` (and grid parameters)
+  become key columns of ONE DataFrame and every kernel accepts
+  ``group_cols`` so the whole replicate grid runs as a single Spark job.
+"""
+
+from data_integration_est_spark.design import SurveyDesign, CalibrationSpec
+from data_integration_est_spark.formula import Formula
+from data_integration_est_spark.integrate import integrate_samples, IntegratedData
+from data_integration_est_spark.estimators.regdi import regdi, RegDIResult
+from data_integration_est_spark.estimators.pc import pc_estimator, PCResult
+from data_integration_est_spark.session import get_spark
+
+__all__ = [
+    "SurveyDesign",
+    "CalibrationSpec",
+    "Formula",
+    "integrate_samples",
+    "IntegratedData",
+    "regdi",
+    "RegDIResult",
+    "pc_estimator",
+    "PCResult",
+    "get_spark",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,24 @@
+from data_integration_est_spark.kernels.gram import gram_aggregate, GramResult
+from data_integration_est_spark.kernels.linalg import (
+    CalibrationError,
+    calibrate,
+    fit_logistic,
+    fit_ols,
+)
+from data_integration_est_spark.kernels.stats import (
+    svymean,
+    svytotal,
+    weighted_mean,
+)
+
+__all__ = [
+    "gram_aggregate",
+    "GramResult",
+    "calibrate",
+    "fit_ols",
+    "fit_logistic",
+    "CalibrationError",
+    "svymean",
+    "svytotal",
+    "weighted_mean",
+]

@@ -1,0 +1,321 @@
+"""Driver-side solvers over Gram aggregates: GREG calibration, OLS, IRLS.
+
+Each solver consumes the tiny (k x k per group) output of
+``kernels.gram.gram_aggregate`` and pushes the solved k-vector back into the
+plan as a broadcast column expression.  With ``group_cols`` the solves are
+batched with numpy's stacked ``linalg.solve`` — thousands of Monte Carlo
+replicates cost one vectorized solve (SURVEY.md §2.8 O1/O2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_integration_est_spark.kernels.gram import GramResult, dot_expr, gram_aggregate
+
+
+class CalibrationError(RuntimeError):
+    """Mirrors the reference's calibration failure path (``PC.R:228-230``)."""
+
+
+def _solve_stacked(A: np.ndarray, b: np.ndarray, what: str) -> np.ndarray:
+    """Solve per-group k x k systems; raise CalibrationError when singular.
+
+    The reference sidesteps collinear design matrices with ``~0 +`` formulas
+    and a tryCatch that rethrows (``PC.R:221-230``); we detect rank
+    deficiency explicitly and raise with the same intent.
+    """
+    try:
+        return np.linalg.solve(A, b)
+    except np.linalg.LinAlgError as e:
+        raise CalibrationError(
+            f"{what}: design matrix is singular (collinear columns?). "
+            f"Reference behavior: calibration error is fatal (PC.R:229)."
+        ) from e
+
+
+@dataclass
+class CalibrationResult:
+    """Calibrated weights as a lazy column + the solved multipliers."""
+
+    df: DataFrame  # input df with `weight_col` added
+    weight_col: str
+    x_cols: list[str]
+    lambdas: np.ndarray  # (g, k)
+    keys: list[tuple]
+    group_cols: list[str]
+
+    def lambda_for(self, key: tuple = ()) -> np.ndarray:
+        return self.lambdas[{k: i for i, k in enumerate(self.keys)}[key]]
+
+
+def calibrate(
+    df: DataFrame,
+    x_cols: list[str],
+    totals: dict[str, float] | np.ndarray | list[float],
+    d_col: str,
+    out_col: str = "w_cal",
+    group_cols: list[str] | None = None,
+    totals_by_group: dict[tuple, np.ndarray] | None = None,
+) -> CalibrationResult:
+    """Linear (GREG / chi-square distance) calibration — ``survey::calibrate``
+    with ``calfun="linear"`` (reference ``RegDI2.R:188-193``, ``PC.R:222-227``).
+
+    Given design weights d over the sample rows of ``df``, find
+    ``w_i = d_i * (1 + x_i^T lam)`` with ``lam`` solving
+
+        (sum_s d_i x_i x_i^T) lam = T - sum_s d_i x_i
+
+    so that ``sum_s w_i x_i = T`` exactly.  One Gram pass + one k x k driver
+    solve + one broadcast column expression; nothing O(N) is collected.
+
+    With ``group_cols`` (Monte Carlo vectorization) pass per-group totals via
+    ``totals_by_group`` (key tuple -> k-vector) or a single shared ``totals``.
+    """
+    group_cols = list(group_cols or [])
+    k = len(x_cols)
+    # Fold the HT-totals pass (sum_s d_i x_i) into the SAME Gram pass by
+    # appending a constant-1 column: row k of the augmented Gram is exactly
+    # sum_s d_i x_j.  One shuffle instead of two per calibration.
+    ones = "__cal_ones__"
+    g_ext = gram_aggregate(
+        df.withColumn(ones, F.lit(1.0)), list(x_cols) + [ones],
+        weight_col=d_col, group_cols=group_cols,
+    )
+    g = GramResult(
+        x_cols=list(x_cols), y_cols=[], keys=g_ext.keys,
+        gram=g_ext.gram[:, :k, :k], xy=g_ext.xy,
+        sum_w=g_ext.sum_w, count=g_ext.count,
+    )
+    ht = g_ext.gram[:, k, :k]
+
+    if isinstance(totals, dict):
+        T_shared = np.array([float(totals[c]) for c in x_cols]) if totals else None
+    elif totals is not None:
+        T_shared = np.asarray(totals, dtype=float).ravel()
+        if T_shared.size != k:
+            raise ValueError(f"expected {k} totals, got {T_shared.size}")
+    else:
+        T_shared = None
+
+    ng = len(g.keys)
+    T = np.zeros((ng, k))
+    for i, key in enumerate(g.keys):
+        if totals_by_group is not None:
+            T[i] = np.asarray(totals_by_group[key], dtype=float).ravel()
+        elif T_shared is not None:
+            T[i] = T_shared
+        else:
+            raise ValueError("must provide `totals` or `totals_by_group`")
+
+    lam = _solve_stacked(g.gram, (T - ht)[..., None], "calibrate").squeeze(-1)
+    lam = lam.reshape(ng, k)
+
+    if group_cols:
+        out = _apply_grouped_linear_weights(df, x_cols, d_col, out_col, group_cols, g.keys, lam)
+    else:
+        out = df.withColumn(
+            out_col,
+            F.col(d_col).cast("double") * (F.lit(1.0) + dot_expr(x_cols, lam[0])),
+        )
+    return CalibrationResult(
+        df=out, weight_col=out_col, x_cols=list(x_cols), lambdas=lam,
+        keys=g.keys, group_cols=group_cols,
+    )
+
+
+def _apply_grouped_linear_weights(
+    df: DataFrame,
+    x_cols: list[str],
+    d_col: str,
+    out_col: str,
+    group_cols: list[str],
+    keys: list[tuple],
+    lam: np.ndarray,
+) -> DataFrame:
+    """Join the per-group lambda vectors back (broadcast — O(groups) rows)
+    and emit ``w = d * (1 + x . lam)`` as a column expression."""
+    spark = df.sparkSession
+    k = len(x_cols)
+    lam_cols = [f"__lam_{j}__" for j in range(k)]
+    rows = [tuple(key) + tuple(float(v) for v in lam[i]) for i, key in enumerate(keys)]
+    key_schema = df.select(*group_cols).schema
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        list(key_schema.fields) + [StructField(c, DoubleType(), False) for c in lam_cols]
+    )
+    lam_df = spark.createDataFrame(rows, schema)
+    joined = df.join(F.broadcast(lam_df), on=group_cols, how="left")
+    dot: Column = F.lit(0.0)
+    for j, c in enumerate(x_cols):
+        dot = dot + F.col(lam_cols[j]) * F.col(c).cast("double")
+    out = joined.withColumn(out_col, F.col(d_col).cast("double") * (F.lit(1.0) + dot))
+    return out.drop(*lam_cols)
+
+
+@dataclass
+class FitResult:
+    """A fitted linear/logistic model: coefficients + predict() machinery."""
+
+    x_cols: list[str]  # design columns WITHOUT the implicit intercept
+    intercept: bool
+    coef: np.ndarray  # (g, k) — intercept first when intercept=True
+    keys: list[tuple]
+    group_cols: list[str]
+    kind: str = "ols"  # "ols" | "logistic"
+
+    def coef_for(self, key: tuple = ()) -> np.ndarray:
+        return self.coef[{k: i for i, k in enumerate(self.keys)}[key]]
+
+    def predict_expr(self, key: tuple = ()) -> Column:
+        """Linear predictor (response scale) as a column expression —
+        ``predict(fit, newdata=data, type="response")`` (``RegDI2.R:212``,
+        ``PC.R:280-283,318``)."""
+        b = self.coef_for(key)
+        if self.intercept:
+            eta = dot_expr(self.x_cols, b[1:], intercept=float(b[0]))
+        else:
+            eta = dot_expr(self.x_cols, b)
+        if self.kind == "logistic":
+            return F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        return eta
+
+    def predict_expr_grouped(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        """Grouped variant: broadcast-join the per-group coefficient rows,
+        return (augmented df, prediction column)."""
+        spark = df.sparkSession
+        k = self.coef.shape[1]
+        bcols = [f"__b_{j}__" for j in range(k)]
+        rows = [tuple(key) + tuple(float(v) for v in self.coef[i]) for i, key in enumerate(self.keys)]
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        key_schema = df.select(*self.group_cols).schema
+        schema = StructType(
+            list(key_schema.fields) + [StructField(c, DoubleType(), False) for c in bcols]
+        )
+        bdf = spark.createDataFrame(rows, schema)
+        joined = df.join(F.broadcast(bdf), on=self.group_cols, how="left")
+        xs = self.x_cols
+        eta: Column = F.col(bcols[0]) if self.intercept else F.lit(0.0)
+        off = 1 if self.intercept else 0
+        for j, c in enumerate(xs):
+            eta = eta + F.col(bcols[j + off]) * F.col(c).cast("double")
+        pred = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)) if self.kind == "logistic" else eta
+        return joined, pred
+
+
+def fit_ols(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    weight_col: str | None = None,
+    intercept: bool = True,
+    group_cols: list[str] | None = None,
+) -> FitResult:
+    """OLS via normal equations over the Gram kernel — exact, unregularized
+    parity with R ``lm`` (reference ``RegDI2.R:209,258``, ``PC.R:272,308``).
+
+    Normal equations are numerically adequate here: every reference model has
+    k <= ~5 well-scaled columns.  (QR on the driver is pointless — the Gram
+    *is* the sufficient statistic that crosses the network.)
+    """
+    group_cols = list(group_cols or [])
+    work = df
+    ones = "__ones__"
+    xs = list(x_cols)
+    if intercept:
+        work = work.withColumn(ones, F.lit(1.0))
+        xs = [ones] + xs
+    g = gram_aggregate(work, xs, y_cols=[y_col], weight_col=weight_col, group_cols=group_cols)
+    beta = _solve_stacked(g.gram, g.xy[:, :, 0:1], "fit_ols").squeeze(-1).reshape(len(g.keys), len(xs))
+    return FitResult(
+        x_cols=list(x_cols), intercept=intercept, coef=beta,
+        keys=g.keys, group_cols=group_cols, kind="ols",
+    )
+
+
+def fit_logistic(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    weight_col: str | None = None,
+    intercept: bool = True,
+    group_cols: list[str] | None = None,
+    max_iter: int = 25,
+    tol: float = 1e-10,
+) -> FitResult:
+    """Logistic regression via IRLS — parity with R ``glm(family=binomial)``
+    (reference ``PC.R:274,311``).
+
+    Each IRLS iteration is ONE distributed Gram pass with the working weights
+    ``w * p(1-p)`` expressed as a column (coefficients broadcast back as
+    literals / a tiny joined table); the (k+1)-dim Newton step solves on the
+    driver.  Converges in <= ~8 iterations for every reference-shaped problem.
+    """
+    group_cols = list(group_cols or [])
+    work = df
+    ones = "__ones__"
+    xs = list(x_cols)
+    if intercept:
+        work = work.withColumn(ones, F.lit(1.0))
+        xs = [ones] + xs
+    needed = list(dict.fromkeys(xs + [y_col] + ([weight_col] if weight_col else [])))
+    work = work.na.drop(subset=needed)
+
+    # freeze group keys/order from a first unweighted Gram pass
+    g0 = gram_aggregate(work, xs, weight_col=weight_col, group_cols=group_cols)
+    keys, ng, k = g0.keys, len(g0.keys), len(xs)
+    beta = np.zeros((ng, k))
+    w_base = F.lit(1.0) if weight_col is None else F.col(weight_col).cast("double")
+    y = F.col(y_col).cast("double")
+
+    for _ in range(max_iter):
+        if group_cols:
+            bdf_fit = FitResult(x_cols=list(x_cols), intercept=intercept, coef=beta,
+                                keys=keys, group_cols=group_cols, kind="logistic")
+            joined, p = bdf_fit.predict_expr_grouped(work)
+            iter_df = joined.withColumn("__p__", p)
+        else:
+            if intercept:
+                eta = dot_expr(list(x_cols), beta[0, 1:], intercept=float(beta[0, 0]))
+            else:
+                eta = dot_expr(list(x_cols), beta[0])
+            iter_df = work.withColumn("__p__", F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)))
+
+        pcol = F.col("__p__")
+        irls_w = w_base * pcol * (F.lit(1.0) - pcol)
+        score_w = w_base * (y - pcol)
+        aggs: list[Column] = []
+        for i in range(k):
+            xi = F.col(xs[i]).cast("double")
+            for j in range(i, k):
+                aggs.append(F.sum(irls_w * xi * F.col(xs[j]).cast("double")).alias(f"__h_{i}_{j}__"))
+            aggs.append(F.sum(score_w * xi).alias(f"__s_{i}__"))
+        if group_cols:
+            rows = iter_df.groupBy(*group_cols).agg(*aggs).collect()
+        else:
+            rows = iter_df.agg(*aggs).collect()
+        by_key = {tuple(r[c] for c in group_cols): r for r in rows}
+        H = np.zeros((ng, k, k))
+        s = np.zeros((ng, k))
+        for gi, key in enumerate(keys):
+            r = by_key[key]
+            for i in range(k):
+                for j in range(i, k):
+                    v = r[f"__h_{i}_{j}__"] or 0.0
+                    H[gi, i, j] = H[gi, j, i] = v
+                s[gi, i] = r[f"__s_{i}__"] or 0.0
+        step = _solve_stacked(H, s[..., None], "fit_logistic").squeeze(-1).reshape(ng, k)
+        beta = beta + step
+        if float(np.max(np.abs(step))) < tol:
+            break
+
+    return FitResult(
+        x_cols=list(x_cols), intercept=intercept, coef=beta,
+        keys=keys, group_cols=group_cols, kind="logistic",
+    )

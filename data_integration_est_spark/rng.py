@@ -1,0 +1,53 @@
+"""Deterministic, partition-independent random column expressions.
+
+The reference relies on R's ``set.seed`` discipline (``nb[18]:4,32,39``) for
+reproducibility.  ``F.rand``/``F.randn`` are seeded but their streams depend
+on partitioning, so a cluster resize changes every draw.  Instead we derive
+randomness as a PURE FUNCTION of (key columns, seed, salt) via ``xxhash64``
+(SURVEY.md §4.3-4): the same row always gets the same draw, on any cluster,
+at any partition count.  All expressions are JVM builtins — whole-stage
+codegen, no Python.
+
+uniform:  u = ((xxhash64(key..., salt) & (2^53-1)) + 0.5) / 2^53   ∈ (0,1)
+normal:   Box-Muller from two independent uniforms
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_MASK53 = (1 << 53) - 1
+_TWO53 = float(1 << 53)
+
+
+def _salt(seed: int, tag: str) -> Column:
+    # one literal per (seed, tag) stream; xxhash64 mixes it with the keys
+    return F.lit(f"{seed}:{tag}")
+
+
+def uniform(keys: list[Column | str], seed: int, tag: str = "u") -> Column:
+    """Deterministic U(0,1) from the key columns; never exactly 0 or 1."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in keys]
+    h = F.xxhash64(*cols, _salt(seed, tag))
+    return (h.bitwiseAND(F.lit(_MASK53)).cast("double") + F.lit(0.5)) / F.lit(_TWO53)
+
+
+def normal(
+    keys: list[Column | str], seed: int, tag: str = "n",
+    mean: float = 0.0, sd: float = 1.0,
+) -> Column:
+    """Deterministic N(mean, sd^2) via Box-Muller."""
+    u1 = uniform(keys, seed, tag + ".bm1")
+    u2 = uniform(keys, seed, tag + ".bm2")
+    z = F.sqrt(F.lit(-2.0) * F.log(u1)) * F.cos(F.lit(2.0 * math.pi) * u2)
+    return F.lit(float(mean)) + F.lit(float(sd)) * z
+
+
+def bernoulli(keys: list[Column | str], seed: int, p: Column | float, tag: str = "b") -> Column:
+    """Deterministic Bernoulli(p) indicator (int 0/1) — the Poisson-sampling
+    primitive (reference ``nb[7]:69,77``)."""
+    pc = F.lit(float(p)) if isinstance(p, (int, float)) else p
+    return (uniform(keys, seed, tag) < pc).cast("int")

@@ -1,0 +1,115 @@
+"""Distributed sampling kernels (SURVEY.md §2.1 S5-S8).
+
+All samplers return the input DataFrame with a 0/1 indicator column — the
+reference's representation (samples are rows of one table selected by an
+indicator, never separate physical partitions).  Determinism: every draw is
+a pure function of (id column, seed) via ``rng.uniform``, so results are
+identical across partitionings and cluster sizes.
+
+Scale notes:
+- exact-size SRS / weighted SRS are global top-n problems; we use
+  ``orderBy(key).limit(n)`` which Spark executes as per-partition partial
+  top-n + a single merge of n rows — no full sort materializes.
+- the selected-id set (n rows, sample-sized << N) is broadcast-joined back
+  as the indicator flag.
+- stratified exact-size sampling uses a window ranked *within* strata —
+  partition-parallel across strata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_integration_est_spark import rng
+
+
+def srs_exact(
+    df: DataFrame, id_col: str, n: int, seed: int, out_col: str = "ind", tag: str = "srs"
+) -> DataFrame:
+    """Simple random sample without replacement, exact size n — R's
+    ``sample(1:N, size, replace=FALSE)`` (reference ``nb[2]:40-42``)."""
+    chosen = (
+        df.select(F.col(id_col).alias("__sid__"))
+        .withColumn("__key__", rng.uniform(["__sid__"], seed, tag))
+        .orderBy("__key__", "__sid__")
+        .limit(n)
+        .select("__sid__")
+        .withColumn(out_col, F.lit(1))
+    )
+    joined = df.join(
+        F.broadcast(chosen), on=df[id_col] == chosen["__sid__"], how="left"
+    ).drop("__sid__")
+    return joined.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0)))
+
+
+def weighted_srs_exact(
+    df: DataFrame,
+    id_col: str,
+    n: int,
+    prob_col: str,
+    seed: int,
+    out_col: str = "ind",
+    tag: str = "wsrs",
+) -> DataFrame:
+    """Unequal-probability sampling without replacement, exact size n —
+    R's ``sample(1:N, n, prob=p)`` (reference ``nb[18]:41-42``).
+
+    Efraimidis-Spirakis A-ES: each row draws key = -log(u)/p (exponential
+    with rate p); the n SMALLEST keys form the sample.  Expressible as the
+    same top-n + broadcast-flag pattern as ``srs_exact``.
+    """
+    chosen = (
+        df.select(F.col(id_col).alias("__sid__"), F.col(prob_col).cast("double").alias("__p__"))
+        .withColumn("__key__", -F.log(rng.uniform(["__sid__"], seed, tag)) / F.col("__p__"))
+        .orderBy("__key__", "__sid__")
+        .limit(n)
+        .select("__sid__")
+        .withColumn(out_col, F.lit(1))
+    )
+    joined = df.join(
+        F.broadcast(chosen), on=df[id_col] == chosen["__sid__"], how="left"
+    ).drop("__sid__")
+    return joined.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0)))
+
+
+def stratified_exact(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    n_per_stratum: dict | int,
+    seed: int,
+    out_col: str = "ind",
+    tag: str = "strat",
+) -> DataFrame:
+    """Per-stratum exact-size SRS — dplyr ``group_by(stratum) %>% sample_n``
+    (reference ``nb[7]:44-47``, ``nb[2]:45-49``).
+
+    Ranked window partitioned by stratum: parallel across strata; no global
+    sort.  ``n_per_stratum``: either one size for all strata or a
+    {stratum_value: n} dict (broadcast as a literal map via when-chains).
+    """
+    key = rng.uniform([id_col], seed, tag)
+    w = Window.partitionBy(stratum_col).orderBy(key.asc(), F.col(id_col).asc())
+    ranked = df.withColumn("__rn__", F.row_number().over(w))
+    if isinstance(n_per_stratum, int):
+        cond = F.col("__rn__") <= F.lit(n_per_stratum)
+    else:
+        limit = F.lit(None)
+        for sv, nv in n_per_stratum.items():
+            limit = F.when(F.col(stratum_col) == F.lit(sv), F.lit(int(nv))).otherwise(limit)
+        cond = F.col("__rn__") <= limit
+    return ranked.withColumn(out_col, F.when(cond, 1).otherwise(0)).drop("__rn__")
+
+
+def bernoulli_sample(
+    df: DataFrame,
+    id_col: str,
+    prob,
+    seed: int,
+    out_col: str = "ind",
+    tag: str = "pois",
+) -> DataFrame:
+    """Poisson/Bernoulli sampling — ``rbinom(N, 1, prob)`` per row
+    (reference ``nb[7]:69,77``).  ``prob``: float or Column."""
+    return df.withColumn(out_col, rng.bernoulli([id_col], seed, prob, tag))

@@ -1,0 +1,154 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_integration_est_spark.design import SurveyDesign
+from data_integration_est_spark.kernels import (
+    CalibrationError,
+    calibrate,
+    fit_logistic,
+    fit_ols,
+    gram_aggregate,
+    svymean,
+    svytotal,
+)
+
+import oracle_np
+
+
+@pytest.fixture(scope="module")
+def small_df(spark):
+    rng = np.random.default_rng(7)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n),
+            "g": rng.integers(0, 3, n),
+            "x1": rng.normal(2, 1, n),
+            "x2": rng.integers(0, 2, n).astype(float),
+            "y": rng.normal(0, 1, n),
+            "w": rng.uniform(0.5, 2.0, n),
+        }
+    )
+    pdf["y"] = 1.5 + 0.8 * pdf.x1 - 0.3 * pdf.x2 + pdf.y
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_gram_matches_numpy(small_df):
+    df, pdf = small_df
+    g = gram_aggregate(df, ["x1", "x2"], y_cols=["y"], weight_col="w")
+    X = pdf[["x1", "x2"]].to_numpy()
+    w = pdf["w"].to_numpy()
+    expected = (X * w[:, None]).T @ X
+    np.testing.assert_allclose(g.gram[0], expected, rtol=1e-10)
+    np.testing.assert_allclose(g.xy[0, :, 0], (X * w[:, None]).T @ pdf["y"].to_numpy(), rtol=1e-10)
+
+
+def test_gram_grouped(small_df):
+    df, pdf = small_df
+    g = gram_aggregate(df, ["x1"], weight_col="w", group_cols=["g"])
+    idx = g.group_index()
+    for gv, sub in pdf.groupby("g"):
+        expected = float(np.sum(sub.w * sub.x1 * sub.x1))
+        np.testing.assert_allclose(g.gram[idx[(gv,)], 0, 0], expected, rtol=1e-10)
+
+
+def test_calibrate_hits_totals_exactly(small_df):
+    df, pdf = small_df
+    totals = {"x1": float(pdf.x1.sum() * 1.7), "x2": float(pdf.x2.sum() * 1.7)}
+    res = calibrate(df, ["x1", "x2"], totals, d_col="w", out_col="wc")
+    got = res.df.selectExpr("sum(wc*x1) as t1", "sum(wc*x2) as t2").collect()[0]
+    np.testing.assert_allclose(got["t1"], totals["x1"], rtol=1e-9)
+    np.testing.assert_allclose(got["t2"], totals["x2"], rtol=1e-9)
+    # matches the numpy closed form
+    w_np = oracle_np.greg_calibrate(
+        pdf[["x1", "x2"]].to_numpy(), pdf["w"].to_numpy(),
+        np.array([totals["x1"], totals["x2"]]),
+    )
+    w_spark = [r["wc"] for r in res.df.select("id", "wc").orderBy("id").collect()]
+    np.testing.assert_allclose(w_spark, w_np, rtol=1e-9)
+
+
+def test_calibrate_singular_raises(spark):
+    pdf = pd.DataFrame({"x1": [1.0, 2.0, 3.0], "x2": [2.0, 4.0, 6.0], "d": [1.0, 1.0, 1.0]})
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(CalibrationError):
+        calibrate(df, ["x1", "x2"], {"x1": 10.0, "x2": 20.0}, d_col="d")
+
+
+def test_ols_matches_numpy(small_df):
+    df, pdf = small_df
+    fit = fit_ols(df, "y", ["x1", "x2"], intercept=True)
+    X = np.column_stack([np.ones(len(pdf)), pdf.x1, pdf.x2])
+    expected = oracle_np.ols(X, pdf.y.to_numpy())
+    np.testing.assert_allclose(fit.coef_for(()), expected, rtol=1e-9)
+
+
+def test_ols_grouped(small_df):
+    df, pdf = small_df
+    fit = fit_ols(df, "y", ["x1"], intercept=True, group_cols=["g"])
+    for gv, sub in pdf.groupby("g"):
+        X = np.column_stack([np.ones(len(sub)), sub.x1])
+        expected = oracle_np.ols(X, sub.y.to_numpy())
+        np.testing.assert_allclose(fit.coef_for((gv,)), expected, rtol=1e-8)
+
+
+def test_logistic_score_is_zero_at_solution(spark):
+    rng = np.random.default_rng(11)
+    n = 600
+    x = rng.normal(0, 1, n)
+    p = 1 / (1 + np.exp(-(0.5 + 1.2 * x)))
+    y = (rng.uniform(size=n) < p).astype(float)
+    df = spark.createDataFrame(pd.DataFrame({"x": x, "y": y}))
+    fit = fit_logistic(df, "y", ["x"], intercept=True)
+    b = fit.coef_for(())
+    # property check (non-circular): score equations sum x*(y-p) == 0
+    X = np.column_stack([np.ones(n), x])
+    phat = 1 / (1 + np.exp(-(X @ b)))
+    score = X.T @ (y - phat)
+    np.testing.assert_allclose(score, 0.0, atol=1e-6)
+    # and matches an independent IRLS
+    np.testing.assert_allclose(b, oracle_np.irls_logistic(X, y), rtol=1e-6)
+
+
+def test_svytotal_and_svymean_formulas(small_df):
+    df, pdf = small_df
+    des = SurveyDesign(df=df, weight_col="w")
+    t = svytotal(des, "y")[0]
+    z = pdf.w * pdf.y
+    n = len(pdf)
+    np.testing.assert_allclose(t.estimate, z.sum(), rtol=1e-10)
+    np.testing.assert_allclose(t.variance, n / (n - 1) * ((z - z.mean()) ** 2).sum(), rtol=1e-9)
+
+    m = svymean(des, "y")[0]
+    m_np, v_np = oracle_np.svymean_var(pdf.y.to_numpy(), pdf.w.to_numpy())
+    np.testing.assert_allclose(m.estimate, m_np, rtol=1e-10)
+    np.testing.assert_allclose(m.variance, v_np, rtol=1e-9)
+
+
+def test_svymean_calibrated_variance(small_df):
+    df, pdf = small_df
+    totals = {"x1": float(pdf.x1.sum() * 1.3), "x2": float(pdf.x2.sum() * 1.3)}
+    res = calibrate(df, ["x1", "x2"], totals, d_col="w", out_col="wc")
+    des = SurveyDesign(df=res.df, weight_col="wc",
+                       calibration_cols=["x1", "x2"], base_weight_col="w")
+    m = svymean(des, "y")[0]
+    w_np = oracle_np.greg_calibrate(
+        pdf[["x1", "x2"]].to_numpy(), pdf.w.to_numpy(),
+        np.array([totals["x1"], totals["x2"]]),
+    )
+    m_np, v_np = oracle_np.svymean_var(
+        pdf.y.to_numpy(), w_np, X=pdf[["x1", "x2"]].to_numpy(), d=pdf.w.to_numpy()
+    )
+    np.testing.assert_allclose(m.estimate, m_np, rtol=1e-9)
+    np.testing.assert_allclose(m.variance, v_np, rtol=1e-8)
+
+
+def test_svymean_grouped_matches_ungrouped(small_df):
+    df, pdf = small_df
+    des = SurveyDesign(df=df, weight_col="w")
+    rows = {r.key: r for r in svymean(des, "y", group_cols=["g"])}
+    for gv, sub in pdf.groupby("g"):
+        m_np, v_np = oracle_np.svymean_var(sub.y.to_numpy(), sub.w.to_numpy())
+        np.testing.assert_allclose(rows[(gv,)].estimate, m_np, rtol=1e-9)
+        np.testing.assert_allclose(rows[(gv,)].variance, v_np, rtol=1e-8)

@@ -1,0 +1,94 @@
+"""Benchmark harness — runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "suite_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query is forced with a full collect() (the driver's correctness gate
+does the same), so timings include result materialization.  The suite is
+the same `queries()` registry the correctness gate runs — headline subset
+chosen to cover every engine layer: relational (joins/aggs/pivots/windows),
+text/dedup/similarity, and the statistical estimators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline queries: every layer represented; skip near-duplicates to keep
+# the bench under a few minutes at sf0.1.
+HEADLINE = [
+    # relational layer
+    "pricing_summary",
+    "top_revenue_orders",
+    "segment_pivot",
+    "full_outer_integration",
+    "semijoin_priority",
+    "events_hourly",
+    "sessionize_events",
+    # text / dedup / similarity
+    "text_stats",
+    "lang_id",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_buckets",
+    "knn_cosine",
+    "embedding_norms",
+    # statistical estimators (GREG calibration / OLS / DR pipelines)
+    "regdi_c0",
+    "regdi_aux",
+    "regdi_c2",
+    "regdi_dr",
+    "pc_s1",
+    "pc_s2",
+    "pc_s3",
+    "svymean_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num: float | str = float(sf)
+    except ValueError:
+        sf_num = sf
+
+    from data_integration_est_spark.session import get_spark
+
+    import __spark_entry__ as ent
+
+    spark = get_spark(app_name="bench")
+    qs = ent.queries()
+
+    # JVM/codegen warm-up on a trivial job so q1 doesn't absorb startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "suite_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+    }))
+
+
+if __name__ == "__main__":
+    main()

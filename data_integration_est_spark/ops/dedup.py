@@ -1,0 +1,203 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design:
+- exact dedup is a hash-groupBy (one shuffle on the fingerprint).
+- MinHash signatures are pure Column expressions over the shingle array
+  (no Python, no explode): sig[i] = min over shingles of xxhash64(s, i).
+- LSH banding turns all-pairs comparison into an equi-join on
+  (band_index, band_hash) — the only all-pairs step runs within buckets,
+  which is the standard near-dup sublinear path at 100 TB.
+- exact n-gram Jaccard (array_intersect/array_union) is the verify step
+  on candidate pairs, and doubles as a small-N oracle-checkable operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_integration_est_spark.ops.text import fingerprint
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact (normalized-content) dedup: one row per fingerprint, keeping
+    the smallest id; adds ``dup_count``.  One shuffle."""
+    fp = fingerprint(F.col(text_col))
+    return (
+        df.withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; documents shorter than n tokens get
+    their whole (trimmed) text as a single shingle."""
+    toks = F.split(F.trim(text), r"\s+")
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(k >= n, F.array_distinct(grams)).otherwise(F.array(F.trim(text)))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    out_col: str = "minhash",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signatures as a ``(id_col, out_col)`` DataFrame, with
+    ``out_col`` an array<bigint> of length ``num_hashes``.
+
+    Physical shape: explode shingles to (id, shingle) rows, hash each
+    shingle ``num_hashes`` ways (salted xxhash64 simulating independent
+    permutations), then ONE groupBy(id) with ``num_hashes`` min-aggregates.
+    The partial (map-side) min makes the shuffle O(docs x num_hashes)
+    regardless of document length — the 100 TB-safe shape.
+
+    Deliberately NOT expressed as array_min(transform(...)) per slot over a
+    lazy shingle column: Catalyst inlines the shingle expression into every
+    downstream consumer (e.g. 16 LSH band slots x 32 slots), which blew
+    analysis+codegen up to minutes on tiny data.  The aggregation here is
+    an optimizer barrier — downstream sees 32 concrete columns."""
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh__"),
+    )
+    aggs = [
+        F.min(F.xxhash64("__sh__", F.lit(i))).alias(f"__mh_{i}__")
+        for i in range(num_hashes)
+    ]
+    return (
+        pairs.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"__mh_{i}__") for i in range(num_hashes)]).alias(out_col),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded LSH over MinHash signatures: docs sharing any band bucket
+    become a candidate pair.  Returns distinct (id_a, id_b), id_a < id_b.
+
+    Physical plan: explode to (band, band_hash, id) — #bands rows per doc —
+    then a self-equi-join on the bucket key.  The join is shuffle-
+    partitioned on (band, band_hash); no cross join ever materializes."""
+    sig = F.col(sig_col)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(",", F.transform(
+                    F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                )),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = (
+        df.select(F.col(id_col), band_hashes.alias("bh"))
+        .select(F.col(id_col), F.posexplode("bh").alias("band", "bucket"))
+    )
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for near-dup pairs.
+
+    With ``candidates`` (e.g. from ``lsh_candidate_pairs``) only those
+    pairs are verified — the scale path.  Without, all pairs are compared
+    (small N / oracle checking only)."""
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    if candidates is not None:
+        pairs = candidates.join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "simhash",
+) -> DataFrame:
+    """64-bit SimHash over word tokens.
+
+    Per-bit majority vote of token hashes, computed with ONE explode +
+    groupBy(id): 64 conditional sums (codegen'd), then the bits are
+    reassembled into a bigint.  Hamming distance between simhashes
+    approximates cosine similarity of the token multisets."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sim: Column = F.lit(0).cast("long")
+    for b in range(63):
+        sim = sim + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    # bit 63 is the sign bit of the bigint
+    sim = sim + F.when(F.col("b63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    out = agg.withColumn(out_col, sim)
+    return out.select(id_col, out_col)

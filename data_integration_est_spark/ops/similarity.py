@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_knn``: exact cosine top-k — the correctness baseline.
+  Query side is broadcast (queries << corpus); the corpus is scanned once;
+  per-query top-k via a window over the query key.  O(|Q| * N * d) work,
+  fully distributed, no driver collection.
+- ``lsh_knn``: random-hyperplane LSH (sign sketches) — the scale path.
+  Hyperplanes are deterministic literals (seeded numpy on the driver,
+  broadcast as array literals), bucket join replaces the cross join,
+  exact cosine re-ranks within buckets.  Recall < 1, tunable via
+  (n_bits, n_tables).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_arrays(a: Column, b: Column) -> Column:
+    """Dot product of two array columns, accumulated in double, in index
+    order (bit-reproducible against any oracle that sums in order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_array(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_arrays(a, b) / (norm_array(a) * norm_array(b))
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
+
+    Excludes self-matches.  Deterministic tie-break on neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, table: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed + 7919 * table)
+    return rng.standard_normal((n_bits, dim)).tolist()
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-sketch bucket id: one bit per hyperplane."""
+    bucket: Column = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
+        bucket = bucket + F.when(dot_arrays(vec, lit_plane) >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH.
+
+    Each vector lands in ``n_tables`` buckets (one per table); candidates
+    are bucket-cohabitants in ANY table; exact cosine re-ranks.  The
+    bucket equi-join shuffles on (table, bucket) — sublinear candidate
+    generation, the 100 TB-safe replacement for the cross join."""
+    def bucketize(df: DataFrame, idname: str) -> DataFrame:
+        parts = []
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_bits, t, seed)
+            parts.append(
+                df.select(
+                    F.col(id_col).alias(idname),
+                    F.col(vec_col).alias(f"{idname}_v"),
+                ).withColumn("table", F.lit(t)).withColumn(
+                    "bucket", _bucket_expr(F.col(f"{idname}_v"), planes)
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    qb = bucketize(queries, "query_id")
+    cb = bucketize(corpus, "neighbor_id")
+    cand = (
+        qb.join(cb, on=["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(cosine_expr(F.col("query_id_v"), F.col("neighbor_id_v")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,101 @@
+"""Text analysis operators for document pipelines (SURVEY-extension).
+
+All pure Column expressions (whole-stage codegen; zero Python in the data
+path): token counting, character-class ratios, n-gram-free language ID via
+stopword hit counting, quality scoring, and content fingerprinting.
+
+Semantics are deliberately SQL-portable: every operator here has an exact
+ANSI-SQL equivalent (see ``__spark_entry__.oracle_sql``) so results can be
+hash-verified against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny high-frequency stopword sets; enough to separate languages on
+# honest text (deterministic + portable, unlike a model-based LID)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "une", "que"],
+    "de": ["der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "im"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank strings count 0."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def _class_count(text: Column, pattern: str) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, pattern, ""))
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append per-document stats columns: n_tokens, n_chars_calc,
+    punct_ratio, digit_ratio, upper_ratio, avg_token_len."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    safe = F.greatest(n_chars.cast("double"), F.lit(1.0))
+    n_tok = token_count(t)
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_chars_calc", n_chars)
+        .withColumn("punct_ratio", _class_count(t, r"[\p{Punct}]") / safe)
+        .withColumn("digit_ratio", _class_count(t, r"[0-9]") / safe)
+        .withColumn("upper_ratio", _class_count(t, r"[A-Z]") / safe)
+        .withColumn(
+            "avg_token_len",
+            F.length(F.regexp_replace(t, r"\s+", ""))
+            / F.greatest(n_tok.cast("double"), F.lit(1.0)),
+        )
+    )
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of stopword tokens of ``lang`` present (count of token
+    occurrences, word-boundary anchored)."""
+    words = STOPWORDS[lang]
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(text), F.lit(pat))
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit counts;
+    ties and zero-hit documents fall back to 'und'.  Deterministic
+    tie-break by language code order (de < en < es < fr)."""
+    hits = {lang: stopword_hits(F.col(text_col), lang) for lang in sorted(STOPWORDS)}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # reversed so the FIRST language in sorted order wins ties
+    for lang in sorted(STOPWORDS, reverse=True):
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def quality_score(df: DataFrame, text_col: str = "text", out_col: str = "quality") -> DataFrame:
+    """Length/punctuation/repetition quality heuristic in [0, 1]:
+    rewards mid-length documents and mostly-alphabetic content."""
+    df = add_text_stats(df, text_col)
+    len_score = F.least(F.col("n_tokens").cast("double") / F.lit(20.0), F.lit(1.0))
+    alpha_score = F.lit(1.0) - F.least(
+        (F.col("punct_ratio") + F.col("digit_ratio")) * 4.0, F.lit(1.0)
+    )
+    return df.withColumn(
+        out_col, F.round(F.lit(0.5) * len_score + F.lit(0.5) * alpha_score, 6)
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the lowercased text with whitespace
+    collapsed and non-alphanumerics stripped — stable under trivial
+    formatting edits; the exact-dedup key."""
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", ""), r"\s+", " "
+    )
+    return F.md5(F.trim(norm))

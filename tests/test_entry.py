@@ -1,0 +1,95 @@
+"""Replicates the driver's correctness gate locally: run every
+``queries()`` entry on Spark AND its ``oracle_sql()`` on DuckDB over the
+same parquet, then compare row count, schema (column names), and an
+order-insensitive value hash."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # driver-style normalization: fixed decimals (we round to 6 in the
+        # queries, so this is just canonical formatting)
+        return f"{v:.6f}"
+    if v is None:
+        return "null"
+    return str(v)
+
+
+def _canon(rows: list[dict]) -> list[tuple]:
+    if not rows:
+        return []
+    cols = sorted(rows[0].keys())
+    out = [tuple(_norm_cell(r[c]) for c in cols) for r in rows]
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def sf001():
+    return "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck(sf001):
+    return _duck(sf001)
+
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert df.schema is not None
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES.keys()))
+def test_query_vs_oracle(spark, duck, sf001, name):
+    sdf = QUERIES[name](spark, sf001)
+    spark_rows = [r.asDict() for r in sdf.collect()]
+    ddf = duck.execute(ORACLES[name]).fetch_df()
+    duck_rows = ddf.to_dict("records")
+
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs oracle {len(duck_rows)}"
+    )
+    if spark_rows:
+        assert sorted(spark_rows[0].keys()) == sorted(duck_rows[0].keys()), (
+            f"{name}: schema mismatch"
+        )
+    s, d = _canon(spark_rows), _canon(duck_rows)
+    mismatches = [(a, b) for a, b in zip(s, d) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, sf001, name):
+    rows = QUERIES[name](spark, sf001).collect()
+    assert len(rows) >= 1

@@ -49,6 +49,8 @@ HEADLINE = [
     "pc_s2",
     "pc_s3",
     "svymean_events",
+    # Monte Carlo grid: 15 cells x 6 estimators as one vectorized job
+    "mc_nmar_study",
 ]
 
 

@@ -26,6 +26,7 @@ from data_integration_est_spark.formula import Formula
 from data_integration_est_spark.integrate import integrate_samples, IntegratedData
 from data_integration_est_spark.estimators.regdi import regdi, RegDIResult
 from data_integration_est_spark.estimators.pc import pc_estimator, PCResult
+from data_integration_est_spark.montecarlo import run_nmar_study, MCResult
 from data_integration_est_spark.session import get_spark
 
 __all__ = [
@@ -38,6 +39,8 @@ __all__ = [
     "RegDIResult",
     "pc_estimator",
     "PCResult",
+    "run_nmar_study",
+    "MCResult",
     "get_spark",
 ]
 

@@ -1,0 +1,327 @@
+"""Replicate-vectorized estimators — the Monte Carlo engine.
+
+The reference runs its Monte Carlo studies as a serial R loop
+(``nb[4]:29-196``) or a ``parLapply`` process pool over (gamma, sim) cells
+(``nb[23]:130-143``).  Here the replicate and grid dimensions are ordinary
+key columns of ONE DataFrame and every estimator below computes ALL cells
+at once: per-group totals are a single groupBy pass, the per-group k x k
+calibration/OLS solves are one stacked ``numpy.linalg.solve`` on the
+driver, and the solved vectors return to executors via a broadcast join.
+Per full estimator-suite-on-a-grid: ~4-6 shuffles TOTAL, independent of
+the number of replicates — the 100 TB-shaped replacement for a process
+pool.
+
+Only O(k^2 * groups) scalars ever reach the driver (k <= ~6, groups =
+|grid| x n_sim — thousands).  Group keys must not be named like internal
+columns (``uno``, ``delta_*``, ``d_i_A``...).
+
+Each function returns ``{group_key_tuple: (estimate, se | None)}``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from data_integration_est_spark.design import SurveyDesign
+from data_integration_est_spark.formula import Formula
+from data_integration_est_spark.kernels.linalg import calibrate, fit_ols
+from data_integration_est_spark.kernels.stats import svymean
+
+
+def _broadcast_scalars(
+    df: DataFrame, group_cols: list[str], values: dict[tuple, tuple], names: list[str]
+) -> DataFrame:
+    """Broadcast-join per-group driver scalars back onto the big table."""
+    spark = df.sparkSession
+    rows = [tuple(k) + tuple(float(v) for v in vals) for k, vals in values.items()]
+    key_schema = df.select(*group_cols).schema
+    schema = StructType(
+        list(key_schema.fields) + [StructField(n, DoubleType(), False) for n in names]
+    )
+    sdf = spark.createDataFrame(rows, schema)
+    return df.join(F.broadcast(sdf), on=group_cols, how="inner")
+
+
+def naive_mean_grouped(
+    df: DataFrame, y_col: str, ind_col: str, group_cols: list[str]
+) -> dict[tuple, tuple]:
+    """Unweighted sample mean + SRS se per group (``nb[4]:37-49``)."""
+    rows = (
+        df.filter(F.col(ind_col) == 1)
+        .groupBy(*group_cols)
+        .agg(
+            F.avg(F.col(y_col).cast("double")).alias("m"),
+            F.stddev_samp(F.col(y_col).cast("double")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    return {
+        tuple(r[c] for c in group_cols): (
+            float(r["m"]),
+            float(r["s"]) / float(r["n"]) ** 0.5 if r["s"] is not None else None,
+        )
+        for r in rows
+    }
+
+
+def regdi_c0_grouped(
+    df: DataFrame,
+    y_A_col: str,
+    y_B_col: str,
+    ind_var_A: str,
+    ind_var_B: str,
+    group_cols: list[str],
+    aux_vars: list[str] | None = None,
+) -> dict[tuple, tuple]:
+    """RegDI correction-0 for every group at once (``RegDI2.R:126-193,
+    244-248`` vectorized).  Direct mode: each group is its own population."""
+    indA = F.col(ind_var_A) == 1
+    indB = F.col(ind_var_B) == 1
+    aux = list(aux_vars or [])
+
+    work = (
+        df.withColumn("uno", F.lit(1.0))
+        .withColumn("delta_i", F.when(indB, 1.0).otherwise(0.0))
+        .withColumn("delta_yi", F.when(indB, F.col(y_B_col).cast("double")).otherwise(0.0))
+    )
+    delta_aux = []
+    for z in aux:
+        dc = f"delta_{z}"
+        work = work.withColumn(dc, F.when(indB, F.col(z).cast("double")).otherwise(0.0))
+        delta_aux.append(dc)
+    x_cols = ["uno", "delta_i", "delta_yi"] + delta_aux
+
+    tot_rows = (
+        work.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("N"),
+            F.sum(F.when(indA, 1).otherwise(0)).alias("nA"),
+            F.sum("delta_i").alias("t_di"),
+            F.sum("delta_yi").alias("t_dyi"),
+            *[F.sum(c).alias(f"t_{c}") for c in delta_aux],
+        )
+        .collect()
+    )
+    totals_by_group: dict[tuple, np.ndarray] = {}
+    d_by_group: dict[tuple, tuple] = {}
+    for r in tot_rows:
+        key = tuple(r[c] for c in group_cols)
+        totals_by_group[key] = np.array(
+            [float(r["N"]), float(r["t_di"] or 0.0), float(r["t_dyi"] or 0.0)]
+            + [float(r[f"t_{c}"] or 0.0) for c in delta_aux]
+        )
+        d_by_group[key] = (float(r["N"]) / max(int(r["nA"]), 1),)
+
+    sample_A = _broadcast_scalars(
+        work.filter(indA), group_cols, d_by_group, ["d_i_A"]
+    )
+    cal = calibrate(
+        sample_A, x_cols, totals=None, d_col="d_i_A", out_col="w_cal",
+        group_cols=group_cols, totals_by_group=totals_by_group,
+    )
+    design = SurveyDesign(
+        df=cal.df, weight_col="w_cal", calibration_cols=x_cols, base_weight_col="d_i_A"
+    )
+    return {
+        e.key: (e.estimate, e.se) for e in svymean(design, y_A_col, group_cols)
+    }
+
+
+def _calibrated_b(
+    df: DataFrame,
+    ind_var_B: str,
+    aux_vars: list[str],
+    group_cols: list[str],
+):
+    """Shared PC step: per-group aux totals (direct sums) + B-weight
+    calibration (``PC.R:180-237`` vectorized).  Returns (b_df, x_cols,
+    per-group N / n_B dict)."""
+    indB = F.col(ind_var_B) == 1
+    tot_rows = (
+        df.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("N"),
+            F.sum(F.when(indB, 1).otherwise(0)).alias("nB"),
+            *[F.sum(F.col(z).cast("double")).alias(f"t_{z}") for z in aux_vars],
+        )
+        .collect()
+    )
+    totals_by_group: dict[tuple, np.ndarray] = {}
+    scalars: dict[tuple, tuple] = {}
+    sizes: dict[tuple, tuple] = {}
+    for r in tot_rows:
+        key = tuple(r[c] for c in group_cols)
+        totals_by_group[key] = np.array([float(r[f"t_{z}"] or 0.0) for z in aux_vars])
+        scalars[key] = (float(r["N"]) / max(int(r["nB"]), 1),)
+        sizes[key] = (float(r["N"]), int(r["nB"]))
+    sample_B = _broadcast_scalars(df.filter(indB), group_cols, scalars, ["d_i_B"])
+    cal = calibrate(
+        sample_B, list(aux_vars), totals=None, d_col="d_i_B", out_col="w_cal_B",
+        group_cols=group_cols, totals_by_group=totals_by_group,
+    )
+    return cal.df, list(aux_vars), sizes
+
+
+def pc_s1_grouped(
+    df: DataFrame,
+    y_B_col: str,
+    ind_var_B: str,
+    aux_vars: list[str],
+    group_cols: list[str],
+) -> dict[tuple, tuple]:
+    """PC scenario 1 for every group at once (``PC.R:240-253`` vectorized)."""
+    b_df, x_cols, _ = _calibrated_b(df, ind_var_B, aux_vars, group_cols)
+    design = SurveyDesign(
+        df=b_df, weight_col="w_cal_B", calibration_cols=x_cols, base_weight_col="d_i_B"
+    )
+    return {e.key: (e.estimate, e.se) for e in svymean(design, y_B_col, group_cols)}
+
+
+def pc_dr1_grouped(
+    df: DataFrame,
+    y_A_col: str,
+    y_B_col: str,
+    ind_var_A: str,
+    ind_var_B: str,
+    aux_vars: list[str],
+    outcome_model: str,
+    group_cols: list[str],
+) -> dict[tuple, tuple]:
+    """PC scenario-3 DR1 for every group (``PC.R:299-328`` vectorized):
+    Yhat = (sum_B w_cal_B*(y_B - yhat) + sum_U yhat) / N."""
+    indA = F.col(ind_var_A) == 1
+    b_df, _, sizes = _calibrated_b(df, ind_var_B, aux_vars, group_cols)
+
+    formula = Formula.parse(outcome_model).resolve(df.columns)
+    fit = fit_ols(
+        df.filter(indA), y_col=formula.response, x_cols=list(formula.predictors),
+        intercept=formula.intercept, group_cols=group_cols,
+    )
+
+    u_join, u_pred = fit.predict_expr_grouped(df)
+    u_rows = (
+        u_join.select(*group_cols, u_pred.alias("__yhat__"))
+        .groupBy(*group_cols).agg(F.sum("__yhat__").alias("sum_pred"))
+        .collect()
+    )
+    sum_pred = {tuple(r[c] for c in group_cols): float(r["sum_pred"] or 0.0) for r in u_rows}
+
+    b_join, b_pred = fit.predict_expr_grouped(b_df)
+    t1_rows = (
+        b_join.select(
+            *group_cols,
+            (F.col("w_cal_B") * (F.col(y_B_col).cast("double") - b_pred)).alias("__t__"),
+        )
+        .groupBy(*group_cols).agg(F.sum("__t__").alias("t1"))
+        .collect()
+    )
+    out: dict[tuple, tuple] = {}
+    for r in t1_rows:
+        key = tuple(r[c] for c in group_cols)
+        N, _ = sizes[key]
+        out[key] = ((float(r["t1"] or 0.0) + sum_pred[key]) / N, None)
+    return out
+
+
+def regdi_dr_grouped(
+    df: DataFrame,
+    y_A_col: str,
+    y_B_col: str,
+    ind_var_A: str,
+    ind_var_B: str,
+    outcome_model: str,
+    group_cols: list[str],
+    aux_vars: list[str] | None = None,
+) -> dict[tuple, tuple]:
+    """RegDI correction-3 (doubly robust) for every group
+    (``RegDI2.R:196-241`` vectorized):
+    T = (sum_A w_cal*(y - yhat) + sum_U yhat)/N,
+    V = var(w*(y - yhat))/n_A + var_U(yhat)/N."""
+    indA = F.col(ind_var_A) == 1
+    indB = F.col(ind_var_B) == 1
+    aux = list(aux_vars or [])
+
+    work = (
+        df.withColumn("uno", F.lit(1.0))
+        .withColumn("delta_i", F.when(indB, 1.0).otherwise(0.0))
+        .withColumn("delta_yi", F.when(indB, F.col(y_B_col).cast("double")).otherwise(0.0))
+    )
+    delta_aux = []
+    for z in aux:
+        dc = f"delta_{z}"
+        work = work.withColumn(dc, F.when(indB, F.col(z).cast("double")).otherwise(0.0))
+        delta_aux.append(dc)
+    x_cols = ["uno", "delta_i", "delta_yi"] + delta_aux
+
+    tot_rows = (
+        work.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("N"),
+            F.sum(F.when(indA, 1).otherwise(0)).alias("nA"),
+            F.sum("delta_i").alias("t_di"),
+            F.sum("delta_yi").alias("t_dyi"),
+            *[F.sum(c).alias(f"t_{c}") for c in delta_aux],
+        )
+        .collect()
+    )
+    totals_by_group: dict[tuple, np.ndarray] = {}
+    d_by_group: dict[tuple, tuple] = {}
+    N_by_group: dict[tuple, float] = {}
+    for r in tot_rows:
+        key = tuple(r[c] for c in group_cols)
+        totals_by_group[key] = np.array(
+            [float(r["N"]), float(r["t_di"] or 0.0), float(r["t_dyi"] or 0.0)]
+            + [float(r[f"t_{c}"] or 0.0) for c in delta_aux]
+        )
+        d_by_group[key] = (float(r["N"]) / max(int(r["nA"]), 1),)
+        N_by_group[key] = float(r["N"])
+
+    sample_A = _broadcast_scalars(work.filter(indA), group_cols, d_by_group, ["d_i_A"])
+    cal = calibrate(
+        sample_A, x_cols, totals=None, d_col="d_i_A", out_col="w_cal",
+        group_cols=group_cols, totals_by_group=totals_by_group,
+    )
+
+    formula = Formula.parse(outcome_model).resolve(df.columns)
+    fit = fit_ols(
+        df.filter(indA), y_col=formula.response, x_cols=list(formula.predictors),
+        intercept=formula.intercept, group_cols=group_cols,
+    )
+
+    a_join, a_pred = fit.predict_expr_grouped(cal.df)
+    a_rows = (
+        a_join.select(
+            *group_cols,
+            (F.col("w_cal") * (F.col(y_A_col).cast("double") - a_pred)).alias("__wres__"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("__wres__").alias("sum_wres"),
+            F.var_samp("__wres__").alias("var_wres"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    u_join, u_pred = fit.predict_expr_grouped(df)
+    u_rows = (
+        u_join.select(*group_cols, u_pred.alias("__yhat__"))
+        .groupBy(*group_cols)
+        .agg(F.sum("__yhat__").alias("sum_pred"), F.var_samp("__yhat__").alias("var_pred"))
+        .collect()
+    )
+    u_by = {tuple(r[c] for c in group_cols): r for r in u_rows}
+
+    out: dict[tuple, tuple] = {}
+    for r in a_rows:
+        key = tuple(r[c] for c in group_cols)
+        N = N_by_group[key]
+        n_A = int(r["n"])
+        u = u_by[key]
+        t = ((r["sum_wres"] or 0.0) + (u["sum_pred"] or 0.0)) / N
+        v = (r["var_wres"] or 0.0) / n_A + (u["var_pred"] or 0.0) / N
+        out[key] = (float(t), float(v) ** 0.5)
+    return out

@@ -102,6 +102,38 @@ def stratified_exact(
     return ranked.withColumn(out_col, F.when(cond, 1).otherwise(0)).drop("__rn__")
 
 
+def grouped_exact(
+    df: DataFrame,
+    key_cols: list[str],
+    group_cols: list[str],
+    n: int,
+    seed: int,
+    prob_col: str | None = None,
+    out_col: str = "ind",
+    tag: str = "grp",
+) -> DataFrame:
+    """Exact-size sampling WITHIN each group — the Monte Carlo-vectorized
+    form of ``srs_exact`` / ``weighted_srs_exact`` (SURVEY.md §2.8 O1/O2):
+    one window ranked per (gamma, sim_id, ...) group replaces n_sim
+    independent driver-side draws.
+
+    ``key_cols`` seed the per-row randomness (must include the replicate
+    keys so draws are independent across groups).  With ``prob_col``,
+    Efraimidis-Spirakis keys give an unequal-probability draw.  Scale: the
+    window partitions by group — parallel across the whole grid, one
+    shuffle total for ALL replicates."""
+    u = rng.uniform(key_cols, seed, tag)
+    if prob_col is not None:
+        key = -F.log(u) / F.col(prob_col).cast("double")
+    else:
+        key = u
+    w = Window.partitionBy(*group_cols).orderBy(key.asc(), *[F.col(c) for c in key_cols])
+    ranked = df.withColumn("__rn__", F.row_number().over(w))
+    return ranked.withColumn(
+        out_col, F.when(F.col("__rn__") <= n, 1).otherwise(0)
+    ).drop("__rn__")
+
+
 def bernoulli_sample(
     df: DataFrame,
     id_col: str,

@@ -27,6 +27,10 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
+    # checkpoint-file checksums (Spark 4.1 default-on) stall state-store
+    # commits on local filesystems; corruption detection matters on object
+    # stores, not local/dev runs — clusters can re-enable explicitly.
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
 }
 
 

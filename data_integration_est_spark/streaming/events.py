@@ -1,0 +1,217 @@
+"""Structured Streaming surface over the events table (SURVEY.md §7.1 M6).
+
+The reference has no streaming operators; this is the engine extension the
+testdata's ``events`` table exists for.  Design rules:
+
+- every transformation is written against a plain DataFrame so the SAME
+  function serves batch (parquet scan) and streaming (``readStream``)
+  plans — the batch run doubles as the streaming oracle in tests;
+- event-time semantics with watermarks bound state for late data;
+- the custom stateful operator (gap-based sessionization) uses
+  ``applyInPandasWithState`` — Arrow-batched, per-key state, timeout-based
+  session emission — the pattern for operators window aggs can't express.
+
+Scale posture: streaming aggregations shuffle on the groupBy key exactly
+like batch; state size is O(open windows/sessions per key), bounded by the
+watermark.  File sources at 100 TB use ``maxFilesPerTrigger`` to bound
+micro-batch size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+# Schema of /root/testdata/*/events.parquet with ts read as epoch-nanos
+# (TIMESTAMP(NANOS) is rejected by the Spark parquet reader; see
+# entry_queries._t).
+EVENT_NANOS_SCHEMA = StructType([
+    StructField("event_id", LongType(), True),
+    StructField("ts", LongType(), True),
+    StructField("user_id", LongType(), True),
+    StructField("event_type", StringType(), True),
+    StructField("value", DoubleType(), True),
+    StructField("props", StringType(), True),
+])
+
+EVENT_SCHEMA = StructType([
+    StructField("event_id", LongType(), True),
+    StructField("ts", TimestampType(), True),
+    StructField("user_id", LongType(), True),
+    StructField("event_type", StringType(), True),
+    StructField("value", DoubleType(), True),
+    StructField("props", StringType(), True),
+])
+
+
+def _with_timestamp(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of event parquet under ``path``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENT_NANOS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _with_timestamp(reader.parquet(path))
+
+
+def read_event_batch(spark: SparkSession, path: str) -> DataFrame:
+    """The batch twin of ``read_event_stream`` (same schema and ts)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _with_timestamp(spark.read.schema(EVENT_NANOS_SCHEMA).parquet(path))
+
+
+def hourly_counts(
+    events: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window per-type counts/sums.  Works identically on batch
+    and streaming inputs; on streams the watermark bounds the agg state
+    and admits ``append`` output."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    timeout_sec: float | None = None,
+) -> DataFrame:
+    """Drain a (bounded) stream into an in-memory table with one
+    available-now trigger; returns the result as a batch DataFrame.
+    ``timeout_sec`` guards queries that schedule extra batches (e.g.
+    processing-time timeouts) and would otherwise never terminate."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if timeout_sec is None:
+        q.awaitTermination()
+    else:
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+SESSION_SCHEMA = StructType([
+    StructField("user_id", LongType(), True),
+    StructField("session_start", TimestampType(), True),
+    StructField("session_end", TimestampType(), True),
+    StructField("n_events", LongType(), True),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("start_us", LongType(), True),
+    StructField("last_us", LongType(), True),
+    StructField("n", LongType(), True),
+])
+
+
+def _session_fn(gap_us: int, timeout_ms: int | None):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per-user session accumulator: emits a session row whenever a
+        gap > gap_us closes one; the open session stays in state (flushed
+        by processing-time timeout when one is configured)."""
+        (user_id,) = key
+        if timeout_ms is not None and state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n = state.get
+                state.remove()
+                yield pd.DataFrame({
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                })
+            return
+
+        ts_list: list[int] = []
+        for pdf in pdfs:
+            ts_list.extend(int(t.value // 1000) for t in pdf["ts"])
+        ts_list.sort()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = 0, 0, 0
+
+        out = []
+        for t in ts_list:
+            if n == 0:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                out.append((user_id, start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+        state.update((int(start_us), int(last_us), int(n)))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        if out:
+            yield pd.DataFrame({
+                "user_id": [r[0] for r in out],
+                "session_start": [pd.Timestamp(r[1], unit="us") for r in out],
+                "session_end": [pd.Timestamp(r[2], unit="us") for r in out],
+                "n_events": [r[3] for r in out],
+            })
+
+    return fn
+
+
+def sessionize_stateful(
+    events: DataFrame, gap_seconds: int = 1800, idle_timeout_sec: int | None = None
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState``.  Closed sessions stream out; the open
+    session per user lives in state.
+
+    ``idle_timeout_sec`` flushes idle open sessions via processing-time
+    timeouts — the production-stream mode.  Leave None for bounded inputs:
+    a processing-time timeout makes the query schedule timeout-only
+    micro-batches forever, so an availableNow drain would never
+    terminate."""
+    timeout_ms = None if idle_timeout_sec is None else idle_timeout_sec * 1000
+    conf = (
+        GroupStateTimeout.NoTimeout
+        if timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_seconds * 1_000_000, timeout_ms),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=conf,
+        )
+    )

@@ -1,0 +1,75 @@
+"""Structured Streaming tests: the batch plan is the oracle — the same
+transformation over readStream (availableNow, memory sink) must produce
+identical results to the parquet batch scan."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_est_spark.streaming import events as se
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    # file-source streams read a DIRECTORY; stage the single parquet file
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_hourly_counts_stream_matches_batch(spark, events_dir):
+    batch = se.hourly_counts(se.read_event_batch(spark, events_dir))
+    stream = se.run_to_memory(
+        se.hourly_counts(se.read_event_stream(spark, events_dir)),
+        "hourly_counts_t", output_mode="complete",
+    )
+    assert _canon(stream) == _canon(batch)
+    assert len(_canon(batch)) > 0
+
+
+def test_stateful_sessionize_runs(spark, events_dir):
+    """Closed sessions emitted by the stateful operator must agree with the
+    batch window-function sessionization for every (user, start) it emits
+    (the open tail session per user stays in state — append mode)."""
+    stream = se.sessionize_stateful(se.read_event_stream(spark, events_dir))
+    out = se.run_to_memory(stream, "sessions_t", output_mode="append")
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in out.collect()
+    }
+    assert len(got) > 0
+
+    # batch oracle: gap-based sessions via lag + cumulative sum
+    from pyspark.sql import Window
+
+    ev = se.read_event_batch(spark, events_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sess = (
+        ev.withColumn(
+            "new_s",
+            F.when(
+                (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
+                > 1800 * 1_000_000, 1,
+            ).otherwise(F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)),
+        )
+        .withColumn("sid", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    oracle = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in sess.collect()
+    }
+    for key, n in got.items():
+        assert key in oracle, f"emitted session {key} not in batch oracle"
+        assert oracle[key] == n

@@ -1,0 +1,42 @@
+"""Sources / sinks (SURVEY.md §2.1 S9-S10).
+
+The reference's only persistence is CSV round-trips of Monte Carlo result
+tables (``nb[23]:159``, ``nb[24]:1``).  The engine default is Parquet
+(columnar, predicate-pushdown-able); CSV is kept for reference parity and
+interchange.  All writers are directory-based (one file per partition) —
+the distributed layout; ``coalesce(1)`` only for tiny summary tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False) -> None:
+    """CSV sink with header — ``write.csv(row.names=FALSE)`` parity
+    (``nb[23]:159``).  ``single_file`` coalesces tiny summary tables."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", True).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """CSV source — ``read.csv`` parity (``nb[24]:1``).  Prefer an explicit
+    schema; inference scans the data twice."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    return reader.option("inferSchema", True).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    """Engine-default sink.  ``partition_by`` prunes downstream scans."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -1,0 +1,83 @@
+"""ANOVA (A9): Spark Type-I table vs an independent numpy implementation
+on the collected data, plus p-value sanity against known F quantiles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_est_spark.ops.anova import anova_type1, f_sf
+
+
+def _np_type1(y, groups_a, groups_b, extra):
+    """Independent oracle: sequential RSS drops via numpy lstsq with the
+    same drop-first dummy coding and term order (A, B, extra, A:B)."""
+    def dummies(g):
+        levels = sorted(set(g))
+        return np.column_stack([
+            (np.asarray(g) == lv).astype(float) for lv in levels[1:]
+        ]) if len(levels) > 1 else np.empty((len(g), 0))
+
+    n = len(y)
+    y = np.asarray(y, dtype=float)
+    da, db, dc = dummies(groups_a), dummies(groups_b), dummies(extra)
+    inter = np.column_stack([
+        da[:, i] * db[:, j] for i in range(da.shape[1]) for j in range(db.shape[1])
+    ]) if da.shape[1] and db.shape[1] else np.empty((n, 0))
+
+    X = np.column_stack([np.ones(n)])
+    rss_prev = float(((y - X @ np.linalg.lstsq(X, y, rcond=None)[0]) ** 2).sum())
+    rank_prev = 1
+    out = []
+    for name, block in [("a", da), ("b", db), ("c", dc), ("a:b", inter)]:
+        X = np.column_stack([X, block])
+        beta, _, rank, _ = np.linalg.lstsq(X, y, rcond=None)
+        rss = float(((y - X @ beta) ** 2).sum())
+        out.append((name, rank - rank_prev, rss_prev - rss))
+        rss_prev, rank_prev = rss, rank
+    return out, rss_prev, n - rank_prev
+
+
+def test_anova_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    n = 600
+    a = rng.choice(["s1", "s2", "s3"], n)
+    b = rng.choice(["g0", "g1"], n)
+    c = rng.choice(["e1", "e2", "e3", "e4"], n)
+    y = (
+        1.0
+        + (a == "s2") * 0.5 + (a == "s3") * 1.0
+        + (b == "g1") * 2.0
+        + (c == "e2") * 0.1
+        + ((a == "s2") & (b == "g1")) * 0.7
+        + rng.normal(0, 1.0, n)
+    )
+    df = spark.createDataFrame(
+        [(float(y[i]), str(a[i]), str(b[i]), str(c[i])) for i in range(n)],
+        "y double, sd string, gamma string, estimator string",
+    )
+    got = {
+        r["term"]: r
+        for r in anova_type1(
+            df, "y", [("sd",), ("gamma",), ("estimator",), ("sd", "gamma")]
+        ).collect()
+    }
+    exp_rows, exp_rss, exp_dfres = _np_type1(y, a, b, c)
+    name_map = {"a": "sd", "b": "gamma", "c": "estimator", "a:b": "sd:gamma"}
+    for name, dfree, ss in exp_rows:
+        row = got[name_map[name]]
+        assert row["df"] == dfree
+        assert row["sum_sq"] == pytest.approx(ss, rel=1e-6, abs=1e-6)
+        ms_resid = exp_rss / exp_dfres
+        assert row["f_value"] == pytest.approx((ss / dfree) / ms_resid, rel=1e-5)
+    assert got["Residuals"]["df"] == exp_dfres
+    assert got["Residuals"]["sum_sq"] == pytest.approx(exp_rss, rel=1e-6)
+    # the strong main effects must be detected, the weak estimator effect not
+    assert got["gamma"]["p_value"] < 1e-10
+    assert got["sd"]["p_value"] < 1e-6
+
+
+def test_f_sf_known_values():
+    # F(1, 10): P[F > 4.96] ~ 0.05; F(3, 20): P[F > 3.10] ~ 0.05
+    assert f_sf(4.9646, 1, 10) == pytest.approx(0.05, abs=2e-4)
+    assert f_sf(3.0984, 3, 20) == pytest.approx(0.05, abs=2e-4)
+    assert f_sf(0.0, 3, 20) == 1.0

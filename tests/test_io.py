@@ -1,0 +1,35 @@
+"""CSV / Parquet source-sink round-trips (S9-S10)."""
+
+from pyspark.sql import functions as F
+
+from data_integration_est_spark import io as dio
+
+
+def _summary(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("c_acctbal"), 6).alias("avg_bal"))
+    )
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    df = _summary(spark, sf_dir)
+    path = str(tmp_path / "summary_csv")
+    dio.write_csv(df, path, single_file=True)
+    back = dio.read_csv(spark, path)
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted((r["c_mktsegment"], r["n"], r["avg_bal"]) for r in back.collect())
+    assert [(s, int(n), float(v)) for s, n, v in a] == [
+        (s, int(n), float(v)) for s, n, v in b
+    ]
+
+
+def test_parquet_roundtrip_partitioned(spark, sf_dir, tmp_path):
+    df = _summary(spark, sf_dir)
+    path = str(tmp_path / "summary_pq")
+    dio.write_parquet(df, path, partition_by=["c_mktsegment"])
+    back = dio.read_parquet(spark, path)
+    assert sorted((r["c_mktsegment"], r["n"]) for r in back.collect()) == sorted(
+        (r["c_mktsegment"], r["n"]) for r in df.collect()
+    )

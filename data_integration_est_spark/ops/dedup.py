@@ -99,7 +99,10 @@ def lsh_candidate_pairs(
 
     Physical plan: explode to (band, band_hash, id) — #bands rows per doc —
     then a self-equi-join on the bucket key.  The join is shuffle-
-    partitioned on (band, band_hash); no cross join ever materializes."""
+    partitioned on (band, band_hash); no cross join ever materializes.
+    The bucket table (docs x bands tiny rows) is persisted so the
+    signature pipeline upstream of the self-join runs ONCE, not twice —
+    at scale the signature computation dominates."""
     sig = F.col(sig_col)
     band_hashes = F.array(
         *[
@@ -113,9 +116,12 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
+    from pyspark import StorageLevel
+
     buckets = (
         df.select(F.col(id_col), band_hashes.alias("bh"))
         .select(F.col(id_col), F.posexplode("bh").alias("band", "bucket"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     left = buckets.alias("l")
     right = buckets.alias("r")
@@ -149,9 +155,13 @@ def ngram_jaccard_pairs(
     With ``candidates`` (e.g. from ``lsh_candidate_pairs``) only those
     pairs are verified — the scale path.  Without, all pairs are compared
     (small N / oracle checking only)."""
+    from pyspark import StorageLevel
+
+    # both sides of the pair join read the shingle table — persist so the
+    # tokenize/shingle pass over the corpus runs once
     sh = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     if candidates is not None:

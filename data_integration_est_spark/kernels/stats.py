@@ -31,7 +31,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_integration_est_spark.design import SurveyDesign
-from data_integration_est_spark.kernels.gram import gram_aggregate
 from data_integration_est_spark.kernels.linalg import _solve_stacked
 
 
@@ -104,95 +103,97 @@ def svymean(
     y_col: str,
     group_cols: list[str] | None = None,
 ) -> list[EstimateRow]:
-    """Weighted mean + linearization variance; calibration-aware.
+    """Weighted mean + linearization variance; calibration-aware — in ONE
+    distributed pass.
 
-    For calibrated designs the influence residual is regressed (with the
-    pre-calibration weights) on the calibration columns — see module
-    docstring.  Reference sites: ``RegDI2.R:246-248,305-307,322-324``,
-    ``PC.R:245-247``.
+    The influence values u_i = w_i(y_i - m - x_i'B)/sw are linear in the
+    unknown driver-side scalars (m, B), so Σu and Σu² are quadratic forms
+    in UNCENTERED moments.  One aggregation collects, per group:
+
+      w-weighted:   Σw, Σw·y, Σw·x_j                     (mean + Σu)
+      w²-weighted:  the Gram of [1, y, x] under w²        (Σu²)
+      d-weighted:   the Gram of [x, y, 1] under d         (projection B;
+                    calibrated designs only, d = pre-calibration weights)
+
+    and the driver assembles m = Σwy/Σw, solves (Σd x x')B = Σd x y − m·Σd x,
+    then expands
+      Σw·e       = Σwy − m·Σw − Σ_j B_j Σw·x_j
+      Σw²e²      = Σw²y² − 2mΣw²y + m²Σw² − 2Σ_j B_j(Σw²yx_j − mΣw²x_j)
+                   + Σ_jk B_j B_k Σw²x_j x_k
+      V          = n/(n−1) · (Σu² − (Σu)²/n),  u-sums = e-sums / sw.
+
+    Uncentered moments are numerically safe here: every reference usage
+    has |y|/sd well under 1e3, far inside float64 headroom.
+
+    Reference sites: ``RegDI2.R:246-248,305-307,322-324``, ``PC.R:245-247``.
     """
     group_cols = list(group_cols or [])
+    xcols = list(design.calibration_cols or []) if design.is_calibrated else []
+    kx = len(xcols)
     subset = [y_col, design.weight_col] + (
         [design.base_weight_col] if design.is_calibrated else []
-    )
+    ) + xcols
     df = design.df.na.drop(subset=list(dict.fromkeys(subset)))
     w = F.col(design.weight_col).cast("double")
     y = F.col(y_col).cast("double")
+    xs = [F.col(c).cast("double") for c in xcols]
+    w2 = w * w
+    z = [F.lit(1.0), y] + xs  # w²-Gram basis
 
-    # pass 1: per-group mean
-    p1 = _collect_keyed(
-        df, group_cols,
-        [F.sum(w * y).alias("__swy__"), F.sum(w).alias("__sw__"), F.count(F.lit(1)).alias("__n__")],
-    )
-    keys = list(p1.keys())
-    means = {k: (p1[k]["__swy__"] or 0.0) / p1[k]["__sw__"] for k in keys}
-
-    # pass 2 (calibrated only): per-group residual projection B
-    B: dict[tuple, np.ndarray] | None = None
+    aggs: list[Column] = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(w).alias("sw"),
+        F.sum(w * y).alias("swy"),
+        *[F.sum(w * xs[j]).alias(f"swx_{j}") for j in range(kx)],
+    ]
+    for i in range(len(z)):
+        for j in range(i, len(z)):
+            aggs.append(F.sum(w2 * z[i] * z[j]).alias(f"q_{i}_{j}"))
     if design.is_calibrated:
-        xcols = list(design.calibration_cols or [])
-        kx = len(xcols)
-        # One Gram pass with an appended constant column: row kx of the
-        # augmented Gram is the HT totals sum_s d_i x_j, needed for the
-        # centered RHS  sum d*x*(y - m) = xy - m * sum d*x.
-        ones = "__var_ones__"
-        g = gram_aggregate(
-            df.withColumn(ones, F.lit(1.0)), xcols + [ones],
-            y_cols=[y_col], weight_col=design.base_weight_col, group_cols=group_cols,
-        )
-        ht = g.gram[:, kx, :kx]
-        m_vec = np.array([means[key] for key in g.keys])
-        rhs = g.xy[:, :kx, 0] - m_vec[:, None] * ht
-        Bm = _solve_stacked(g.gram[:, :kx, :kx], rhs[..., None],
-                            "svymean residual projection").squeeze(-1)
-        B = {key: Bm[i].reshape(kx) for i, key in enumerate(g.keys)}
+        d = F.col(design.base_weight_col).cast("double")
+        for i in range(kx):
+            for j in range(i, kx):
+                aggs.append(F.sum(d * xs[i] * xs[j]).alias(f"g_{i}_{j}"))
+            aggs.append(F.sum(d * xs[i] * y).alias(f"gy_{i}"))
+            aggs.append(F.sum(d * xs[i]).alias(f"g1_{i}"))
 
-    # pass 3: variance of the influence values
+    res = _collect_keyed(df, group_cols, aggs)
+
+    def _f(r, name):
+        v = r[name]
+        return 0.0 if v is None else float(v)
+
     out: list[EstimateRow] = []
-    if not group_cols:
-        key = ()
-        m = means[key]
-        e: Column = y - F.lit(float(m))
-        if B is not None:
-            for c, b in zip(design.calibration_cols or [], B[key]):
-                e = e - F.lit(float(b)) * F.col(c).cast("double")
-        u = w * e / F.lit(float(p1[key]["__sw__"]))
-        r = df.agg(
-            F.sum(u * u).alias("__u2__"), F.sum(u).alias("__u1__"), F.count(F.lit(1)).alias("__n__")
-        ).collect()[0]
-        n = int(r["__n__"])
-        v = float("nan") if n < 2 else n / (n - 1.0) * ((r["__u2__"] or 0.0) - (r["__u1__"] or 0.0) ** 2 / n)
+    for key, r in res.items():
+        n = int(r["n"])
+        sw = _f(r, "sw")
+        m = _f(r, "swy") / sw
+        q = np.zeros((kx + 2, kx + 2))
+        for i in range(kx + 2):
+            for j in range(i, kx + 2):
+                q[i, j] = q[j, i] = _f(r, f"q_{i}_{j}")
+
+        if design.is_calibrated and kx:
+            G = np.zeros((kx, kx))
+            for i in range(kx):
+                for j in range(i, kx):
+                    G[i, j] = G[j, i] = _f(r, f"g_{i}_{j}")
+            rhs = np.array([_f(r, f"gy_{i}") - m * _f(r, f"g1_{i}") for i in range(kx)])
+            B = _solve_stacked(G[None, ...], rhs[None, :, None],
+                               "svymean residual projection").ravel()
+        else:
+            B = np.zeros(kx)
+
+        sum_we = _f(r, "swy") - m * sw - sum(
+            B[j] * _f(r, f"swx_{j}") for j in range(kx)
+        )
+        # Σw²e² via the quadratic form with coefficient vector c = (-m - on
+        # the constant slot, 1 on y, -B on x): e = [1, y, x]·(-m, 1, -B)
+        c = np.concatenate(([-m, 1.0], -B))
+        sum_w2e2 = float(c @ q @ c)
+
+        s1 = sum_we / sw
+        s2 = sum_w2e2 / (sw * sw)
+        v = float("nan") if n < 2 else n / (n - 1.0) * (s2 - s1 * s1 / n)
         out.append(EstimateRow(key=key, estimate=float(m), variance=float(v), n=n))
-        return out
-
-    # grouped: broadcast-join per-group scalars (m, sw, B) then one agg
-    spark = df.sparkSession
-    from pyspark.sql.types import DoubleType, StructField, StructType
-
-    kx = len(design.calibration_cols or []) if B is not None else 0
-    scalar_cols = ["__m__", "__swall__"] + [f"__B_{j}__" for j in range(kx)]
-    rows = []
-    for key in keys:
-        extra = tuple(float(v) for v in B[key]) if B is not None else ()
-        rows.append(tuple(key) + (float(means[key]), float(p1[key]["__sw__"])) + extra)
-    key_schema = df.select(*group_cols).schema
-    schema = StructType(
-        list(key_schema.fields) + [StructField(c, DoubleType(), False) for c in scalar_cols]
-    )
-    sdf = spark.createDataFrame(rows, schema)
-    j = df.join(F.broadcast(sdf), on=group_cols, how="inner")
-    e = y - F.col("__m__")
-    if B is not None:
-        for jx, c in enumerate(design.calibration_cols or []):
-            e = e - F.col(f"__B_{jx}__") * F.col(c).cast("double")
-    u = w * e / F.col("__swall__")
-    p3 = _collect_keyed(
-        j, group_cols,
-        [F.sum(u * u).alias("__u2__"), F.sum(u).alias("__u1__"), F.count(F.lit(1)).alias("__n__")],
-    )
-    for key in keys:
-        r = p3[key]
-        n = int(r["__n__"])
-        v = float("nan") if n < 2 else n / (n - 1.0) * ((r["__u2__"] or 0.0) - (r["__u1__"] or 0.0) ** 2 / n)
-        out.append(EstimateRow(key=key, estimate=float(means[key]), variance=float(v), n=n))
     return out

@@ -120,6 +120,27 @@ def run_to_memory(
     return stream_df.sparkSession.table(name)
 
 
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based sessions via the BUILT-IN ``session_window`` aggregation —
+    the preferred path when per-session state is just an aggregate (the
+    stateful operator below exists for session logic the built-in can't
+    express).  Batch/stream shared; note the built-in defines session_end
+    as last-event + gap, so ``session_start``/``n_events`` are the
+    comparable outputs."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id", "n_events",
+        )
+    )
+
+
 SESSION_SCHEMA = StructType([
     StructField("user_id", LongType(), True),
     StructField("session_start", TimestampType(), True),

@@ -73,6 +73,75 @@ def brute_force_knn(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    cosine >= threshold, id_a < id_b.
+
+    With ``candidates`` (e.g. LSH bucket cohabitants from
+    ``lsh_bucket_candidates``) only those pairs are scored — the scale
+    path.  Without, all pairs are scored (small N / oracle checking)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if candidates is not None:
+        pairs = candidates.join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def lsh_bucket_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs cohabiting any random-hyperplane LSH
+    bucket — the sublinear candidate generator for cosine near-dup dedup.
+    Same table/bucket scheme as ``lsh_knn`` but self-joined."""
+    parts = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_bits, t, seed)
+        parts.append(
+            df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+            .withColumn("table", F.lit(t))
+            .withColumn("bucket", _bucket_expr(F.col("v"), planes))
+            .select("vid", "table", "bucket")
+        )
+    buckets = parts[0]
+    for p in parts[1:]:
+        buckets = buckets.unionByName(p)
+    from pyspark import StorageLevel
+
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.table") == F.col("r.table"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.vid") < F.col("r.vid"),
+            ],
+        )
+        .select(F.col("l.vid").alias("id_a"), F.col("r.vid").alias("id_b"))
+        .distinct()
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, table: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed + 7919 * table)
     return rng.standard_normal((n_bits, dim)).tolist()

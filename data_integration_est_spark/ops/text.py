@@ -91,6 +91,24 @@ def quality_score(df: DataFrame, text_col: str = "text", out_col: str = "quality
     )
 
 
+# GPT-2-style pre-tokenization split, minus the `\s+(?!\S)` lookahead
+# branch (RE2 — DuckDB's engine — has no lookahead; dropping it only
+# changes how trailing whitespace runs group, keeping Spark(Java) and
+# DuckDB(RE2) in exact agreement).
+BPE_SPLIT_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-style pre-tokens (contractions, letter runs, digit runs,
+    punctuation runs, whitespace) — the token-count basis that tracks
+    real subword tokenizers far better than whitespace splitting."""
+    return F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_ish_tokens(text))
+
+
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of the lowercased text with whitespace
     collapsed and non-alphanumerics stripped — stable under trivial

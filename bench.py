@@ -35,10 +35,12 @@ HEADLINE = [
     # text / dedup / similarity
     "text_stats",
     "lang_id",
+    "bpe_token_counts",
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash_buckets",
     "knn_cosine",
+    "embedding_neardup_lsh",
     "embedding_norms",
     # statistical estimators (GREG calibration / OLS / DR pipelines)
     "regdi_c0",

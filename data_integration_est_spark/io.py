@@ -40,3 +40,30 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a BUCKETED (and bucket-sorted) managed table.
+
+    Bucketing is the co-located-join primitive at scale: two tables
+    bucketed the same way on the join key sort-merge-join with NO shuffle
+    on either side (verified at the plan level in tests).  For the A/B
+    integration workload, bucket both sample tables by ``id`` once and
+    every estimator run afterwards skips the join exchange."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

@@ -14,10 +14,13 @@ multi-executor cluster:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CONF: dict[str, str] = {
+    # managed tables (bucketed writes) land in tmp, not the repo cwd
+    "spark.sql.warehouse.dir": os.path.join(tempfile.gettempdir(), "di_spark_warehouse"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -128,8 +128,24 @@ def regdi(
         df = df.withColumn(dc, F.when(indB, F.col(z).cast("double")).otherwise(0.0))
         delta_aux.append(dc)
 
-    # ONE pass: row count, sample sizes, weight total, calibration totals
-    # (``RegDI2.R:91-168`` is several sequential sums in R).
+    # ONE fused pass: row count, sample sizes, weight total, calibration
+    # totals (``RegDI2.R:91-168`` is several sequential sums in R), AND the
+    # calibration Gram.  The Gram over sample A is just an A-masked
+    # weighted sum, so it rides the same full-table aggregation; when
+    # design weights are the constant N/n_A the mask weight is 1 and the
+    # driver scales the collected matrix afterwards.  Net effect:
+    # corrections 0/1 run in TWO data passes total (this one + the
+    # single-pass svymean).
+    x_cols = ["uno", "delta_i", "delta_yi"] + delta_aux
+    k = len(x_cols)
+    if weights_A is not None and weights_A not in df.columns:
+        raise IntegrationError(f"'weights_A' column {weights_A!r} not found in the data")
+    gram_w = (
+        F.when(indA, F.col(weights_A).cast("double")).otherwise(0.0)
+        if weights_A is not None
+        else F.when(indA, 1.0).otherwise(0.0)
+    )
+    xs = [F.col(c).cast("double") for c in x_cols]
     aggs = [
         F.count(F.lit(1)).alias("nrows"),
         F.sum(F.when(indA, 1).otherwise(0)).alias("size_A"),
@@ -137,10 +153,13 @@ def regdi(
         F.sum("delta_i").alias("t_delta_i"),
         F.sum("delta_yi").alias("t_delta_yi"),
         *[F.sum(c).alias(f"t_{c}") for c in delta_aux],
+        *[
+            F.sum(gram_w * xs[i] * xs[j]).alias(f"g_{i}_{j}")
+            for i in range(k) for j in range(i, k)
+        ],
+        *[F.sum(gram_w * xs[i]).alias(f"h_{i}") for i in range(k)],
     ]
     if weights_A is not None:
-        if weights_A not in df.columns:
-            raise IntegrationError(f"'weights_A' column {weights_A!r} not found in the data")
         aggs.append(
             F.sum(F.when(indA, F.col(weights_A).cast("double")).otherwise(0.0)).alias("sum_wA")
         )
@@ -166,36 +185,51 @@ def regdi(
     # design weights d_i_A (``RegDI2.R:106-116``)
     if weights_A is not None:
         d_expr = F.when(indA, F.col(weights_A).cast("double")).otherwise(0.0)
+        d_scale = 1.0  # Gram already collected under the real weights
     else:
-        d_expr = F.when(indA, F.lit(float(N_total) / size_A)).otherwise(0.0)
+        d_scale = float(N_total) / size_A
+        d_expr = F.when(indA, F.lit(d_scale)).otherwise(0.0)
     df = df.withColumn("d_i_A", d_expr)
 
-    # calibration totals (``RegDI2.R:143-168``): population size, S_B size,
-    # S_B outcome total, S_B aux totals
-    x_cols = ["uno", "delta_i", "delta_yi"] + delta_aux
+    # calibration totals (``RegDI2.R:143-168``) and the driver-side GREG
+    # solve: (sum_A d x x') lam = T - sum_A d x  (``RegDI2.R:188-193``)
     totals = {
         "uno": float(tot["nrows"]) if data_direct else float(N_total),
         "delta_i": float(tot["t_delta_i"]),
         "delta_yi": float(tot["t_delta_yi"]),
         **{c: float(tot[f"t_{c}"]) for c in delta_aux},
     }
+    import numpy as np
 
-    sample_A = df.filter(indA)
-    cal = calibrate(sample_A, x_cols, totals, d_col="d_i_A", out_col="w_cal")
+    from data_integration_est_spark.kernels.gram import dot_expr
+    from data_integration_est_spark.kernels.linalg import _solve_stacked
+
+    G = np.zeros((k, k))
+    for i in range(k):
+        for j in range(i, k):
+            G[i, j] = G[j, i] = d_scale * float(tot[f"g_{i}_{j}"] or 0.0)
+    h = np.array([d_scale * float(tot[f"h_{i}"] or 0.0) for i in range(k)])
+    T = np.array([totals[c] for c in x_cols])
+    lam = _solve_stacked(G[None, ...], (T - h)[None, :, None], "calibrate").ravel()
+
+    sample_A = df.filter(indA).withColumn(
+        "w_cal", F.col("d_i_A") * (F.lit(1.0) + dot_expr(x_cols, lam))
+    )
     cal_design = SurveyDesign(
-        df=cal.df, weight_col="w_cal", calibration_cols=x_cols, base_weight_col="d_i_A"
+        df=sample_A, weight_col="w_cal", calibration_cols=x_cols, base_weight_col="d_i_A"
     )
 
     try:
         if correction in (0, 1):
             est = svymean(cal_design, y_A)[0]
             return RegDIResult(mean=est.estimate, variance=est.variance,
-                               df=cal.df, weight_col="w_cal")
+                               df=sample_A, weight_col="w_cal")
         if correction == 2:
             return _correction_2(df, indA, indB, y_A, y_B, x_cols, delta_aux, totals)
         if correction == 3:
             return _correction_3(
-                df, cal, indA, y_A, N_total, size_A, outcome_model, eval_model_performance
+                df, sample_A, indA, y_A, N_total, size_A, outcome_model,
+                eval_model_performance,
             )
         raise ValueError(f"invalid correction {correction!r}: must be 0, 1, 2 or 3")
     finally:
@@ -233,7 +267,7 @@ def _correction_2(df, indA, indB, y_A, y_B, x_cols, delta_aux, totals) -> RegDIR
 
 
 def _correction_3(
-    df, cal, indA, y_A, N_total, size_A, outcome_model, eval_model_performance
+    df, cal_df, indA, y_A, N_total, size_A, outcome_model, eval_model_performance
 ) -> RegDIResult:
     """Doubly-robust estimator (``RegDI2.R:196-241``).
 
@@ -250,10 +284,7 @@ def _correction_3(
     )
     pred = fit.predict_expr()
 
-    # join the calibrated weights back onto the full table by recomputing the
-    # weight expression on A rows (w_cal = d*(1+x.lam) — pure column algebra,
-    # no join needed)
-    full = cal.df  # A rows only, carries w_cal
+    full = cal_df  # A rows only, carries the w_cal column expression
     a_stats = full.select(
         F.col(y_A).cast("double").alias("__y__"),
         pred.alias("__yhat__"),

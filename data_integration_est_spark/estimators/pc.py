@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from data_integration_est_spark.design import SurveyDesign
 from data_integration_est_spark.formula import Formula
 from data_integration_est_spark.integrate import IntegrationError
-from data_integration_est_spark.kernels.linalg import calibrate, fit_logistic, fit_ols
+from data_integration_est_spark.kernels.linalg import fit_logistic, fit_ols
 from data_integration_est_spark.kernels.stats import svymean
 from data_integration_est_spark.estimators.regdi import _prepare
 
@@ -73,7 +73,14 @@ def pc_estimator(
     indA = F.col(ind_A) == 1
     indB = F.col(ind_B) == 1
 
-    # ONE pass for sizes, weight sums, and (direct-mode) aux population totals
+    # ONE fused pass: sizes, weight sums, aux population totals (direct
+    # sums or the masked HT ingredients), AND the B-side calibration Gram
+    # (an indB-masked weighted sum, scaled on the driver when d_i_B is the
+    # constant N/n_B).  Scenario 1 then completes in TWO data passes total
+    # (this one + the single-pass svymean).
+    aux_list = list(aux_vars or [])
+    cal_cols = aux_list if data_direct else aux_B
+    kb = len(cal_cols)
     aggs = [
         F.count(F.lit(1)).alias("nrows"),
         F.sum(F.when(indA, 1).otherwise(0)).alias("size_A"),
@@ -89,7 +96,31 @@ def pc_estimator(
         raise IntegrationError(f"'weights_B' column {weights_B!r} not found in the data")
     if data_direct:
         # population aux totals: direct sums over the full table (``PC.R:182-187``)
-        aggs += [F.sum(F.col(z).cast("double")).alias(f"pt_{z}") for z in (aux_vars or [])]
+        aggs += [F.sum(F.col(z).cast("double")).alias(f"pt_{z}") for z in aux_list]
+    else:
+        # HT ingredients from sample A: masked sums of the A-side aux
+        # (``PC.R:188-193``); scaled by N/n_A afterwards when weights_A
+        # is absent
+        wA_mask = (
+            F.when(indA, F.col(weights_A).cast("double")).otherwise(0.0)
+            if weights_A is not None
+            else F.when(indA, 1.0).otherwise(0.0)
+        )
+        aggs += [
+            F.sum(wA_mask * F.col(z).cast("double")).alias(f"ht_{i}")
+            for i, z in enumerate(aux_A)
+        ]
+    wB_mask = (
+        F.when(indB, F.col(weights_B).cast("double")).otherwise(0.0)
+        if weights_B is not None
+        else F.when(indB, 1.0).otherwise(0.0)
+    )
+    zb = [F.col(c).cast("double") for c in cal_cols]
+    aggs += [
+        F.sum(wB_mask * zb[i] * zb[j]).alias(f"gb_{i}_{j}")
+        for i in range(kb) for j in range(i, kb)
+    ]
+    aggs += [F.sum(wB_mask * zb[i]).alias(f"hb_{i}") for i in range(kb)]
     df = df.persist()
     tot = df.agg(*aggs).collect()[0]
 
@@ -120,33 +151,37 @@ def pc_estimator(
         dB = F.when(indB, F.lit(float(N_total) / size_B)).otherwise(0.0)
     df = df.withColumn("d_i_A", dA).withColumn("d_i_B", dB)
 
-    # population aux totals (``PC.R:180-199``)
-    aux_list = list(aux_vars or [])
-    cal_cols = aux_list if data_direct else aux_B
+    # population aux totals (``PC.R:180-199``): direct sums, or HT from
+    # sample A — note the reference calibrates on aux_vars_B with totals
+    # estimated on aux_vars_A; we reproduce exactly that pairing.
+    a_scale = 1.0 if weights_A is not None else float(N_total) / size_A
     if aux_list:
         if data_direct:
-            pop_totals = {z: float(tot[f"pt_{z}"] or 0.0) for z in aux_list}
+            T_b = np.array([float(tot[f"pt_{z}"] or 0.0) for z in aux_list])
         else:
-            # HT estimation from sample A, using the A-side aux columns
-            # (``PC.R:188-193``) but calibrating B's A-side... the reference
-            # calibrates on aux_vars_B with totals estimated on aux_vars_A —
-            # we reproduce exactly that pairing.
-            d = F.col("d_i_A")
-            ht = df.filter(indA).agg(
-                *[F.sum(d * F.col(z).cast("double")).alias(f"ht_{i}") for i, z in enumerate(aux_A)]
-            ).collect()[0]
-            pop_totals = {zb: float(ht[f"ht_{i}"] or 0.0) for i, zb in enumerate(aux_B)}
+            T_b = np.array([
+                a_scale * float(tot[f"ht_{i}"] or 0.0) for i in range(len(aux_A))
+            ])
     else:
-        pop_totals = None
+        T_b = None
 
-    # calibrate S_B weights (``PC.R:216-237``)
+    # calibrate S_B weights (``PC.R:216-237``): driver solve over the
+    # fused-pass Gram, weights as a broadcast column expression
     sample_B = df.filter(indB)
     if aux_list:
-        cal = calibrate(
-            sample_B, cal_cols, {c: pop_totals[c] for c in cal_cols},
-            d_col="d_i_B", out_col="w_cal_B",
+        from data_integration_est_spark.kernels.gram import dot_expr
+        from data_integration_est_spark.kernels.linalg import _solve_stacked
+
+        b_scale = 1.0 if weights_B is not None else float(N_total) / size_B
+        Gb = np.zeros((kb, kb))
+        for i in range(kb):
+            for j in range(i, kb):
+                Gb[i, j] = Gb[j, i] = b_scale * float(tot[f"gb_{i}_{j}"] or 0.0)
+        hb = np.array([b_scale * float(tot[f"hb_{i}"] or 0.0) for i in range(kb)])
+        lam = _solve_stacked(Gb[None, ...], (T_b - hb)[None, :, None], "calibrate").ravel()
+        b_df = sample_B.withColumn(
+            "w_cal_B", F.col("d_i_B") * (F.lit(1.0) + dot_expr(cal_cols, lam))
         )
-        b_df = cal.df
         b_design = SurveyDesign(
             df=b_df, weight_col="w_cal_B", calibration_cols=cal_cols, base_weight_col="d_i_B"
         )

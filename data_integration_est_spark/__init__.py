@@ -26,7 +26,9 @@ from data_integration_est_spark.formula import Formula
 from data_integration_est_spark.integrate import integrate_samples, IntegratedData
 from data_integration_est_spark.estimators.regdi import regdi, RegDIResult
 from data_integration_est_spark.estimators.pc import pc_estimator, PCResult
-from data_integration_est_spark.montecarlo import run_nmar_study, MCResult
+from data_integration_est_spark.montecarlo import (
+    run_nmar_study, run_contaminated_study, MCResult,
+)
 from data_integration_est_spark.session import get_spark
 
 __all__ = [
@@ -40,6 +42,7 @@ __all__ = [
     "pc_estimator",
     "PCResult",
     "run_nmar_study",
+    "run_contaminated_study",
     "MCResult",
     "get_spark",
 ]

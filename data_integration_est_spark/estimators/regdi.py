@@ -9,7 +9,14 @@ outcome total — so the calibrated mean of y over S_A "borrows" S_B's size.
 Corrections (``RegDI2.R:20``):
   0/1  plain calibration estimate             (``RegDI2.R:244-248,320-325``)
   2    measurement-error correction: fit y_A ~ y_B on the A∩B validation
-       overlap, de-bias y, recalibrate        (``RegDI2.R:250-307``)
+       overlap, map y_A onto B's scale via the inverse fit, recalibrate
+       (``RegDI2.R:250-307``).  NOTE the estimand: correction 2 treats
+       S_B as the measurement gold standard — ``y_corrected = (y_A -
+       b0)/b1`` puts A's outcome on the B scale (``RegDI2.R:264-266``),
+       so the reported mean targets E[y_B-scale], not E[y_A-scale].
+       (The notebook's contaminated-proxy Scenario II instead uses
+       correction 1 with ``y_B_col = tilde``, ``nb[5]:48-57``, which
+       stays unbiased for E[y_A-scale].)
   3    doubly-robust: outcome model on A, DR point + ad-hoc variance
        (``RegDI2.R:196-241,309-318``; the reference README documents this
        variance as incomplete — we reproduce the code's formula)

@@ -131,6 +131,103 @@ def regdi_c0_grouped(
     }
 
 
+def regdi_c2_grouped(
+    df: DataFrame,
+    y_A_col: str,
+    y_B_col: str,
+    ind_var_A: str,
+    ind_var_B: str,
+    group_cols: list[str],
+    aux_vars: list[str] | None = None,
+) -> dict[tuple, tuple]:
+    """RegDI correction-2 (measurement error) for every group at once
+    (``RegDI2.R:250-307`` vectorized): per-group OLS of y_A on y_B over
+    the A∩B overlap, de-bias, then the correction-0 machinery on the
+    corrected outcome."""
+    indA = F.col(ind_var_A) == 1
+    indB = F.col(ind_var_B) == 1
+    fit = fit_ols(
+        df.filter(indA & indB), y_col=y_A_col, x_cols=[y_B_col],
+        group_cols=group_cols,
+    )
+    coefs = {
+        key: (float(fit.coef_for(key)[0]), float(fit.coef_for(key)[1]))
+        for key in fit.keys
+    }
+    j = _broadcast_scalars(df, group_cols, coefs, ["__b0__", "__b1__"])
+    y_corr = F.when(
+        indA, (F.col(y_A_col).cast("double") - F.col("__b0__")) / F.col("__b1__")
+    ).otherwise(F.col(y_B_col).cast("double"))
+    work = j.withColumn("__y_corr__", y_corr).drop("__b0__", "__b1__")
+    return regdi_c0_grouped(
+        work, "__y_corr__", "__y_corr__", ind_var_A, ind_var_B, group_cols,
+        aux_vars=aux_vars,
+    )
+
+
+def pc_s2_grouped(
+    df: DataFrame,
+    y_A_col: str,
+    y_B_col: str,
+    ind_var_A: str,
+    ind_var_B: str,
+    aux_vars: list[str],
+    outcome_model: str,
+    group_cols: list[str],
+) -> dict[tuple, tuple]:
+    """PC scenario 2 (y unobserved in B) for every group
+    (``PC.R:255-297`` vectorized):
+    Yhat = (sum_B w_cal_B*yhat + sum_A d_A*(y_A - yhat)) / N."""
+    indA = F.col(ind_var_A) == 1
+    indB = F.col(ind_var_B) == 1
+    b_df, _, sizes = _calibrated_b(df, ind_var_B, aux_vars, group_cols)
+
+    formula = Formula.parse(outcome_model).resolve(df.columns)
+    fit = fit_ols(
+        df.filter(indA & indB), y_col=formula.response,
+        x_cols=list(formula.predictors), intercept=formula.intercept,
+        group_cols=group_cols,
+    )
+
+    b_join, b_pred = fit.predict_expr_grouped(b_df)
+    t1_rows = (
+        b_join.select(*group_cols, (F.col("w_cal_B") * b_pred).alias("__t__"))
+        .groupBy(*group_cols).agg(F.sum("__t__").alias("t1"))
+        .collect()
+    )
+    t1 = {tuple(r[c] for c in group_cols): float(r["t1"] or 0.0) for r in t1_rows}
+
+    # d_A = N / n_A per group (sizes carries n_B, so collect n_A here)
+    nA_rows = (
+        df.groupBy(*group_cols)
+        .agg(F.sum(F.when(indA, 1).otherwise(0)).alias("nA"))
+        .collect()
+    )
+    d_by_group = {
+        tuple(r[c] for c in group_cols): (
+            sizes[tuple(r[c] for c in group_cols)][0] / max(int(r["nA"]), 1),
+        )
+        for r in nA_rows
+    }
+    a_join, a_pred = fit.predict_expr_grouped(
+        _broadcast_scalars(df.filter(indA), group_cols, d_by_group, ["d_i_A"])
+    )
+    t2_rows = (
+        a_join.select(
+            *group_cols,
+            (F.col("d_i_A") * (F.col(y_A_col).cast("double") - a_pred)).alias("__t__"),
+        )
+        .groupBy(*group_cols).agg(F.sum("__t__").alias("t2"))
+        .collect()
+    )
+    out: dict[tuple, tuple] = {}
+    for r in t2_rows:
+        key = tuple(r[c] for c in group_cols)
+        N, _ = sizes[key]
+        out[key] = ((t1[key] + float(r["t2"] or 0.0)) / N, None)
+    return out
+
+
 def _calibrated_b(
     df: DataFrame,
     ind_var_B: str,

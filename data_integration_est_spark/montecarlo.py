@@ -63,6 +63,13 @@ def nmar_grid_population(
     base = base.withColumn("x_i", x)
     eta = rng.normal(keys, seed, "eta", sd=math.sqrt(0.51))
     base = base.withColumn("y_i", F.lit(3.0) + F.lit(0.7) * (F.col("x_i") - 2.0) + eta)
+    # the contaminated proxy measured in S_B (``nb[2]:13``): scale/location
+    # bias + noise — the Scenario-II outcome
+    base = base.withColumn(
+        "tilde_y_i",
+        F.lit(2.0) + F.lit(0.9) * (F.col("y_i") - 3.0)
+        + rng.normal(keys, seed, "tl", sd=0.5),
+    )
     base = (
         base.withColumn("x1_i", F.when(F.col("x_i") <= 2.0, 1.0).otherwise(0.0))
         .withColumn("x2_i", F.when(F.col("x_i") > 2.0, 1.0).otherwise(0.0))
@@ -136,16 +143,83 @@ def run_nmar_study(
         }
     finally:
         pop.unpersist()
+    return _summarize(spark, results, y_true)
 
+
+def run_contaminated_study(
+    spark: SparkSession,
+    N: int = 10_000,
+    n_sim: int = 10,
+    gammas: tuple[float, ...] = (0.0, 0.5),
+    size_a: int = 500,
+    size_b: int = 2_000,
+    seed: int = 1234,
+    y_true: float = Y_TRUE,
+) -> MCResult:
+    """Scenario II (``nb[4]`` cells 2-5): S_B observes only the
+    CONTAMINATED proxy tilde_y = 2 + 0.9(y-3) + noise.  Estimators and
+    their estimands (the reference mixes scales here, deliberately):
+
+    - Mean_S_B_tilde — naive proxy mean; biased ~-1 for E[y].
+    - RegDI_tilde — correction 0/1 with y_B = tilde (exactly the
+      notebook's Scenario-II call, ``nb[5]:48-57``): calibrating to the
+      proxy total does NOT bias the calibrated mean of the clean y_A —
+      unbiased for E[y] (the golden 0.000 row of cell 4).
+    - RegDI_C2 — correction 2 maps y_A onto B's scale via the inverse
+      measurement fit (``RegDI2.R:264-266``), i.e. it treats S_B as the
+      gold standard: unbiased for the PROXY-scale mean E[tilde] = 2, and
+      summarized against that truth.
+    - PC_S2 — scenario 2 predicts the clean y from the proxy on the A∩B
+      overlap: unbiased for E[y].
+    """
+    pop = nmar_grid_population(
+        spark, N=N, n_sim=n_sim, gammas=gammas, size_a=size_a, size_b=size_b,
+        seed=seed,
+    ).persist()
+    g = ["gamma", "sim_id"]
+    try:
+        results: dict[str, dict[tuple, tuple]] = {
+            "Mean_S_B_tilde": V.naive_mean_grouped(pop, "tilde_y_i", "muestra_B", g),
+            "RegDI_tilde": V.regdi_c0_grouped(
+                pop, "y_i", "tilde_y_i", "muestra_A", "muestra_B", g
+            ),
+            "RegDI_C2": V.regdi_c2_grouped(
+                pop, "y_i", "tilde_y_i", "muestra_A", "muestra_B", g
+            ),
+            "PC_S2": V.pc_s2_grouped(
+                pop, "y_i", "tilde_y_i", "muestra_A", "muestra_B",
+                ["x1_i", "x2_i"], "y_i ~ tilde_y_i", g,
+            ),
+        }
+    finally:
+        pop.unpersist()
+    tilde_true = 2.0 + 0.9 * (y_true - 3.0)
+    return _summarize(
+        spark, results, y_true, y_true_by_est={"RegDI_C2": tilde_true}
+    )
+
+
+def _summarize(
+    spark,
+    results: dict[str, dict[tuple, tuple]],
+    y_true: float,
+    y_true_by_est: dict[str, float] | None = None,
+) -> MCResult:
+    """``y_true_by_est`` overrides the truth per estimator — used when an
+    estimator targets a different estimand (e.g. the proxy-scale mean)."""
+    y_true_by_est = y_true_by_est or {}
     est_schema = StructType([
         StructField("gamma", DoubleType(), False),
         StructField("sim_id", LongType(), False),
         StructField("estimator", StringType(), False),
         StructField("estimate", DoubleType(), True),
         StructField("se", DoubleType(), True),
+        StructField("y_true", DoubleType(), False),
     ])
     rows = [
-        (float(key[0]), int(key[1]), name, float(est), None if se is None else float(se))
+        (float(key[0]), int(key[1]), name, float(est),
+         None if se is None else float(se),
+         float(y_true_by_est.get(name, y_true)))
         for name, cells in results.items()
         for key, (est, se) in cells.items()
     ]
@@ -156,7 +230,7 @@ def run_nmar_study(
     summary = (
         estimates.groupBy("gamma", "estimator")
         .agg(
-            F.round(F.avg(F.col("estimate") - F.lit(float(y_true))), 6).alias("bias_mean"),
+            F.round(F.avg(F.col("estimate") - F.col("y_true")), 6).alias("bias_mean"),
             F.round(F.stddev_samp(F.col("estimate")), 6).alias("bias_sd"),
             F.count(F.lit(1)).alias("n_sim"),
         )

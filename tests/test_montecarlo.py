@@ -101,6 +101,48 @@ def test_vectorized_equals_scalar(spark, grid_pop, gamma, sim):
     assert vec_rdr[1] == pytest.approx(scal_rdr.se, rel=1e-9)
 
 
+@pytest.mark.parametrize("gamma,sim", [(0.0, 2)])
+def test_vectorized_c2_s2_equal_scalar(spark, grid_pop, gamma, sim):
+    cell = grid_pop.filter((F.col("gamma") == gamma) & (F.col("sim_id") == sim))
+    g = ["gamma", "sim_id"]
+    key = (gamma, sim)
+
+    vec_c2 = V.regdi_c2_grouped(
+        grid_pop, "y_i", "tilde_y_i", "muestra_A", "muestra_B", g
+    )[key]
+    scal_c2 = regdi(data=cell, y_A_col="y_i", y_B_col="tilde_y_i",
+                    ind_var_A="muestra_A", ind_var_B="muestra_B", correction=2)
+    assert vec_c2[0] == pytest.approx(scal_c2.mean, rel=1e-9)
+    assert vec_c2[1] == pytest.approx(scal_c2.se, rel=1e-9)
+
+    vec_s2 = V.pc_s2_grouped(
+        grid_pop, "y_i", "tilde_y_i", "muestra_A", "muestra_B",
+        ["x1_i", "x2_i"], "y_i ~ tilde_y_i", g,
+    )[key]
+    scal_s2 = pc_estimator(data=cell, y_A_col="y_i", y_B_col="tilde_y_i",
+                           ind_var_A="muestra_A", ind_var_B="muestra_B",
+                           aux_vars=["x1_i", "x2_i"], scenario=2,
+                           outcome_model="y_i ~ tilde_y_i")
+    assert vec_s2[0] == pytest.approx(scal_s2.estimate, rel=1e-9)
+
+
+def test_contaminated_study_bias_pattern(spark):
+    """Scenario II (cell-4 golden pattern): naive tilde-B mean is biased
+    ~-1; RegDI on the proxy total stays unbiased for E[y] (the 0.000
+    golden row — calibration totals don't bias the clean y_A mean);
+    correction-2 is unbiased for its own PROXY-scale estimand; PC
+    scenario-2's prediction model recovers E[y]."""
+    res = mc.run_contaminated_study(
+        spark, N=4_000, n_sim=4, gammas=(0.0,), size_a=600, size_b=1_200,
+        seed=404,
+    )
+    s = {(r["gamma"], r["estimator"]): r for r in res.summary.collect()}
+    assert s[(0.0, "Mean_S_B_tilde")]["bias_mean"] < -0.7   # ~ -1 shift
+    assert abs(s[(0.0, "RegDI_tilde")]["bias_mean"]) < 0.12
+    assert abs(s[(0.0, "RegDI_C2")]["bias_mean"]) < 0.12    # vs E[tilde]=2
+    assert abs(s[(0.0, "PC_S2")]["bias_mean"]) < 0.12
+
+
 def test_nmar_study_bias_pattern(spark):
     """t3 statistical properties: at gamma=0 the naive B mean is unbiased;
     at gamma=1 it is clearly biased upward (NMAR over-selects large y);

@@ -120,6 +120,28 @@ def run_to_memory(
     return stream_df.sparkSession.table(name)
 
 
+def enriched_hourly_counts(
+    events: DataFrame,
+    user_dim: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Stream-static join + windowed aggregation: enrich each event with a
+    (broadcastable) static user dimension, then count per (window, user
+    segment).  The static side is re-read per micro-batch by Spark; at
+    scale keep it broadcast-sized or pre-bucketed.  Batch/stream shared."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    joined = src.join(F.broadcast(user_dim), "user_id", "left")
+    return (
+        joined.groupBy(
+            F.window("ts", window).alias("win"),
+            F.coalesce(F.col("segment"), F.lit("unknown")).alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("win.start").alias("window_start"), "segment", "n", "sum_value")
+    )
+
+
 def session_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -32,6 +32,23 @@ def test_hourly_counts_stream_matches_batch(spark, events_dir):
     assert len(_canon(batch)) > 0
 
 
+def test_stream_static_join_matches_batch(spark, events_dir):
+    """Stream-static enrichment join + windowed agg == its batch twin."""
+    from pyspark.sql import functions as F2
+
+    user_dim = spark.range(0, 60).select(
+        F2.col("id").alias("user_id"),
+        F2.when(F2.col("id") % 2 == 0, "even").otherwise("odd").alias("segment"),
+    )
+    batch = se.enriched_hourly_counts(se.read_event_batch(spark, events_dir), user_dim)
+    stream = se.run_to_memory(
+        se.enriched_hourly_counts(se.read_event_stream(spark, events_dir), user_dim),
+        "enriched_t", output_mode="complete",
+    )
+    assert _canon(stream) == _canon(batch)
+    assert len(_canon(batch)) > 0
+
+
 def test_stateful_sessionize_runs(spark, events_dir):
     """Closed sessions emitted by the stateful operator must agree with the
     batch window-function sessionization for every (user, start) it emits

@@ -27,8 +27,19 @@ from pyspark.sql.types import DoubleType, StructField, StructType
 
 from data_integration_est_spark.design import SurveyDesign
 from data_integration_est_spark.formula import Formula
-from data_integration_est_spark.kernels.linalg import calibrate, fit_ols
+from data_integration_est_spark.kernels.linalg import calibrate, fit_logistic, fit_ols
 from data_integration_est_spark.kernels.stats import svymean
+
+
+def _fit_grouped(sample: DataFrame, formula: Formula, model_type: str, group_cols):
+    if model_type == "normal":
+        return fit_ols(sample, y_col=formula.response, x_cols=list(formula.predictors),
+                       intercept=formula.intercept, group_cols=group_cols)
+    if model_type == "logistic":
+        return fit_logistic(sample, y_col=formula.response,
+                            x_cols=list(formula.predictors),
+                            intercept=formula.intercept, group_cols=group_cols)
+    raise ValueError("model_type must be 'normal' or 'logistic'")
 
 
 def _broadcast_scalars(
@@ -174,20 +185,18 @@ def pc_s2_grouped(
     aux_vars: list[str],
     outcome_model: str,
     group_cols: list[str],
+    model_type: str = "normal",
 ) -> dict[tuple, tuple]:
     """PC scenario 2 (y unobserved in B) for every group
     (``PC.R:255-297`` vectorized):
-    Yhat = (sum_B w_cal_B*yhat + sum_A d_A*(y_A - yhat)) / N."""
+    Yhat = (sum_B w_cal_B*yhat + sum_A d_A*(y_A - yhat)) / N.
+    ``model_type='logistic'`` runs the grouped IRLS GLM (``PC.R:274``)."""
     indA = F.col(ind_var_A) == 1
     indB = F.col(ind_var_B) == 1
     b_df, _, sizes = _calibrated_b(df, ind_var_B, aux_vars, group_cols)
 
     formula = Formula.parse(outcome_model).resolve(df.columns)
-    fit = fit_ols(
-        df.filter(indA & indB), y_col=formula.response,
-        x_cols=list(formula.predictors), intercept=formula.intercept,
-        group_cols=group_cols,
-    )
+    fit = _fit_grouped(df.filter(indA & indB), formula, model_type, group_cols)
 
     b_join, b_pred = fit.predict_expr_grouped(b_df)
     t1_rows = (
@@ -287,17 +296,16 @@ def pc_dr1_grouped(
     aux_vars: list[str],
     outcome_model: str,
     group_cols: list[str],
+    model_type: str = "normal",
 ) -> dict[tuple, tuple]:
     """PC scenario-3 DR1 for every group (``PC.R:299-328`` vectorized):
-    Yhat = (sum_B w_cal_B*(y_B - yhat) + sum_U yhat) / N."""
+    Yhat = (sum_B w_cal_B*(y_B - yhat) + sum_U yhat) / N.
+    ``model_type='logistic'`` runs the grouped IRLS GLM (``PC.R:311``)."""
     indA = F.col(ind_var_A) == 1
     b_df, _, sizes = _calibrated_b(df, ind_var_B, aux_vars, group_cols)
 
     formula = Formula.parse(outcome_model).resolve(df.columns)
-    fit = fit_ols(
-        df.filter(indA), y_col=formula.response, x_cols=list(formula.predictors),
-        intercept=formula.intercept, group_cols=group_cols,
-    )
+    fit = _fit_grouped(df.filter(indA), formula, model_type, group_cols)
 
     u_join, u_pred = fit.predict_expr_grouped(df)
     u_rows = (

@@ -126,6 +126,25 @@ def test_vectorized_c2_s2_equal_scalar(spark, grid_pop, gamma, sim):
     assert vec_s2[0] == pytest.approx(scal_s2.estimate, rel=1e-9)
 
 
+def test_vectorized_logistic_equals_scalar(spark, grid_pop):
+    """Grouped IRLS (model_type='logistic') must reproduce the scalar
+    logistic PC scenario-2 per cell."""
+    gamma, sim = GAMMAS[0], 1
+    pop = grid_pop.withColumn("y01", F.col("x2_i"))
+    cell = pop.filter((F.col("gamma") == gamma) & (F.col("sim_id") == sim))
+    g = ["gamma", "sim_id"]
+
+    vec = V.pc_s2_grouped(
+        pop, "y01", "y_i", "muestra_A", "muestra_B", ["x1_i", "x2_i"],
+        "y01 ~ y_i", g, model_type="logistic",
+    )[(gamma, sim)]
+    scal = pc_estimator(data=cell, y_A_col="y01", y_B_col="y_i",
+                        ind_var_A="muestra_A", ind_var_B="muestra_B",
+                        aux_vars=["x1_i", "x2_i"], scenario=2,
+                        outcome_model="y01 ~ y_i", model_type="logistic")
+    assert vec[0] == pytest.approx(scal.estimate, rel=1e-8)
+
+
 def test_contaminated_study_bias_pattern(spark):
     """Scenario II (cell-4 golden pattern): naive tilde-B mean is biased
     ~-1; RegDI on the proxy total stays unbiased for E[y] (the 0.000

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from data_integration_est_spark.design import SurveyDesign
 from data_integration_est_spark.formula import Formula
 from data_integration_est_spark.integrate import IntegrationError
-from data_integration_est_spark.kernels.linalg import fit_logistic, fit_ols
+from data_integration_est_spark.kernels.linalg import CalibrationError, fit_logistic, fit_ols
 from data_integration_est_spark.kernels.stats import svymean
 from data_integration_est_spark.estimators.regdi import _prepare
 
@@ -179,14 +179,14 @@ def pc_estimator(
                 Gb[i, j] = Gb[j, i] = b_scale * float(tot[f"gb_{i}_{j}"] or 0.0)
         hb = np.array([b_scale * float(tot[f"hb_{i}"] or 0.0) for i in range(kb)])
         lam = _solve_stacked(Gb[None, ...], (T_b - hb)[None, :, None], "calibrate").ravel()
-        b_df = sample_B.withColumn(
-            "w_cal_B", F.col("d_i_B") * (F.lit(1.0) + dot_expr(cal_cols, lam))
-        )
+        wB_cal_expr = F.col("d_i_B") * (F.lit(1.0) + dot_expr(cal_cols, lam))
+        b_df = sample_B.withColumn("w_cal_B", wB_cal_expr)
         b_design = SurveyDesign(
             df=b_df, weight_col="w_cal_B", calibration_cols=cal_cols, base_weight_col="d_i_B"
         )
     else:
-        b_df = sample_B.withColumn("w_cal_B", F.col("d_i_B"))
+        wB_cal_expr = F.col("d_i_B")
+        b_df = sample_B.withColumn("w_cal_B", wB_cal_expr)
         b_design = SurveyDesign(df=b_df, weight_col="w_cal_B")
 
     try:
@@ -197,12 +197,12 @@ def pc_estimator(
             return PCResult(estimate=est.estimate, se=est.se, df=b_df, weight_col="w_cal_B")
         if scenario == 2:
             return _scenario_2(
-                df, b_df, indA, indB, y_A, outcome_model, model_type, N_total
+                df, b_df, wB_cal_expr, indA, indB, y_A, outcome_model, model_type, N_total
             )
         if scenario == 3:
             return _scenario_3(
-                df, b_df, indA, indB, y_A, y_B, outcome_model, model_type, N_total,
-                eval_model_performance,
+                df, b_df, wB_cal_expr, indA, indB, y_A, y_B, outcome_model, model_type,
+                N_total, eval_model_performance,
             )
         raise ValueError(f"invalid scenario {scenario!r}: must be 1, 2 or 3")
     finally:
@@ -219,38 +219,47 @@ def _fit(sample: DataFrame, formula: Formula, model_type: str):
     raise ValueError("model_type must be 'normal' or 'logistic'")
 
 
-def _scenario_2(df, b_df, indA, indB, y_A, outcome_model, model_type, N_total) -> PCResult:
-    """y unobserved in S_B: model on A∩B, combine (``PC.R:255-297``)."""
+def _scenario_2(df, b_df, wB_cal_expr, indA, indB, y_A, outcome_model, model_type,
+                N_total) -> PCResult:
+    """y unobserved in S_B: model on A∩B, combine (``PC.R:255-297``).
+
+    term1 (over S_B) and term2 (over S_A) are indicator-masked sums over the
+    same combined table, so they run as ONE fused aggregation; the empty-
+    intersection case surfaces from the fit's own Gram pass (no pre-count job).
+    """
     if outcome_model is None:
         raise ValueError("must provide 'outcome_model' for the prediction model")
     if not y_A:
         raise ValueError("must provide 'y_A_col' for the prediction model")
-    intersect = df.filter(indA & indB)
-    if intersect.limit(1).count() == 0:
-        raise IntegrationError("no units in the S_A ∩ S_B intersection to fit the model")
     formula = Formula.parse(outcome_model).resolve(df.columns)
-    fit = _fit(intersect, formula, model_type)
+    try:
+        fit = _fit(df.filter(indA & indB), formula, model_type)
+    except CalibrationError as e:
+        raise IntegrationError(
+            f"cannot fit the prediction model on the S_A ∩ S_B intersection: {e}"
+        ) from e
     pred = fit.predict_expr()
 
-    # term1 = sum_B w_cal_B * yhat  (b_df carries the calibrated weights)
-    t1 = b_df.select((F.col("w_cal_B") * pred).alias("t")).agg(F.sum("t")).collect()[0][0] or 0.0
-    # term2 = sum_A d_A * (y_A - yhat)
-    t2 = (
-        df.filter(indA)
-        .select((F.col("d_i_A") * (F.col(y_A).cast("double") - pred)).alias("t"))
-        .agg(F.sum("t")).collect()[0][0]
-        or 0.0
-    )
-    est = (t1 + t2) / float(N_total)
+    # term1 = sum_B w_cal_B * yhat ; term2 = sum_A d_A * (y_A - yhat)
+    row = df.agg(
+        F.sum(F.when(indB, wB_cal_expr * pred)).alias("t1"),
+        F.sum(F.when(indA, F.col("d_i_A") * (F.col(y_A).cast("double") - pred))).alias("t2"),
+    ).collect()[0]
+    est = ((row["t1"] or 0.0) + (row["t2"] or 0.0)) / float(N_total)
     return PCResult(estimate=float(est), model_coef=fit.coef_for(()), df=b_df,
                     weight_col="w_cal_B")
 
 
 def _scenario_3(
-    df, b_df, indA, indB, y_A, y_B, outcome_model, model_type, N_total, eval_model_performance
+    df, b_df, wB_cal_expr, indA, indB, y_A, y_B, outcome_model, model_type, N_total,
+    eval_model_performance,
 ) -> PCResult:
     """NMAR DR1 (``PC.R:299-354``):
-    Yhat_DR1 = (sum_B d_B*(y_B - yhat) + sum_U yhat) / N."""
+    Yhat_DR1 = (sum_B d_B*(y_B - yhat) + sum_U yhat) / N.
+
+    The U-side prediction sum, the A-side residual stats, AND the B-side
+    calibrated residual total are all masked sums over the same combined
+    table — ONE fused aggregation after the model fit."""
     if outcome_model is None:
         raise ValueError("must provide 'outcome_model' for the prediction model")
     if not y_A:
@@ -261,28 +270,25 @@ def _scenario_3(
     fit = _fit(df.filter(indA), formula, model_type)
     pred = fit.predict_expr()
 
-    # sum over U of yhat + per-A-row residual stats, one pass over the table
+    ya = F.col(y_A).cast("double")
+    # term1 = sum_B w_cal_B * (y_B - yhat)  — the reference's d_i_B holds the
+    # calibrated weights at this point (``PC.R:233``), zero off-B, and the
+    # sum in ``PC.R:325`` therefore only ranges over B rows.
     stats = df.select(
         pred.alias("__yhat__"),
-        F.col(y_A).cast("double").alias("__ya__"),
+        ya.alias("__ya__"),
         F.when(indA, 1).otherwise(0).alias("__ia__"),
+        F.when(indB, wB_cal_expr * (F.col(y_B).cast("double") - pred)).alias("__bres__"),
     ).agg(
         F.sum("__yhat__").alias("sum_pred_U"),
         F.sum(F.when(F.col("__ia__") == 1, F.pow(F.col("__ya__") - F.col("__yhat__"), 2))).alias("ssr_A"),
         F.avg(F.when(F.col("__ia__") == 1, F.pow(F.col("__ya__") - F.col("__yhat__"), 2))).alias("mse_A"),
         F.var_samp(F.when(F.col("__ia__") == 1, F.col("__ya__"))).alias("var_yA"),
         F.sum(F.when(F.col("__ia__") == 1, 1).otherwise(0)).alias("n_A"),
+        F.sum("__bres__").alias("t1"),
     ).collect()[0]
 
-    # term1 = sum_B w_cal_B * (y_B - yhat)  — the reference's d_i_B holds the
-    # calibrated weights at this point (``PC.R:233``), zero off-B, and the
-    # sum in ``PC.R:325`` therefore only ranges over B rows.
-    t1 = (
-        b_df.select((F.col("w_cal_B") * (F.col(y_B).cast("double") - pred)).alias("t"))
-        .agg(F.sum("t")).collect()[0][0]
-        or 0.0
-    )
-    est = (t1 + (stats["sum_pred_U"] or 0.0)) / float(N_total)
+    est = ((stats["t1"] or 0.0) + (stats["sum_pred_U"] or 0.0)) / float(N_total)
 
     rmse = r2 = None
     if eval_model_performance:

@@ -170,6 +170,25 @@ def regdi(
         aggs.append(
             F.sum(F.when(indA, F.col(weights_A).cast("double")).otherwise(0.0)).alias("sum_wA")
         )
+    if correction == 2:
+        # Correction 2's y_A ~ y_B validation fit and corrected-outcome total
+        # expand in six extra sums, so they ride THIS pass instead of costing
+        # a Gram job + a t_corr job (``RegDI2.R:250-265`` runs them serially).
+        yAc = F.col(y_A).cast("double")
+        yBc = F.col(y_B).cast("double")
+        ok = indA & indB & yAc.isNotNull() & yBc.isNotNull()
+        aggs += [
+            F.sum(F.when(ok, 1).otherwise(0)).alias("c2_n"),
+            F.sum(F.when(ok, yBc)).alias("c2_syB"),
+            F.sum(F.when(ok, yBc * yBc)).alias("c2_syB2"),
+            F.sum(F.when(ok, yAc)).alias("c2_syA"),
+            F.sum(F.when(ok, yAc * yBc)).alias("c2_syAyB"),
+            # t_corr ingredients: overlap rows contribute (y_A-b0)/b1 whenever
+            # y_A is present (y_B null or not), B-only rows contribute y_B
+            F.sum(F.when(indA & indB, yAc)).alias("c2_syA_all"),
+            F.sum(F.when(indA & indB & yAc.isNotNull(), 1).otherwise(0)).alias("c2_n_all"),
+            F.sum(F.when(indB & ~indA, yBc)).alias("c2_syB_nonA"),
+        ]
     df = df.persist()
     tot = df.agg(*aggs).collect()[0]
 
@@ -219,9 +238,8 @@ def regdi(
     T = np.array([totals[c] for c in x_cols])
     lam = _solve_stacked(G[None, ...], (T - h)[None, :, None], "calibrate").ravel()
 
-    sample_A = df.filter(indA).withColumn(
-        "w_cal", F.col("d_i_A") * (F.lit(1.0) + dot_expr(x_cols, lam))
-    )
+    w_cal_expr = F.col("d_i_A") * (F.lit(1.0) + dot_expr(x_cols, lam))
+    sample_A = df.filter(indA).withColumn("w_cal", w_cal_expr)
     cal_design = SurveyDesign(
         df=sample_A, weight_col="w_cal", calibration_cols=x_cols, base_weight_col="d_i_A"
     )
@@ -232,22 +250,48 @@ def regdi(
             return RegDIResult(mean=est.estimate, variance=est.variance,
                                df=sample_A, weight_col="w_cal")
         if correction == 2:
-            return _correction_2(df, indA, indB, y_A, y_B, x_cols, delta_aux, totals)
+            return _correction_2(df, tot, indA, indB, y_A, y_B, delta_aux, totals)
         if correction == 3:
             return _correction_3(
-                df, sample_A, indA, y_A, N_total, size_A, outcome_model,
-                eval_model_performance,
+                df, sample_A, w_cal_expr, indA, y_A, N_total, size_A,
+                outcome_model, eval_model_performance,
             )
         raise ValueError(f"invalid correction {correction!r}: must be 0, 1, 2 or 3")
     finally:
         df.unpersist()
 
 
-def _correction_2(df, indA, indB, y_A, y_B, x_cols, delta_aux, totals) -> RegDIResult:
-    """Measurement-error correction (``RegDI2.R:250-307``)."""
-    validation = df.filter(indA & indB)
-    fit = fit_ols(validation, y_col=y_A, x_cols=[y_B], intercept=True)
-    b0, b1 = (float(v) for v in fit.coef_for(()))
+def _correction_2(df, tot, indA, indB, y_A, y_B, delta_aux, totals) -> RegDIResult:
+    """Measurement-error correction (``RegDI2.R:250-307``).
+
+    The y_A ~ y_B validation OLS and the corrected-outcome total t_corr are
+    both closed forms in the six ``c2_*`` sums collected by the main fused
+    pass, so correction 2 adds NO data pass before the recalibration Gram
+    (the reference runs ``lm`` + a separate sum serially, ``RegDI2.R:254-265``).
+    """
+    import numpy as np
+
+    from data_integration_est_spark.kernels.linalg import _solve_stacked
+
+    n_ov = int(tot["c2_n"] or 0)
+    if n_ov < 2:
+        # the reference's validation-data guard (``RegDI2.R:254-255``)
+        raise IntegrationError(
+            f"insufficient validation data for correction 2: {n_ov} usable "
+            "S_A ∩ S_B overlap row(s), need >= 2 with y_A and y_B observed"
+        )
+    s_yB = float(tot["c2_syB"] or 0.0)
+    s_yA = float(tot["c2_syA"] or 0.0)
+    G = np.array([[float(n_ov), s_yB], [s_yB, float(tot["c2_syB2"] or 0.0)]])
+    rhs = np.array([s_yA, float(tot["c2_syAyB"] or 0.0)])
+    b0, b1 = (float(v) for v in
+              _solve_stacked(G[None], rhs[None, :, None], "correction-2 fit").ravel())
+    if abs(b1) < 1e-10:
+        raise IntegrationError(
+            f"correction 2: fitted slope b1={b1:.3e} is numerically zero — "
+            "y_corrected = (y_A - b0)/b1 is undefined (no usable association "
+            "between y_A and y_B on the validation overlap)"
+        )
 
     # y_corrected: de-biased y_A on A rows, raw y_B elsewhere (``RegDI2.R:264-265``)
     y_corr = F.when(indA, (F.col(y_A).cast("double") - F.lit(b0)) / F.lit(b1)).otherwise(
@@ -256,7 +300,9 @@ def _correction_2(df, indA, indB, y_A, y_B, x_cols, delta_aux, totals) -> RegDIR
     df = df.withColumn("y_corrected", y_corr).withColumn(
         "delta_yi_corrected", F.when(indB, F.col("y_corrected")).otherwise(0.0)
     )
-    t_corr = df.agg(F.sum("delta_yi_corrected").alias("t")).collect()[0]["t"] or 0.0
+    # sum_B y_corrected = (sum_{A∩B} y_A − n·b0)/b1 + sum_{B∖A} y_B
+    t_corr = (float(tot["c2_syA_all"] or 0.0) - float(tot["c2_n_all"] or 0) * b0) / b1 \
+        + float(tot["c2_syB_nonA"] or 0.0)
 
     x_corr = ["uno", "delta_i", "delta_yi_corrected"] + delta_aux
     totals_corr = {
@@ -274,13 +320,18 @@ def _correction_2(df, indA, indB, y_A, y_B, x_cols, delta_aux, totals) -> RegDIR
 
 
 def _correction_3(
-    df, cal_df, indA, y_A, N_total, size_A, outcome_model, eval_model_performance
+    df, cal_df, w_cal_expr, indA, y_A, N_total, size_A, outcome_model,
+    eval_model_performance,
 ) -> RegDIResult:
     """Doubly-robust estimator (``RegDI2.R:196-241``).
 
     T_DR = (sum_A w_cal*(y - yhat) + sum_U yhat) / N
     V_DR = var(w_cal*(y - yhat))/n_A + var_U(yhat)/N      (the code's ad-hoc
     variance at ``RegDI2.R:222-225`` — reproduced as-is, see module doc).
+
+    The A-side residual stats and the population-side prediction stats are
+    indA-masked sums over the SAME table, so they run as one fused pass
+    (null-skipping aggregates implement the mask for free).
     """
     if outcome_model is None:
         raise ValueError("must specify the outcome model via 'outcome_model'")
@@ -291,23 +342,21 @@ def _correction_3(
     )
     pred = fit.predict_expr()
 
-    full = cal_df  # A rows only, carries the w_cal column expression
-    a_stats = full.select(
-        F.col(y_A).cast("double").alias("__y__"),
-        pred.alias("__yhat__"),
-        F.col("w_cal").alias("__w__"),
-    ).agg(
-        F.sum(F.col("__w__") * (F.col("__y__") - F.col("__yhat__"))).alias("sum_wres"),
-        F.var_samp(F.col("__w__") * (F.col("__y__") - F.col("__yhat__"))).alias("var_wres"),
-        F.sum(F.pow(F.col("__y__") - F.col("__yhat__"), 2)).alias("ssr"),
-        F.avg(F.pow(F.col("__y__") - F.col("__yhat__"), 2)).alias("mse"),
-        F.var_samp("__y__").alias("var_y"),
-        F.count(F.lit(1)).alias("n"),
+    y = F.col(y_A).cast("double")
+    res = y - pred
+    wres = F.when(indA, w_cal_expr * res)  # null off-A -> skipped by the aggs
+    stats = df.agg(
+        F.sum(wres).alias("sum_wres"),
+        F.var_samp(wres).alias("var_wres"),
+        F.sum(F.when(indA, F.pow(res, 2))).alias("ssr"),
+        F.avg(F.when(indA, F.pow(res, 2))).alias("mse"),
+        F.var_samp(F.when(indA, y)).alias("var_y"),
+        F.sum(F.when(indA, 1).otherwise(0)).alias("n"),
+        F.sum(pred).alias("sum_pred"),
+        F.var_samp(pred).alias("var_pred"),
     ).collect()[0]
-
-    u_stats = df.select(pred.alias("__yhat__")).agg(
-        F.sum("__yhat__").alias("sum_pred"), F.var_samp("__yhat__").alias("var_pred")
-    ).collect()[0]
+    a_stats = u_stats = stats
+    full = cal_df  # A rows only, carries the w_cal column (returned to caller)
 
     n_A = int(a_stats["n"])
     T_DR = ((a_stats["sum_wres"] or 0.0) + (u_stats["sum_pred"] or 0.0)) / float(N_total)

@@ -168,6 +168,10 @@ class FitResult:
     keys: list[tuple]
     group_cols: list[str]
     kind: str = "ols"  # "ols" | "logistic"
+    # False when IRLS exited via max_iter without meeting the step tolerance
+    # (R's glm warns in the same situation) — always True for OLS.
+    converged: bool = True
+    n_obs: int | None = None  # rows (min across groups) that entered the fit
 
     def coef_for(self, key: tuple = ()) -> np.ndarray:
         return self.coef[{k: i for i, k in enumerate(self.keys)}[key]]
@@ -232,10 +236,18 @@ def fit_ols(
         work = work.withColumn(ones, F.lit(1.0))
         xs = [ones] + xs
     g = gram_aggregate(work, xs, y_cols=[y_col], weight_col=weight_col, group_cols=group_cols)
+    n_min = int(g.count.min()) if len(g.keys) else 0
+    if n_min < len(xs):
+        # Mirrors the reference's validation-data guard (``RegDI2.R:254-255``)
+        # with a clearer message than the singular-Gram failure it would hit.
+        raise CalibrationError(
+            f"fit_ols: insufficient rows (min group n={n_min}) for "
+            f"{len(xs)} design columns"
+        )
     beta = _solve_stacked(g.gram, g.xy[:, :, 0:1], "fit_ols").squeeze(-1).reshape(len(g.keys), len(xs))
     return FitResult(
         x_cols=list(x_cols), intercept=intercept, coef=beta,
-        keys=g.keys, group_cols=group_cols, kind="ols",
+        keys=g.keys, group_cols=group_cols, kind="ols", n_obs=n_min,
     )
 
 
@@ -247,7 +259,10 @@ def fit_logistic(
     intercept: bool = True,
     group_cols: list[str] | None = None,
     max_iter: int = 25,
-    tol: float = 1e-10,
+    # max-abs coefficient step; R glm stops on 1e-8 *relative deviance*, so
+    # 1e-8 here is still the stricter criterion (1e-10 sits below the float
+    # noise floor of the distributed sums and oscillates forever)
+    tol: float = 1e-8,
 ) -> FitResult:
     """Logistic regression via IRLS — parity with R ``glm(family=binomial)``
     (reference ``PC.R:274,311``).
@@ -270,10 +285,17 @@ def fit_logistic(
     # freeze group keys/order from a first unweighted Gram pass
     g0 = gram_aggregate(work, xs, weight_col=weight_col, group_cols=group_cols)
     keys, ng, k = g0.keys, len(g0.keys), len(xs)
+    n_min = int(g0.count.min()) if keys else 0
+    if n_min < k:
+        raise CalibrationError(
+            f"fit_logistic: insufficient rows (min group n={n_min}) for "
+            f"{k} design columns"
+        )
     beta = np.zeros((ng, k))
     w_base = F.lit(1.0) if weight_col is None else F.col(weight_col).cast("double")
     y = F.col(y_col).cast("double")
 
+    converged = False
     for _ in range(max_iter):
         if group_cols:
             bdf_fit = FitResult(x_cols=list(x_cols), intercept=intercept, coef=beta,
@@ -313,9 +335,20 @@ def fit_logistic(
         step = _solve_stacked(H, s[..., None], "fit_logistic").squeeze(-1).reshape(ng, k)
         beta = beta + step
         if float(np.max(np.abs(step))) < tol:
+            converged = True
             break
 
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"fit_logistic: IRLS did not converge in {max_iter} iterations "
+            "(R glm warns here too); inspect FitResult.converged",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return FitResult(
         x_cols=list(x_cols), intercept=intercept, coef=beta,
         keys=keys, group_cols=group_cols, kind="logistic",
+        converged=converged, n_obs=n_min,
     )

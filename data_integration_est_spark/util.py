@@ -32,4 +32,8 @@ def error_context(what: str):
     try:
         yield
     except Exception as e:  # noqa: BLE001
-        raise type(e)(f"{what}: {e}") from e
+        # Don't reconstruct type(e)(...): many exception classes (Py4J, Spark
+        # internals) reject a single-string constructor, which would mask the
+        # original error with a TypeError.  Annotate and re-raise instead.
+        e.add_note(what)
+        raise

@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_integration_est_spark.ops.text import fingerprint
+from data_integration_est_spark.util import spread
 
 
 def exact_dedup(
@@ -69,7 +70,7 @@ def minhash_signatures(
     downstream consumer (e.g. 16 LSH band slots x 32 slots), which blew
     analysis+codegen up to minutes on tiny data.  The aggregation here is
     an optimizer barrier — downstream sees 32 concrete columns."""
-    pairs = df.select(
+    pairs = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh__"),
     )
@@ -159,7 +160,7 @@ def ngram_jaccard_pairs(
 
     # both sides of the pair join read the shingle table — persist so the
     # tokenize/shingle pass over the corpus runs once
-    sh = df.select(
+    sh = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
@@ -189,7 +190,7 @@ def simhash64(
     groupBy(id): 64 conditional sums (codegen'd), then the bits are
     reassembled into a bigint.  Hamming distance between simhashes
     approximates cosine similarity of the token multisets."""
-    toks = df.select(
+    toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))

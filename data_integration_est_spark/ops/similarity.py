@@ -17,6 +17,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_integration_est_spark.util import spread
+
 
 def dot_arrays(a: Column, b: Column) -> Column:
     """Dot product of two array columns, accumulated in double, in index
@@ -55,9 +57,9 @@ def brute_force_knn(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(
+    c = spread(corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
+    ))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -86,7 +88,7 @@ def cosine_near_dup_pairs(
     With ``candidates`` (e.g. LSH bucket cohabitants from
     ``lsh_bucket_candidates``) only those pairs are scored — the scale
     path.  Without, all pairs are scored (small N / oracle checking)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    a = spread(df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if candidates is not None:
         pairs = candidates.join(a, "id_a").join(b, "id_b")
@@ -111,18 +113,13 @@ def lsh_bucket_candidates(
     """Candidate (id_a, id_b) pairs cohabiting any random-hyperplane LSH
     bucket — the sublinear candidate generator for cosine near-dup dedup.
     Same table/bucket scheme as ``lsh_knn`` but self-joined."""
-    parts = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_bits, t, seed)
-        parts.append(
-            df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-            .withColumn("table", F.lit(t))
-            .withColumn("bucket", _bucket_expr(F.col("v"), planes))
-            .select("vid", "table", "bucket")
-        )
-    buckets = parts[0]
-    for p in parts[1:]:
-        buckets = buckets.unionByName(p)
+    src = spread(df.select(F.col(id_col), F.col(vec_col)))
+    buckets = src.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            _all_table_buckets(vec_col, dim, n_bits, n_tables, seed)
+        ).alias("table", "bucket"),
+    )
     from pyspark import StorageLevel
 
     buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
@@ -142,15 +139,47 @@ def lsh_bucket_candidates(
     )
 
 
-def _centroid_lits(centroids: list[list[float]]) -> list[Column]:
-    return [F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+def _centroid_sims_sql(vec_name: str, centroids: list[list[float]]) -> str:
+    """SQL for the per-centroid similarity array.  One ``F.expr`` parse
+    instead of py4j-composing k x dim literal Columns (the same driver-time
+    trap as ``_all_table_buckets`` — seconds per call at k=16, dim=64).
+
+    Centroids are L2-normalized on the driver, so the per-row work is the
+    k dot products only: argmax-by-cosine == argmax-by-dot-with-unit-
+    centroid, and both callers (cluster assignment, probe selection) use
+    the array solely for ORDERING.  Row-vector norms cancel entirely."""
+    C = np.asarray(centroids, dtype=float)
+    nrm = np.linalg.norm(C, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    C = C / nrm
+    # Flat element_at arithmetic, not zip_with/aggregate lambdas: higher-
+    # order functions run INTERPRETED per element; the expanded sum-of-
+    # products compiles into whole-stage codegen (~10x on the hot path).
+    dots = [
+        " + ".join(
+            f"{float(cv)!r}D * CAST(element_at(`{vec_name}`, {j + 1}) AS DOUBLE)"
+            for j, cv in enumerate(c)
+        )
+        for c in C.tolist()
+    ]
+    return "array(" + ", ".join(f"({d})" for d in dots) + ")"
 
 
-def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+def _nearest_centroid(vec_name: str, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid by cosine (0-based), as a Column.
-    Distances are an array expression; argmax via array_position."""
-    sims = F.array(*[cosine_expr(vec, c) for c in _centroid_lits(centroids)])
-    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+    Single-reference argmax: a fold over (sim, index) structs references
+    the sims array ONCE — `array_position(s, array_max(s))` would inline
+    the k-dot-product expression twice (higher-order lambdas run
+    interpreted, so duplicate evaluation is real cost, not codegen-CSE'd).
+    Strict `>` keeps the first max — array_position's tie-break."""
+    sims = _centroid_sims_sql(vec_name, centroids)
+    k = len(centroids)
+    return F.expr(
+        f"aggregate(zip_with({sims}, sequence(0, {k - 1}), (s, i) -> struct(s AS s, i AS i)), "
+        "struct(CAST(-1E300 AS DOUBLE) AS s, -1 AS i), "
+        "(acc, x) -> IF(x.s > acc.s, x, acc)).i"
+    )
 
 
 def kmeans_centroids(
@@ -163,10 +192,15 @@ def kmeans_centroids(
 ) -> list[list[float]]:
     """Spherical k-means (cosine) via distributed Lloyd iterations.
 
-    Per iteration: ONE pass assigns every vector to its nearest centroid
-    (centroids broadcast as literals), then posexplode + groupBy(cluster,
-    dim) computes elementwise means — only the k x dim centroid matrix is
-    collected.  Init: the k rows with smallest xxhash64(id, seed)
+    Per iteration: ONE groupBy pass assigns every vector to its nearest
+    centroid (centroids broadcast as a folded literal matrix) and computes
+    the per-cluster elementwise sums as ``dim`` codegen'd `element_at`
+    aggregates — only the k x (dim+1) result reaches the driver.
+
+    Deliberately NOT a posexplode + groupBy(cluster, dim): a generator in
+    the same projection re-evaluates the (interpreted, higher-order)
+    assignment expression once per EXPLODED element — a dim-fold blowup of
+    the dominant cost.  Init: the k rows with smallest xxhash64(id, seed)
     (deterministic, partition-independent)."""
     init = (
         corpus.select(F.col(id_col), F.col(vec_col))
@@ -176,22 +210,30 @@ def kmeans_centroids(
         .collect()
     )
     centroids = [[float(v) for v in r[vec_col]] for r in init]
+    dim = len(centroids[0])
 
     for _ in range(n_iter):
-        assigned = corpus.select(
-            _nearest_centroid(F.col(vec_col), centroids).alias("__c__"),
-            F.posexplode(F.col(vec_col)).alias("__pos__", "__val__"),
-        )
         rows = (
-            assigned.groupBy("__c__", "__pos__")
-            .agg(F.avg("__val__").alias("__m__"))
+            spread(corpus)
+            .select(
+                _nearest_centroid(vec_col, centroids).alias("__c__"),
+                F.col(vec_col).alias("__v__"),
+            )
+            .groupBy("__c__")
+            .agg(
+                F.count(F.lit(1)).alias("__n__"),
+                *[
+                    F.sum(F.element_at("__v__", j + 1).cast("double")).alias(f"__s_{j}__")
+                    for j in range(dim)
+                ],
+            )
             .collect()
         )
-        new = {c: dict() for c in range(len(centroids))}
-        for r in rows:
-            new[r["__c__"]][r["__pos__"]] = r["__m__"]
+        by_c = {r["__c__"]: r for r in rows}
         centroids = [
-            [new[c][p] for p in sorted(new[c])] if new.get(c) else centroids[c]
+            [float(by_c[c][f"__s_{j}__"]) / by_c[c]["__n__"] for j in range(dim)]
+            if c in by_c and by_c[c]["__n__"]
+            else centroids[c]
             for c in range(len(centroids))
         ]
     return centroids
@@ -218,11 +260,11 @@ def ivf_knn(
     centroids = kmeans_centroids(
         corpus, vec_col, id_col, k=n_clusters, n_iter=n_iter, seed=seed
     )
-    c_assigned = corpus.select(
+    c_assigned = spread(corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).withColumn("__c__", _nearest_centroid(F.col("cv"), centroids))
+    )).withColumn("__c__", _nearest_centroid("cv", centroids))
 
-    sims = F.array(*[cosine_expr(F.col("qv"), c) for c in _centroid_lits(centroids)])
+    sims = F.expr(_centroid_sims_sql("qv", centroids))
     q_probes = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
         .withColumn("__sims__", sims)
@@ -261,6 +303,34 @@ def _hyperplanes(dim: int, n_bits: int, table: int, seed: int) -> list[list[floa
     return rng.standard_normal((n_bits, dim)).tolist()
 
 
+def _all_table_buckets(
+    vec_name: str, dim: int, n_bits: int, n_tables: int, seed: int
+) -> Column:
+    """Array of per-table bucket ids — ONE corpus scan + one posexplode
+    produces every (table, bucket) row, instead of an n_tables-way union
+    (which multiplies scheduled tasks by n_tables on small inputs).
+
+    Built as a single SQL expression string: composing it from nested
+    ``F.array(F.lit(...))`` Columns costs thousands of py4j round trips
+    (~6 s of driver time for 36 planes x 64 dims before any data moves);
+    one ``F.expr`` parse is milliseconds.  The plane matrix is a foldable
+    literal, so Catalyst constant-folds it once; the per-row work is the
+    n_tables * n_bits dot products and nothing else."""
+    planes: list[list[float]] = []
+    for t in range(n_tables):
+        planes.extend(_hyperplanes(dim, n_bits, t, seed))
+    plane_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{float(v)!r}D" for v in p) + ")" for p in planes
+    ) + ")"
+    return F.expr(
+        f"transform(sequence(0, {n_tables - 1}), t -> "
+        f"aggregate(sequence(0, {n_bits - 1}), 0L, (acc, i) -> acc + "
+        f"IF(aggregate(zip_with(`{vec_name}`, {plane_sql}[t * {n_bits} + i], "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, b) -> a + b) >= 0, "
+        "shiftleft(1L, i), 0L)))"
+    )
+
+
 def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-sketch bucket id: one bit per hyperplane."""
     bucket: Column = F.lit(0).cast("long")
@@ -286,34 +356,36 @@ def lsh_knn(
     Each vector lands in ``n_tables`` buckets (one per table); candidates
     are bucket-cohabitants in ANY table; exact cosine re-ranks.  The
     bucket equi-join shuffles on (table, bucket) — sublinear candidate
-    generation, the 100 TB-safe replacement for the cross join."""
+    generation, the 100 TB-safe replacement for the cross join.
+
+    Shuffle hygiene: the bucket join and the candidate ``distinct`` carry
+    ONLY (id, table, bucket) — never the embeddings (~16 B/row instead of
+    ~1 KB/row for 64-d float vectors, a ~50x shuffle-volume saving at
+    scale).  Vectors are re-attached after dedup: the query side by
+    broadcast (queries << corpus), the corpus side by one equi-join on
+    the already-deduped candidate ids."""
     def bucketize(df: DataFrame, idname: str) -> DataFrame:
-        parts = []
-        for t in range(n_tables):
-            planes = _hyperplanes(dim, n_bits, t, seed)
-            parts.append(
-                df.select(
-                    F.col(id_col).alias(idname),
-                    F.col(vec_col).alias(f"{idname}_v"),
-                ).withColumn("table", F.lit(t)).withColumn(
-                    "bucket", _bucket_expr(F.col(f"{idname}_v"), planes)
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        return spread(df.select(F.col(id_col), F.col(vec_col))).select(
+            F.col(id_col).alias(idname),
+            F.posexplode(
+                _all_table_buckets(vec_col, dim, n_bits, n_tables, seed)
+            ).alias("table", "bucket"),
+        )
 
     qb = bucketize(queries, "query_id")
     cb = bucketize(corpus, "neighbor_id")
     cand = (
         qb.join(cb, on=["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.withColumn(
-        "cosine", F.round(cosine_expr(F.col("query_id_v"), F.col("neighbor_id_v")), 6)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", F.round(cosine_expr(F.col("qv"), F.col("cv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

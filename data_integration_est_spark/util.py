@@ -25,6 +25,23 @@ def quiet_logs(spark: SparkSession, level: str = "ERROR"):
         sc._jvm.org.apache.log4j.LogManager.getRootLogger().setLevel(prev)
 
 
+def spread(df, min_parts: int | None = None):
+    """Adaptive fan-out repartition for expansion-heavy operators (shingle
+    explodes, all-pairs scoring): when the input plan has FEWER partitions
+    than the cluster's parallelism — e.g. one small parquet file — the
+    downstream explode/join would run on a single core no matter how many
+    executors exist, because Spark can't split a partition mid-stage.
+
+    At real scale (inputs with >= cores partitions) this is a NO-OP — no
+    shuffle is added; the check is a driver-side plan inspection only.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 @contextmanager
 def error_context(what: str):
     """Re-raise any failure with added context — the ``tryCatch(...,

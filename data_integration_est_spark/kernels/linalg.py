@@ -38,6 +38,36 @@ def _solve_stacked(A: np.ndarray, b: np.ndarray, what: str) -> np.ndarray:
         ) from e
 
 
+def _solve_ols_stacked(A: np.ndarray, b: np.ndarray, what: str) -> np.ndarray:
+    """Stacked OLS solve with R ``lm``'s aliasing behavior as the fallback.
+
+    R's lm pivots rank-deficient designs: later columns aliased by earlier
+    ones get NA coefficients and are ignored by predict (e.g. the
+    reference's ``y ~ x1_i + x2_i`` outcome models, where the two dummies
+    sum to the intercept — ``nb[37]:31-53``).  Here: try the fast stacked
+    solve; for singular groups, greedily keep the in-order maximal
+    independent column subset and zero the aliased coefficients — the
+    same predictions R produces."""
+    try:
+        return np.linalg.solve(A, b)
+    except np.linalg.LinAlgError:
+        pass
+    g, k = A.shape[0], A.shape[1]
+    out = np.zeros((g, k, b.shape[2]))
+    for i in range(g):
+        G = A[i]
+        keep: list[int] = []
+        for j in range(k):
+            trial = keep + [j]
+            sub = G[np.ix_(trial, trial)]
+            if np.linalg.matrix_rank(sub, hermitian=True) == len(trial):
+                keep.append(j)
+        if not keep:
+            raise CalibrationError(f"{what}: design matrix has rank 0")
+        out[i][keep] = np.linalg.solve(G[np.ix_(keep, keep)], b[i][keep])
+    return out
+
+
 @dataclass
 class CalibrationResult:
     """Calibrated weights as a lazy column + the solved multipliers."""
@@ -244,7 +274,7 @@ def fit_ols(
             f"fit_ols: insufficient rows (min group n={n_min}) for "
             f"{len(xs)} design columns"
         )
-    beta = _solve_stacked(g.gram, g.xy[:, :, 0:1], "fit_ols").squeeze(-1).reshape(len(g.keys), len(xs))
+    beta = _solve_ols_stacked(g.gram, g.xy[:, :, 0:1], "fit_ols").squeeze(-1).reshape(len(g.keys), len(xs))
     return FitResult(
         x_cols=list(x_cols), intercept=intercept, coef=beta,
         keys=g.keys, group_cols=group_cols, kind="ols", n_obs=n_min,

@@ -106,6 +106,16 @@ class MCResult:
     summary: DataFrame    # (gamma, estimator, bias_mean, bias_sd, rmse, n_sim)
 
 
+@dataclass
+class NMARv2Result:
+    """The nb[37]-nb[42] end-to-end study artifacts."""
+
+    results_wide: DataFrame  # (sim_id, gamma, mean_<est>_sd_<tag>, ...) — the CSV shape
+    bias_long: DataFrame     # (sim_id, gamma, estimator, sd, bias)
+    summary: DataFrame       # (gamma, sd, estimator, bias_mean, bias_sd, rmse)
+    anova: DataFrame         # Type-I table for bias ~ sd * gamma + estimator
+
+
 def run_nmar_study(
     spark: SparkSession,
     N: int = 10_000,
@@ -196,6 +206,218 @@ def run_contaminated_study(
     tilde_true = 2.0 + 0.9 * (y_true - 3.0)
     return _summarize(
         spark, results, y_true, y_true_by_est={"RegDI_C2": tilde_true}
+    )
+
+
+def _sd_tag(sd: float) -> str:
+    """Column-name-safe sigma tag: 0.125 -> '0p125' (dots break F.col)."""
+    return f"{sd:g}".replace(".", "p")
+
+
+def nmar_v2_grid_population(
+    spark: SparkSession,
+    N: int = 10_000,
+    n_sim: int = 10,
+    gammas: tuple[float, ...] = (0.0, 0.5, 1.0),
+    sd_vector: tuple[float, ...] = (0.0, 0.25, 0.5),
+    size_a: int = 500,
+    size_b: int = 2_000,
+    c: float = 3.0,
+    seed: int = 1234,
+) -> DataFrame:
+    """The expanded (gamma x sim x unit) NMAR-v2 population — S4's multi-σ
+    outcomes over the Monte Carlo grid (``generate_population_NMAR_v2``
+    x grid, ``nb[19]`` + ``nb[37]:20-23``).
+
+    One outcome column per sigma (``y_sd_<tag>``, the dot-free alias of
+    the reference's ``y_i_sd_<s>``), plus the e-cut auxiliaries the v2
+    estimator battery uses.  S_B selection is driven by the FIRST sigma's
+    outcome, exactly as the reference's ``muestra_B`` (``nb[19]:33-38``)."""
+    base = (
+        spark.range(n_sim * N)
+        .select(
+            (F.col("id") / N).cast("long").alias("sim_id"),
+            (F.col("id") % N + 1).alias("uid"),
+        )
+        .withColumn("sim_id", F.col("sim_id") + 1)
+    )
+    keys = ["sim_id", "uid"]
+    base = base.withColumn("x_i", rng.normal(keys, seed, "x", mean=2.0, sd=1.0))
+    rho = 0.5
+    v = rng.normal(keys, seed, "v")
+    base = base.withColumn(
+        "e_i", F.lit(rho) * F.col("x_i") + F.lit(math.sqrt(1 - rho**2)) * v
+    )
+    base = (
+        base.withColumn("e1_i", F.when(F.col("e_i") <= 1.0, 1.0).otherwise(0.0))
+        .withColumn("e2_i", F.when(F.col("e_i") > 1.0, 1.0).otherwise(0.0))
+        .withColumn("x1_i", F.when(F.col("x_i") <= 2.0, 1.0).otherwise(0.0))
+        .withColumn("x2_i", F.when(F.col("x_i") > 2.0, 1.0).otherwise(0.0))
+    )
+    y_cols = []
+    for sd in sd_vector:
+        name = f"y_sd_{_sd_tag(sd)}"
+        eta = rng.normal(keys, seed, f"eta_{_sd_tag(sd)}", sd=float(sd))
+        base = base.withColumn(
+            name, F.lit(3.0) + F.lit(0.7) * (F.col("x_i") - 2.0) + eta
+        )
+        y_cols.append(name)
+
+    base = sampling.grouped_exact(
+        base, key_cols=keys, group_cols=["sim_id"], n=size_a, seed=seed,
+        out_col="muestra_A", tag="A",
+    )
+    gamma_df = spark.createDataFrame(
+        [(float(g),) for g in gammas],
+        StructType([StructField("gamma", DoubleType(), False)]),
+    )
+    grid = base.crossJoin(F.broadcast(gamma_df))
+    prob = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-F.col("gamma") * (F.col(y_cols[0]) - F.lit(c)))
+    )
+    grid = grid.withColumn("__prob__", prob)
+    grid = sampling.grouped_exact(
+        grid, key_cols=keys, group_cols=["gamma", "sim_id"], n=size_b, seed=seed,
+        prob_col="__prob__", out_col="muestra_B", tag="B",
+    )
+    return grid.drop("__prob__")
+
+
+def run_nmar_v2_study(
+    spark: SparkSession,
+    N: int = 10_000,
+    n_sim: int = 10,
+    gammas: tuple[float, ...] = (0.0, 0.5, 1.0),
+    sd_vector: tuple[float, ...] = (0.0, 0.25, 0.5),
+    size_a: int = 500,
+    size_b: int = 2_000,
+    seed: int = 1234,
+    y_true: float = Y_TRUE,
+) -> NMARv2Result:
+    """The nb[37]→nb[42] NMAR-v2 study, end to end:
+
+    grid generation (S4 x Monte Carlo) → 5-estimator battery per
+    (gamma, sigma, sim) cell → the reference's wide results frame →
+    ``mutate(across(...))`` bias columns (``nb[40]:6-7``) →
+    ``pivot_longer`` + ``separate`` reshape (``nb[41]:2-10``) →
+    (Gamma, Sd, Estimator) bias summary (``nb[41]:13-21``) →
+    two-factor-with-interaction Type-I ANOVA on bias (``nb[42]:6-9``).
+
+    Golden pattern (reference output, 11 gammas x 5 sigmas x 100 sims):
+    F(Estimator)=10776.3 ≫ F(Gamma)=877.4 ≫ F(Sd)=0.62,
+    interaction p = 1.0 — the estimator choice dominates, NMAR strength
+    matters, the outcome's noise level does not, and the two don't
+    interact.  ``tests/test_nmar_v2.py`` asserts this ordering.
+
+    Scale shape: sigma is melted into a THIRD grid dimension, so the
+    battery is 5 grouped-estimator runs total (each a handful of
+    shuffles over the long grid), NOT 5 x |sd_vector| scalar loops —
+    the reference's nested parLapply/for structure (``nb[37]:26-108``)
+    collapses into a constant number of jobs at any grid size."""
+    from data_integration_est_spark.ops.anova import anova_type1
+    from data_integration_est_spark.reshape import melt, mutate_across, separate
+
+    grid = nmar_v2_grid_population(
+        spark, N=N, n_sim=n_sim, gammas=gammas, sd_vector=sd_vector,
+        size_a=size_a, size_b=size_b, seed=seed,
+    )
+    id_vars = [c for c in grid.columns if not c.startswith("y_sd_")]
+    long = (
+        melt(grid, id_vars=id_vars, var_name="__ycol__", value_name="y_val")
+        .withColumn(
+            "sd",
+            F.regexp_replace(
+                F.regexp_extract("__ycol__", r"^y_sd_(.+)$", 1), "p", "."
+            ).cast("double"),
+        )
+        .drop("__ycol__")
+        .persist()
+    )
+    g = ["gamma", "sd", "sim_id"]
+    A, B = "muestra_A", "muestra_B"
+    try:
+        results: dict[str, dict[tuple, tuple]] = {
+            # the nb[37] battery: 2 PC-DR variants + 3 RegDI variants
+            "PC_xi_DR": V.pc_dr1_grouped(
+                long, "y_val", "y_val", A, B, ["x1_i", "x2_i"],
+                "y_val ~ x1_i + x2_i", g,
+            ),
+            "PC_ei_DR": V.pc_dr1_grouped(
+                long, "y_val", "y_val", A, B, ["e1_i", "e2_i"],
+                "y_val ~ e1_i + e2_i", g,
+            ),
+            "RegDI_no_aux": V.regdi_c0_grouped(long, "y_val", "y_val", A, B, g),
+            "RegDI_xi": V.regdi_c0_grouped(
+                long, "y_val", "y_val", A, B, g, aux_vars=["x1_i"]
+            ),
+            "RegDI_ei": V.regdi_c0_grouped(
+                long, "y_val", "y_val", A, B, g, aux_vars=["e1_i"]
+            ),
+        }
+    finally:
+        long.unpersist()
+
+    # the reference's wide CSV shape: one row per (sim, gamma), one
+    # mean_<est>_sd_<tag> column per estimator x sigma (``nb[37]:110-118``)
+    cells: dict[tuple, dict[str, float]] = {}
+    for est, by_key in results.items():
+        for (gamma, sd, sim_id), (val, _se) in by_key.items():
+            cells.setdefault((int(sim_id), float(gamma)), {})[
+                f"mean_{est}_sd_{_sd_tag(sd)}"
+            ] = float(val)
+    value_cols = [
+        f"mean_{est}_sd_{_sd_tag(sd)}" for est in results for sd in sd_vector
+    ]
+    schema = StructType(
+        [StructField("sim_id", LongType(), False),
+         StructField("gamma", DoubleType(), False)]
+        + [StructField(c, DoubleType(), True) for c in value_cols]
+    )
+    rows = [
+        (sim_id, gamma, *[vals.get(c) for c in value_cols])
+        for (sim_id, gamma), vals in sorted(cells.items())
+    ]
+    wide = spark.createDataFrame(rows, schema)
+
+    # nb[40]: bias_<col> = <col> - 3 for every mean_ column
+    wide = mutate_across(
+        wide, "mean_", lambda c: c - F.lit(float(y_true)), names="bias_{col}"
+    )
+    # nb[41]: pivot_longer over the bias columns + separate into
+    # (Estimator, Sd); the reference's sep="_mean_|_sd_" regex split
+    bias_long = melt(
+        wide.select("sim_id", "gamma", *[f"bias_{c}" for c in value_cols]),
+        id_vars=["sim_id", "gamma"],
+        var_name="est_sd", value_name="bias",
+    )
+    bias_long = separate(
+        bias_long, "est_sd", ["estimator", "__sdtag__"],
+        r"^bias_mean_(.+)_sd_(.+)$",
+    )
+    bias_long = bias_long.withColumn(
+        "sd", F.regexp_replace("__sdtag__", "p", ".").cast("double")
+    ).drop("__sdtag__")
+
+    summary = (
+        bias_long.groupBy("gamma", "sd", "estimator")
+        .agg(
+            F.round(F.avg("bias"), 3).alias("bias_mean"),
+            F.round(F.stddev_samp("bias"), 3).alias("bias_sd"),
+        )
+        .withColumn(
+            "rmse",
+            F.round(F.sqrt(F.col("bias_mean") ** 2
+                           + F.coalesce(F.col("bias_sd"), F.lit(0.0)) ** 2), 3),
+        )
+    )
+    # nb[42]: aov(Bias ~ factor(Sd) * factor(Gamma) + Estimator) — R's
+    # term order is Sd, Gamma, Estimator, Sd:Gamma (interaction last)
+    anova = anova_type1(
+        bias_long, "bias",
+        [("sd",), ("gamma",), ("estimator",), ("sd", "gamma")],
+    )
+    return NMARv2Result(
+        results_wide=wide, bias_long=bias_long, summary=summary, anova=anova
     )
 
 

@@ -91,8 +91,10 @@ def _dummies(df: DataFrame, col: str) -> tuple[DataFrame, list[str]]:
         r[0] for r in df.select(col).distinct().collect() if r[0] is not None
     )
     names = []
-    for lv in levels[1:]:
-        name = f"__d_{col}_{lv}__"
+    # index-based names: level VALUES may contain dots (e.g. numeric factor
+    # levels like 0.25) which F.col would parse as struct access
+    for i, lv in enumerate(levels[1:], start=1):
+        name = f"__d_{col}_{i}__"
         df = df.withColumn(name, F.when(F.col(col) == lv, 1.0).otherwise(0.0))
         names.append(name)
     return df, names
@@ -126,8 +128,8 @@ def anova_type1(
         else:
             cols = []
             for i, ca in enumerate(dummy_cols[t[0]]):
-                for cb in dummy_cols[t[1]]:
-                    name = f"__x_{t[0]}_{t[1]}_{i}_{cb}__"
+                for j, cb in enumerate(dummy_cols[t[1]]):
+                    name = f"__x_{t[0]}_{t[1]}_{i}_{j}__"
                     work = work.withColumn(name, F.col(ca) * F.col(cb))
                     cols.append(name)
             term_cols.append((":".join(t), cols))

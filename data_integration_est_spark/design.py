@@ -21,7 +21,11 @@ class SurveyDesign:
 
     Mirrors ``svydesign(ids=~1, data=..., weights=...)`` — independent
     sampling of elements, with-replacement variance approximation, no FPC
-    (the only design shape the reference ever constructs).
+    (the only design shape the reference constructs, ``RegDI2.R:181-185``).
+    With ``strata_col`` it becomes ``svydesign(ids=~1, strata=~h, ...)``:
+    estimation is unchanged, but the linearization variance is summed
+    WITHIN strata (independent draws per stratum), the natural design for
+    the stratified study populations (``nb[3]``, ``nb[12]``).
     """
 
     df: DataFrame
@@ -31,6 +35,9 @@ class SurveyDesign:
     # variance on a calibrated design linearizes against these columns.
     calibration_cols: list[str] | None = None
     base_weight_col: str | None = None
+    # Stratified element sampling: variance contributions are computed and
+    # degree-of-freedom-corrected per stratum, then summed.
+    strata_col: str | None = None
 
     def __post_init__(self) -> None:
         cols = set(self.df.columns)

@@ -79,6 +79,25 @@ def naive_mean_grouped(
     }
 
 
+def weighted_mean_grouped(
+    df: DataFrame, y_col: str, ind_col: str, weight_col: str, group_cols: list[str]
+) -> dict[tuple, tuple]:
+    """Design-weighted sample mean per group — ``svymean(~y, svydesign(
+    weights=~d))`` point estimate (``nb[12]:36-38``)."""
+    w = F.col(weight_col).cast("double")
+    y = F.col(y_col).cast("double")
+    rows = (
+        df.filter(F.col(ind_col) == 1)
+        .groupBy(*group_cols)
+        .agg(F.sum(w * y).alias("swy"), F.sum(w).alias("sw"))
+        .collect()
+    )
+    return {
+        tuple(r[c] for c in group_cols): (float(r["swy"]) / float(r["sw"]), None)
+        for r in rows
+    }
+
+
 def regdi_c0_grouped(
     df: DataFrame,
     y_A_col: str,
@@ -87,9 +106,13 @@ def regdi_c0_grouped(
     ind_var_B: str,
     group_cols: list[str],
     aux_vars: list[str] | None = None,
+    weights_A: str | None = None,
 ) -> dict[tuple, tuple]:
     """RegDI correction-0 for every group at once (``RegDI2.R:126-193,
-    244-248`` vectorized).  Direct mode: each group is its own population."""
+    244-248`` vectorized).  Direct mode: each group is its own population.
+    With ``weights_A`` the design weights come from that column and the
+    population size is approximated by their sum (``RegDI2.R:106-116`` —
+    the stratified-study call shape, ``nb[12]:48-76``)."""
     indA = F.col(ind_var_A) == 1
     indB = F.col(ind_var_B) == 1
     aux = list(aux_vars or [])
@@ -106,30 +129,37 @@ def regdi_c0_grouped(
         delta_aux.append(dc)
     x_cols = ["uno", "delta_i", "delta_yi"] + delta_aux
 
-    tot_rows = (
-        work.groupBy(*group_cols)
-        .agg(
-            F.count(F.lit(1)).alias("N"),
-            F.sum(F.when(indA, 1).otherwise(0)).alias("nA"),
-            F.sum("delta_i").alias("t_di"),
-            F.sum("delta_yi").alias("t_dyi"),
-            *[F.sum(c).alias(f"t_{c}") for c in delta_aux],
+    aggs = [
+        F.count(F.lit(1)).alias("N"),
+        F.sum(F.when(indA, 1).otherwise(0)).alias("nA"),
+        F.sum("delta_i").alias("t_di"),
+        F.sum("delta_yi").alias("t_dyi"),
+        *[F.sum(c).alias(f"t_{c}") for c in delta_aux],
+    ]
+    if weights_A is not None:
+        aggs.append(
+            F.sum(F.when(indA, F.col(weights_A).cast("double")).otherwise(0.0)).alias("swA")
         )
-        .collect()
-    )
+    tot_rows = work.groupBy(*group_cols).agg(*aggs).collect()
     totals_by_group: dict[tuple, np.ndarray] = {}
     d_by_group: dict[tuple, tuple] = {}
     for r in tot_rows:
         key = tuple(r[c] for c in group_cols)
+        N_uno = float(r["swA"]) if weights_A is not None else float(r["N"])
         totals_by_group[key] = np.array(
-            [float(r["N"]), float(r["t_di"] or 0.0), float(r["t_dyi"] or 0.0)]
+            [N_uno, float(r["t_di"] or 0.0), float(r["t_dyi"] or 0.0)]
             + [float(r[f"t_{c}"] or 0.0) for c in delta_aux]
         )
-        d_by_group[key] = (float(r["N"]) / max(int(r["nA"]), 1),)
+        d_by_group[key] = (N_uno / max(int(r["nA"]), 1),)
 
-    sample_A = _broadcast_scalars(
-        work.filter(indA), group_cols, d_by_group, ["d_i_A"]
-    )
+    if weights_A is not None:
+        sample_A = work.filter(indA).withColumn(
+            "d_i_A", F.col(weights_A).cast("double")
+        )
+    else:
+        sample_A = _broadcast_scalars(
+            work.filter(indA), group_cols, d_by_group, ["d_i_A"]
+        )
     cal = calibrate(
         sample_A, x_cols, totals=None, d_col="d_i_A", out_col="w_cal",
         group_cols=group_cols, totals_by_group=totals_by_group,
@@ -186,14 +216,18 @@ def pc_s2_grouped(
     outcome_model: str,
     group_cols: list[str],
     model_type: str = "normal",
+    weights_A: str | None = None,
 ) -> dict[tuple, tuple]:
     """PC scenario 2 (y unobserved in B) for every group
     (``PC.R:255-297`` vectorized):
     Yhat = (sum_B w_cal_B*yhat + sum_A d_A*(y_A - yhat)) / N.
-    ``model_type='logistic'`` runs the grouped IRLS GLM (``PC.R:274``)."""
+    ``model_type='logistic'`` runs the grouped IRLS GLM (``PC.R:274``);
+    ``weights_A`` uses the design-weight column for d_A and HT totals."""
     indA = F.col(ind_var_A) == 1
     indB = F.col(ind_var_B) == 1
-    b_df, _, sizes = _calibrated_b(df, ind_var_B, aux_vars, group_cols)
+    b_df, _, sizes = _calibrated_b(
+        df, ind_var_B, aux_vars, group_cols, weights_A=weights_A, ind_var_A=ind_var_A
+    )
 
     formula = Formula.parse(outcome_model).resolve(df.columns)
     fit = _fit_grouped(df.filter(indA & indB), formula, model_type, group_cols)
@@ -206,21 +240,23 @@ def pc_s2_grouped(
     )
     t1 = {tuple(r[c] for c in group_cols): float(r["t1"] or 0.0) for r in t1_rows}
 
-    # d_A = N / n_A per group (sizes carries n_B, so collect n_A here)
-    nA_rows = (
-        df.groupBy(*group_cols)
-        .agg(F.sum(F.when(indA, 1).otherwise(0)).alias("nA"))
-        .collect()
-    )
-    d_by_group = {
-        tuple(r[c] for c in group_cols): (
-            sizes[tuple(r[c] for c in group_cols)][0] / max(int(r["nA"]), 1),
+    if weights_A is not None:
+        a_sample = df.filter(indA).withColumn("d_i_A", F.col(weights_A).cast("double"))
+    else:
+        # d_A = N / n_A per group (sizes carries n_B, so collect n_A here)
+        nA_rows = (
+            df.groupBy(*group_cols)
+            .agg(F.sum(F.when(indA, 1).otherwise(0)).alias("nA"))
+            .collect()
         )
-        for r in nA_rows
-    }
-    a_join, a_pred = fit.predict_expr_grouped(
-        _broadcast_scalars(df.filter(indA), group_cols, d_by_group, ["d_i_A"])
-    )
+        d_by_group = {
+            tuple(r[c] for c in group_cols): (
+                sizes[tuple(r[c] for c in group_cols)][0] / max(int(r["nA"]), 1),
+            )
+            for r in nA_rows
+        }
+        a_sample = _broadcast_scalars(df.filter(indA), group_cols, d_by_group, ["d_i_A"])
+    a_join, a_pred = fit.predict_expr_grouped(a_sample)
     t2_rows = (
         a_join.select(
             *group_cols,
@@ -242,20 +278,34 @@ def _calibrated_b(
     ind_var_B: str,
     aux_vars: list[str],
     group_cols: list[str],
+    weights_A: str | None = None,
+    ind_var_A: str | None = None,
 ):
-    """Shared PC step: per-group aux totals (direct sums) + B-weight
-    calibration (``PC.R:180-237`` vectorized).  Returns (b_df, x_cols,
-    per-group N / n_B dict)."""
+    """Shared PC step: per-group aux totals + B-weight calibration
+    (``PC.R:180-237`` vectorized).  Returns (b_df, x_cols, per-group
+    N / n_B dict).
+
+    Default: direct population sums (direct mode).  With ``weights_A``
+    (and ``ind_var_A``) the totals are Horvitz-Thompson estimates from
+    the weighted probability sample and N is the weight sum — the
+    reference's two-table shape (``PC.R:188-199``, ``nb[12]:78-88``)."""
     indB = F.col(ind_var_B) == 1
-    tot_rows = (
-        df.groupBy(*group_cols)
-        .agg(
-            F.count(F.lit(1)).alias("N"),
+    ht = weights_A is not None
+    if ht:
+        indA = F.col(ind_var_A) == 1
+        wA = F.when(indA, F.col(weights_A).cast("double")).otherwise(0.0)
+        aggs = [
+            F.sum(wA).alias("N"),
+            F.sum(F.when(indB, 1).otherwise(0)).alias("nB"),
+            *[F.sum(wA * F.col(z).cast("double")).alias(f"t_{z}") for z in aux_vars],
+        ]
+    else:
+        aggs = [
+            F.count(F.lit(1)).cast("double").alias("N"),
             F.sum(F.when(indB, 1).otherwise(0)).alias("nB"),
             *[F.sum(F.col(z).cast("double")).alias(f"t_{z}") for z in aux_vars],
-        )
-        .collect()
-    )
+        ]
+    tot_rows = df.groupBy(*group_cols).agg(*aggs).collect()
     totals_by_group: dict[tuple, np.ndarray] = {}
     scalars: dict[tuple, tuple] = {}
     sizes: dict[tuple, tuple] = {}
@@ -278,9 +328,14 @@ def pc_s1_grouped(
     ind_var_B: str,
     aux_vars: list[str],
     group_cols: list[str],
+    weights_A: str | None = None,
+    ind_var_A: str | None = None,
 ) -> dict[tuple, tuple]:
-    """PC scenario 1 for every group at once (``PC.R:240-253`` vectorized)."""
-    b_df, x_cols, _ = _calibrated_b(df, ind_var_B, aux_vars, group_cols)
+    """PC scenario 1 for every group at once (``PC.R:240-253`` vectorized);
+    ``weights_A`` switches to HT-estimated aux totals (``PC.R:188-193``)."""
+    b_df, x_cols, _ = _calibrated_b(
+        df, ind_var_B, aux_vars, group_cols, weights_A=weights_A, ind_var_A=ind_var_A
+    )
     design = SurveyDesign(
         df=b_df, weight_col="w_cal_B", calibration_cols=x_cols, base_weight_col="d_i_B"
     )

@@ -69,18 +69,34 @@ def weighted_mean(
     return {k: (r["__swy__"] or 0.0) / r["__sw__"] for k, r in res.items()}
 
 
+def _strat_var(pieces: list[tuple[int, float, float]]) -> float:
+    """Stratified with-replacement variance from per-stratum
+    (n_h, sum_h u, sum_h u^2) pieces: V = Σ_h n_h/(n_h-1) ·
+    (Σ_h u² − (Σ_h u)²/n_h) — ``svydesign(ids=~1, strata=~h)``."""
+    v = 0.0
+    for n_h, s1, s2 in pieces:
+        if n_h < 2:
+            return float("nan")
+        v += n_h / (n_h - 1.0) * (s2 - s1 * s1 / n_h)
+    return v
+
+
 def svytotal(
     design: SurveyDesign, y_col: str, group_cols: list[str] | None = None
 ) -> list[EstimateRow]:
-    """HT total + with-replacement variance (reference ``PC.R:190-193``)."""
+    """HT total + with-replacement variance (reference ``PC.R:190-193``);
+    stratified designs sum the df-corrected variance per stratum."""
     group_cols = list(group_cols or [])
-    df = design.df.na.drop(subset=[y_col, design.weight_col])
+    strat = design.strata_col
+    df = design.df.na.drop(
+        subset=[y_col, design.weight_col] + ([strat] if strat else [])
+    )
     w = F.col(design.weight_col).cast("double")
     y = F.col(y_col).cast("double")
     wy = w * y
     res = _collect_keyed(
         df,
-        group_cols,
+        group_cols + ([strat] if strat else []),
         [
             F.sum(wy).alias("__t__"),
             F.sum(wy * wy).alias("__t2__"),
@@ -88,6 +104,19 @@ def svytotal(
         ],
     )
     out = []
+    if strat:
+        by_group: dict[tuple, list] = {}
+        for k, r in res.items():
+            by_group.setdefault(k[:-1], []).append(r)
+        for k, rows in by_group.items():
+            t = sum(r["__t__"] or 0.0 for r in rows)
+            n = sum(int(r["__n__"]) for r in rows)
+            v = _strat_var([
+                (int(r["__n__"]), r["__t__"] or 0.0, r["__t2__"] or 0.0)
+                for r in rows
+            ])
+            out.append(EstimateRow(key=k, estimate=float(t), variance=float(v), n=n))
+        return out
     for k, r in res.items():
         n = int(r["__n__"])
         t = r["__t__"] or 0.0
@@ -128,11 +157,12 @@ def svymean(
     Reference sites: ``RegDI2.R:246-248,305-307,322-324``, ``PC.R:245-247``.
     """
     group_cols = list(group_cols or [])
+    strat = design.strata_col
     xcols = list(design.calibration_cols or []) if design.is_calibrated else []
     kx = len(xcols)
     subset = [y_col, design.weight_col] + (
         [design.base_weight_col] if design.is_calibrated else []
-    ) + xcols
+    ) + xcols + ([strat] if strat else [])
     df = design.df.na.drop(subset=list(dict.fromkeys(subset)))
     w = F.col(design.weight_col).cast("double")
     y = F.col(y_col).cast("double")
@@ -157,43 +187,65 @@ def svymean(
             aggs.append(F.sum(d * xs[i] * y).alias(f"gy_{i}"))
             aggs.append(F.sum(d * xs[i]).alias(f"g1_{i}"))
 
-    res = _collect_keyed(df, group_cols, aggs)
+    # Stratified designs collect the SAME moments one level finer (per
+    # stratum) — every group-level quantity (m, the projection B) is a sum
+    # of the per-stratum moments, and the variance pieces need them per
+    # stratum anyway.  Still ONE distributed pass.
+    res = _collect_keyed(df, group_cols + ([strat] if strat else []), aggs)
 
     def _f(r, name):
         v = r[name]
         return 0.0 if v is None else float(v)
 
+    if strat:
+        grouped: dict[tuple, list] = {}
+        for key, r in res.items():
+            grouped.setdefault(key[:-1], []).append(r)
+        items = [(k, rows) for k, rows in grouped.items()]
+    else:
+        items = [(k, [r]) for k, r in res.items()]
+
     out: list[EstimateRow] = []
-    for key, r in res.items():
-        n = int(r["n"])
-        sw = _f(r, "sw")
-        m = _f(r, "swy") / sw
-        q = np.zeros((kx + 2, kx + 2))
-        for i in range(kx + 2):
-            for j in range(i, kx + 2):
-                q[i, j] = q[j, i] = _f(r, f"q_{i}_{j}")
+    for key, rows in items:
+        n = sum(int(r["n"]) for r in rows)
+        sw = sum(_f(r, "sw") for r in rows)
+        m = sum(_f(r, "swy") for r in rows) / sw
 
         if design.is_calibrated and kx:
             G = np.zeros((kx, kx))
-            for i in range(kx):
-                for j in range(i, kx):
-                    G[i, j] = G[j, i] = _f(r, f"g_{i}_{j}")
-            rhs = np.array([_f(r, f"gy_{i}") - m * _f(r, f"g1_{i}") for i in range(kx)])
+            rhs = np.zeros(kx)
+            for r in rows:
+                for i in range(kx):
+                    for j in range(i, kx):
+                        v = _f(r, f"g_{i}_{j}")
+                        G[i, j] += v
+                        if j != i:
+                            G[j, i] += v
+                    rhs[i] += _f(r, f"gy_{i}") - m * _f(r, f"g1_{i}")
             B = _solve_stacked(G[None, ...], rhs[None, :, None],
                                "svymean residual projection").ravel()
         else:
             B = np.zeros(kx)
-
-        sum_we = _f(r, "swy") - m * sw - sum(
-            B[j] * _f(r, f"swx_{j}") for j in range(kx)
-        )
-        # Σw²e² via the quadratic form with coefficient vector c = (-m - on
-        # the constant slot, 1 on y, -B on x): e = [1, y, x]·(-m, 1, -B)
         c = np.concatenate(([-m, 1.0], -B))
-        sum_w2e2 = float(c @ q @ c)
 
-        s1 = sum_we / sw
-        s2 = sum_w2e2 / (sw * sw)
-        v = float("nan") if n < 2 else n / (n - 1.0) * (s2 - s1 * s1 / n)
+        # per-stratum (or single-block) influence sums with the GLOBAL m, B
+        pieces = []
+        for r in rows:
+            sum_we = _f(r, "swy") - m * _f(r, "sw") - sum(
+                B[j] * _f(r, f"swx_{j}") for j in range(kx)
+            )
+            q = np.zeros((kx + 2, kx + 2))
+            for i in range(kx + 2):
+                for j in range(i, kx + 2):
+                    q[i, j] = q[j, i] = _f(r, f"q_{i}_{j}")
+            # Σw²e² via the quadratic form: e = [1, y, x]·(-m, 1, -B)
+            sum_w2e2 = float(c @ q @ c)
+            pieces.append((int(r["n"]), sum_we / sw, sum_w2e2 / (sw * sw)))
+
+        if strat:
+            v = _strat_var(pieces)
+        else:
+            n_h, s1, s2 = pieces[0]
+            v = float("nan") if n < 2 else n / (n - 1.0) * (s2 - s1 * s1 / n)
         out.append(EstimateRow(key=key, estimate=float(m), variance=float(v), n=n))
     return out

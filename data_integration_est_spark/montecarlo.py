@@ -209,6 +209,187 @@ def run_contaminated_study(
     )
 
 
+def stratified_grid_population(
+    spark: SparkSession,
+    N: int = 10_000,
+    n_sim: int = 5,
+    n_A_total: int = 500,
+    n_B_total: int = 3_000,
+    seed: int = 123,
+) -> DataFrame:
+    """The expanded (sim x unit) stratified population (S2 x grid,
+    ``nb[7]`` + ``nb[12]:26-30``): 4 strata from (x<=9.5, z), proportional-
+    allocation stratified S_A with weights N_h/n_Ah, biased Poisson S_B
+    (pi 0.8/0.2 by stratum) with the reference's rescale-retry.
+
+    Per-sim allocation is a (4 x n_sim)-row driver table broadcast back;
+    the stratified draw is ONE ranked window over (sim, stratum)."""
+    base = (
+        spark.range(n_sim * N)
+        .select(
+            (F.col("id") / N).cast("long").alias("sim_id"),
+            (F.col("id") % N + 1).alias("uid"),
+        )
+        .withColumn("sim_id", F.col("sim_id") + 1)
+    )
+    keys = ["sim_id", "uid"]
+    base = base.withColumn("x_i", rng.normal(keys, seed, "x", mean=10.0, sd=1.0))
+    base = base.withColumn("z_i", rng.bernoulli(keys, seed, 0.5, "z"))
+    base = base.withColumn(
+        "stratum",
+        F.when((F.col("x_i") <= 9.5) & (F.col("z_i") == 0), 1)
+        .when((F.col("x_i") <= 9.5) & (F.col("z_i") == 1), 2)
+        .when((F.col("x_i") > 9.5) & (F.col("z_i") == 0), 3)
+        .otherwise(4),
+    )
+    base = base.withColumn(
+        "y_i",
+        F.lit(5.0) + F.lit(0.1) * F.col("x_i") + F.lit(3.0) * F.col("z_i")
+        + rng.normal(keys, seed, "eps"),
+    )
+    base = base.withColumn(
+        "tilde_y_i",
+        F.lit(7.5) + F.lit(3.0) * (F.col("y_i") - 7.5)
+        + rng.normal(keys, seed, "e", sd=math.sqrt(0.5)),
+    )
+    base = base.persist()
+
+    # proportional allocation per (sim, stratum): 4*n_sim rows to the driver
+    sizes = (
+        base.groupBy("sim_id", "stratum")
+        .agg(F.count(F.lit(1)).alias("N_h"))
+        .collect()
+    )
+    tot_by_sim: dict[int, int] = {}
+    for r in sizes:
+        tot_by_sim[r["sim_id"]] = tot_by_sim.get(r["sim_id"], 0) + int(r["N_h"])
+    alloc_rows = []
+    for r in sizes:
+        n_Ah = int(round(int(r["N_h"]) / tot_by_sim[r["sim_id"]] * n_A_total))
+        alloc_rows.append(
+            (int(r["sim_id"]), int(r["stratum"]), n_Ah,
+             float(r["N_h"]) / max(n_Ah, 1))
+        )
+    alloc = spark.createDataFrame(
+        alloc_rows,
+        StructType([
+            StructField("sim_id", LongType(), False),
+            StructField("stratum", LongType(), False),
+            StructField("n_Ah", LongType(), False),
+            StructField("d_h", DoubleType(), False),
+        ]),
+    ).withColumn("stratum", F.col("stratum").cast(dict(base.dtypes)["stratum"]))
+    grid = base.join(F.broadcast(alloc), on=["sim_id", "stratum"], how="left")
+    grid = sampling.grouped_exact(
+        grid, key_cols=keys, group_cols=["sim_id", "stratum"], n=F.col("n_Ah"),
+        seed=seed, out_col="ind_A", tag="A",
+    )
+    grid = grid.withColumn(
+        "d_i_A", F.when(F.col("ind_A") == 1, F.col("d_h")).otherwise(F.lit(None))
+    ).drop("n_Ah", "d_h")
+
+    # biased Poisson S_B with the reference's one-shot rescale-retry,
+    # per sim (``nb[7]:69-80``)
+    piB = F.when(F.col("stratum").isin(1, 2), 0.8).otherwise(0.2)
+    grid = grid.withColumn("__piB__", piB)
+    grid = grid.withColumn("ind_B", rng.bernoulli(keys, seed, F.col("__piB__"), "B1"))
+    got = {
+        r["sim_id"]: int(r["nB"]) for r in
+        grid.groupBy("sim_id").agg(F.sum("ind_B").alias("nB")).collect()
+    }
+    scale_rows = [
+        (int(s), float(n_B_total) / max(nb, 1)) for s, nb in got.items()
+    ]
+    scale_df = spark.createDataFrame(
+        scale_rows,
+        StructType([StructField("sim_id", LongType(), False),
+                    StructField("__scale__", DoubleType(), False)]),
+    )
+    grid = grid.join(F.broadcast(scale_df), "sim_id")
+    pi_adj = F.least(F.col("__piB__") * F.col("__scale__"), F.lit(1.0))
+    grid = grid.withColumn(
+        "ind_B",
+        F.when(F.col("__scale__") == 1.0, F.col("ind_B")).otherwise(
+            rng.bernoulli(keys, seed, pi_adj, "B2")
+        ),
+    )
+    out = grid.drop("__piB__", "__scale__")
+    return out
+
+
+def run_stratified_study(
+    spark: SparkSession,
+    N: int = 10_000,
+    n_sim: int = 5,
+    n_A_total: int = 500,
+    n_B_total: int = 3_000,
+    seed: int = 123,
+    y_true: float = 7.5,
+) -> MCResult:
+    """The nb[12] stratified Monte Carlo: 9 estimator cells per sim over
+    the S2 population — scenario I (y observed in B) and scenario II
+    (only the contaminated tilde observed in B), all with the REAL
+    stratified design weights d_i_A = N_h/n_Ah:
+
+      Mean_S_A        design-weighted A mean          (``nb[12]:36-38``)
+      Mean_S_B(_II)   naive B mean of y / tilde
+      RegDI(_II)      correction 1, weights_A         (``nb[12]:48-60``)
+      RegDI_X1(_II)   + aux (stratum, x_i)
+      PC_X1           scenario 1, aux stratum, HT totals from A
+      PC_X1_II        scenario 2, model y ~ tilde     (``nb[12]:105-117``)
+
+    Golden bands (``nb[12]`` output, 1000 sims at N=1e5): RegDI bias
+    -0.001 / SE 0.024, RegDI_X1 the same, Mean_S_B -0.056 (the
+    stratum-selection bias the integration estimators remove); the
+    RegDI rows stay in-band at any N (bias ~ 0 by calibration).  The
+    reference's Mean_S_B_II row (+1.833) is NOT reproducible from the
+    committed generator (tilde is centered: 3x the y-bias gives ~-0.17)
+    — a notebook-session drift; we summarize against the committed
+    generator's semantics."""
+    pop = stratified_grid_population(
+        spark, N=N, n_sim=n_sim, n_A_total=n_A_total, n_B_total=n_B_total,
+        seed=seed,
+    ).persist()
+    g = ["sim_id"]
+    try:
+        results: dict[str, dict[tuple, tuple]] = {
+            "Mean_S_A": V.weighted_mean_grouped(pop, "y_i", "ind_A", "d_i_A", g),
+            "Mean_S_B": V.naive_mean_grouped(pop, "y_i", "ind_B", g),
+            "RegDI": V.regdi_c0_grouped(
+                pop, "y_i", "y_i", "ind_A", "ind_B", g, weights_A="d_i_A"
+            ),
+            "RegDI_X1": V.regdi_c0_grouped(
+                pop, "y_i", "y_i", "ind_A", "ind_B", g,
+                aux_vars=["stratum", "x_i"], weights_A="d_i_A",
+            ),
+            "PC_X1": V.pc_s1_grouped(
+                pop, "y_i", "ind_B", ["stratum"], g,
+                weights_A="d_i_A", ind_var_A="ind_A",
+            ),
+            "Mean_S_B_II": V.naive_mean_grouped(pop, "tilde_y_i", "ind_B", g),
+            "RegDI_II": V.regdi_c0_grouped(
+                pop, "y_i", "tilde_y_i", "ind_A", "ind_B", g, weights_A="d_i_A"
+            ),
+            "RegDI_X1_II": V.regdi_c0_grouped(
+                pop, "y_i", "tilde_y_i", "ind_A", "ind_B", g,
+                aux_vars=["stratum", "x_i"], weights_A="d_i_A",
+            ),
+            "PC_X1_II": V.pc_s2_grouped(
+                pop, "y_i", "tilde_y_i", "ind_A", "ind_B", ["stratum"],
+                "y_i ~ tilde_y_i", g, weights_A="d_i_A",
+            ),
+        }
+    finally:
+        pop.unpersist()
+    # gamma is not a dimension here; reuse the (gamma, sim) summary shape
+    # with a constant 0.0 gamma slot
+    keyed = {
+        name: {(0.0, key[0]): val for key, val in cells.items()}
+        for name, cells in results.items()
+    }
+    return _summarize(spark, keyed, y_true)
+
+
 def _sd_tag(sd: float) -> str:
     """Column-name-safe sigma tag: 0.125 -> '0p125' (dots break F.col)."""
     return f"{sd:g}".replace(".", "p")

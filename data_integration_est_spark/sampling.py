@@ -106,7 +106,7 @@ def grouped_exact(
     df: DataFrame,
     key_cols: list[str],
     group_cols: list[str],
-    n: int,
+    n,
     seed: int,
     prob_col: str | None = None,
     out_col: str = "ind",
@@ -119,18 +119,21 @@ def grouped_exact(
 
     ``key_cols`` seed the per-row randomness (must include the replicate
     keys so draws are independent across groups).  With ``prob_col``,
-    Efraimidis-Spirakis keys give an unequal-probability draw.  Scale: the
-    window partitions by group — parallel across the whole grid, one
-    shuffle total for ALL replicates."""
+    Efraimidis-Spirakis keys give an unequal-probability draw.  ``n``:
+    an int (same size every group), a Column (per-row group-size, e.g. a
+    broadcast-joined per-(sim, stratum) allocation), or a column name.
+    Scale: the window partitions by group — parallel across the whole
+    grid, one shuffle total for ALL replicates."""
     u = rng.uniform(key_cols, seed, tag)
     if prob_col is not None:
         key = -F.log(u) / F.col(prob_col).cast("double")
     else:
         key = u
+    limit = F.lit(n) if isinstance(n, int) else (F.col(n) if isinstance(n, str) else n)
     w = Window.partitionBy(*group_cols).orderBy(key.asc(), *[F.col(c) for c in key_cols])
     ranked = df.withColumn("__rn__", F.row_number().over(w))
     return ranked.withColumn(
-        out_col, F.when(F.col("__rn__") <= n, 1).otherwise(0)
+        out_col, F.when(F.col("__rn__") <= limit, 1).otherwise(0)
     ).drop("__rn__")
 
 

@@ -1,0 +1,121 @@
+"""Stratified-design variance (``svydesign(ids=~1, strata=~h)``) and the
+nb[12] stratified Monte Carlo study.
+
+The reference itself only ever constructs ``ids=~1`` designs
+(``RegDI2.R:181-185``), so the strata slot is an engine extension; its
+linearization is pinned against a direct numpy implementation of the
+survey-package formula V = Σ_h n_h/(n_h-1) Σ_{i∈h} (u_i - ū_h)².
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_est_spark import montecarlo as mc
+from data_integration_est_spark.design import SurveyDesign
+from data_integration_est_spark.kernels.linalg import calibrate
+from data_integration_est_spark.kernels.stats import svymean, svytotal
+
+
+@pytest.fixture(scope="module")
+def strat_df(spark):
+    rng = np.random.default_rng(7)
+    n = 400
+    h = rng.integers(0, 3, n)
+    y = rng.normal(5 + h, 1.0)
+    w = rng.uniform(1, 4, n)
+    x = rng.normal(0, 1, n)
+    rows = [
+        (int(h[i]), float(y[i]), float(w[i]), float(x[i]), 1.0)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "h int, y double, w double, x double, uno double")
+    return df, h, y, w, x
+
+
+def _np_strat_var(u, h):
+    v = 0.0
+    for s in np.unique(h):
+        m = h == s
+        nh = int(m.sum())
+        v += nh / (nh - 1) * ((u[m] ** 2).sum() - u[m].sum() ** 2 / nh)
+    return v
+
+
+def test_svymean_stratified_matches_numpy(strat_df):
+    df, h, y, w, x = strat_df
+    des = SurveyDesign(df=df, weight_col="w", strata_col="h")
+    est = svymean(des, "y")[0]
+    m = (w * y).sum() / w.sum()
+    u = w * (y - m) / w.sum()
+    assert abs(est.estimate - m) < 1e-9
+    assert abs(est.variance - _np_strat_var(u, h)) < 1e-9
+
+
+def test_svymean_unstratified_unchanged(strat_df):
+    df, h, y, w, x = strat_df
+    e0 = svymean(SurveyDesign(df=df, weight_col="w"), "y")[0]
+    m = (w * y).sum() / w.sum()
+    u = w * (y - m) / w.sum()
+    n = len(y)
+    v0 = n / (n - 1) * ((u ** 2).sum() - u.sum() ** 2 / n)
+    assert abs(e0.variance - v0) < 1e-9
+
+
+def test_svytotal_stratified_matches_numpy(strat_df):
+    df, h, y, w, x = strat_df
+    t = svytotal(SurveyDesign(df=df, weight_col="w", strata_col="h"), "y")[0]
+    z = w * y
+    assert abs(t.estimate - z.sum()) < 1e-6
+    assert abs(t.variance - _np_strat_var(z, h)) < 1e-5 * abs(t.variance)
+
+
+def test_svymean_calibrated_stratified(strat_df):
+    """Calibrated + stratified: residual projection B is global, variance
+    sums per stratum — numpy replica of survey's calibrate + strata."""
+    df, h, y, w, x = strat_df
+    X = np.column_stack([np.ones_like(x), x])
+    T = np.array([450.0, 10.0])
+    G = (X * w[:, None]).T @ X
+    lam = np.linalg.solve(G, T - (w[:, None] * X).sum(axis=0))
+    wc = w * (1.0 + X @ lam)
+
+    cal = calibrate(df, ["uno", "x"], {"uno": 450.0, "x": 10.0}, d_col="w",
+                    out_col="wc")
+    des = SurveyDesign(df=cal.df, weight_col="wc", calibration_cols=["uno", "x"],
+                       base_weight_col="w", strata_col="h")
+    est = svymean(des, "y")[0]
+
+    m = (wc * y).sum() / wc.sum()
+    B = np.linalg.solve((X * w[:, None]).T @ X, (X * w[:, None]).T @ (y - m))
+    e = y - m - X @ B
+    u = wc * e / wc.sum()
+    assert abs(est.estimate - m) < 1e-9
+    assert abs(est.variance - _np_strat_var(u, h)) < 1e-9 * max(1.0, est.variance)
+
+
+def test_stratified_study_golden_bands(spark):
+    """nb[12] golden bands, scaled to test size: RegDI bias ~ 0 with SE
+    whose sqrt(n_A)-scaled value lands on the reference's 0.024; the
+    naive B mean shows the stratum-selection bias; scenario II RegDI
+    stays unbiased for the clean mean (calibrating to the proxy total
+    does not bias the calibrated mean of y_A)."""
+    res = mc.run_stratified_study(
+        spark, N=8_000, n_sim=5, n_A_total=400, n_B_total=2_400, seed=123
+    )
+    rows = {r["estimator"]: r for r in res.summary.collect()}
+
+    for est in ("RegDI", "RegDI_X1", "RegDI_II", "RegDI_X1_II"):
+        assert abs(rows[est]["bias_mean"]) < 0.06, (est, rows[est])
+    # reference SE 0.024 at n_A=2000 -> x sqrt(2000/400) ~ 0.054 here
+    scaled_se = rows["RegDI"]["bias_sd"] * (400 / 2000) ** 0.5
+    assert 0.012 < scaled_se < 0.04, scaled_se
+    # the selection bias the integration estimators remove (golden -0.056)
+    assert rows["Mean_S_B"]["bias_mean"] < -0.02
+    # scenario II: naive proxy mean ~ 3x the y-selection bias
+    assert rows["Mean_S_B_II"]["bias_mean"] < -0.05
+    # PC scenario 2 with stratum-only calibration reproduces the +1.83
+    # value the reference's scenario-II table records
+    assert 1.5 < rows["PC_X1_II"]["bias_mean"] < 2.2
+    # design-weighted A mean is unbiased
+    assert abs(rows["Mean_S_A"]["bias_mean"]) < 0.06

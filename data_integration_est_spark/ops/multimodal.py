@@ -1,11 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-The Spark-side machinery here is real and tested — schemas, Arrow-batched
-``mapInPandas`` pipelines, partition sizing — while the actual media
-decoding is STUBBED (this environment has no image/audio libraries).  Each
-decoder raises ``NotImplementedError`` unless ``fake=True``, in which case
-a deterministic fake (hash-derived) feature is produced so the distributed
-plumbing can be exercised end-to-end.
+The Spark-side machinery — schemas, Arrow-batched ``mapInPandas``
+pipelines, partition sizing — is real and tested, and so is a minimal
+REAL decode layer for uncompressed formats, implemented in pure
+numpy/stdlib (this environment has no image/audio libraries):
+
+  - PPM (P6) / PGM (P5) binary images
+  - BMP (24-bit uncompressed, bottom-up)
+  - WAV (RIFF, 16-bit PCM)
+
+Compressed codecs (JPEG/PNG/MP3/H.264...) still raise
+``NotImplementedError`` — honest about the environment — and the
+hash-derived ``fake=True`` path remains for plumbing tests.
 
 Design for 100 TB: media bytes stay in executor memory only for the
 duration of one Arrow batch; metadata/features (tiny) flow on; batch size
@@ -16,8 +22,10 @@ partition of large blobs cannot OOM an executor.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -44,6 +52,148 @@ FEATURE_SCHEMA = StructType([
 ])
 
 
+def decode_ppm(content: bytes) -> np.ndarray:
+    """Decode binary PPM (P6) / PGM (P5) into a (h, w, c) uint8 array.
+    Pure stdlib/numpy header parse — handles whitespace and # comments."""
+    if content[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM (P6/P5) stream")
+    channels = 3 if content[:2] == b"P6" else 1
+    pos = 2
+    vals = []
+    while len(vals) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(content[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    n = w * h * channels
+    pix = np.frombuffer(content, dtype=np.uint8, count=n, offset=pos)
+    return pix.reshape(h, w, channels)
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit bottom-up BMP into (h, w, 3) uint8
+    (RGB order)."""
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    data_off = struct.unpack_from("<I", content, 10)[0]
+    w = struct.unpack_from("<i", content, 18)[0]
+    h = struct.unpack_from("<i", content, 22)[0]
+    _planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP (got bpp={bpp})")
+    row_bytes = (w * 3 + 3) & ~3
+    out = np.empty((abs(h), w, 3), dtype=np.uint8)
+    for r in range(abs(h)):
+        src = data_off + r * row_bytes
+        row = np.frombuffer(content, dtype=np.uint8, count=w * 3, offset=src).reshape(w, 3)
+        # BMP stores BGR bottom-up (when h > 0)
+        dst = abs(h) - 1 - r if h > 0 else r
+        out[dst] = row[:, ::-1]
+    return out
+
+
+def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a RIFF/WAVE 16-bit PCM stream.  Returns (sample_rate,
+    n_channels, samples[int16, shape (n, channels)])."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_ch, rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(f"only 16-bit PCM WAV (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2")
+    return rate, n_ch, samples.reshape(-1, n_ch)
+
+
+def _image_feature(pix: np.ndarray, dim: int) -> list[float]:
+    """Real image features: dims, moments, extremes + an 8-bin luminance
+    histogram, padded/truncated to ``dim``."""
+    h, w, c = pix.shape
+    flat = pix.astype(np.float64)
+    lum = flat.mean(axis=2)
+    hist, _ = np.histogram(lum, bins=8, range=(0.0, 256.0))
+    hist = hist / max(lum.size, 1)
+    feat = [float(w), float(h), float(c), float(flat.mean()), float(flat.std()),
+            float(flat.min()), float(flat.max()), float(lum.mean())] + [float(v) for v in hist]
+    return (feat + [0.0] * dim)[:dim]
+
+
+def _audio_feature(rate: int, n_ch: int, samples: np.ndarray, dim: int) -> list[float]:
+    """Real audio features: rate/shape, moments, RMS, zero-crossing rate."""
+    x = samples.astype(np.float64) / 32768.0
+    mono = x.mean(axis=1)
+    zc = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8))))) if mono.size > 1 else 0.0
+    feat = [float(rate), float(n_ch), float(len(mono)), float(mono.mean()),
+            float(np.sqrt((mono ** 2).mean())) if mono.size else 0.0,
+            float(mono.min()) if mono.size else 0.0,
+            float(mono.max()) if mono.size else 0.0, zc]
+    return (feat + [0.0] * dim)[:dim]
+
+
+def synth_ppm(media_id: int, w: int = 8, h: int = 6) -> bytes:
+    """Deterministic REAL PPM blob: pixel j (row-major, interleaved RGB)
+    has value (media_id*31 + j) % 256 — closed-form moments, so decode
+    output is SQL-oracle-checkable."""
+    header = f"P6\n{w} {h}\n255\n".encode()
+    n = w * h * 3
+    return header + bytes((media_id * 31 + j) % 256 for j in range(n))
+
+
+def synth_wav(media_id: int, n: int = 64, rate: int = 8000) -> bytes:
+    """Deterministic REAL mono 16-bit PCM WAV: sample i is
+    ((media_id*7 + i*13) % 2001) - 1000 — closed-form moments."""
+    data = b"".join(
+        struct.pack("<h", ((media_id * 7 + i * 13) % 2001) - 1000) for i in range(n)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_feature(content: bytes | None, dim: int) -> list[float] | None:
+    """Dispatch on magic bytes to the real decoders.  Unsupported codecs
+    raise NotImplementedError (JPEG/PNG/compressed audio)."""
+    if content is None:
+        return None
+    if content[:2] in (b"P6", b"P5"):
+        return _image_feature(decode_ppm(content), dim)
+    if content[:2] == b"BM":
+        return _image_feature(decode_bmp(content), dim)
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return _audio_feature(*decode_wav(content), dim)
+    raise NotImplementedError(
+        "unsupported media codec (only PPM/PGM/BMP/16-bit-PCM WAV decode in "
+        "this environment; JPEG/PNG/MP3/video codecs need external libraries)"
+    )
+
+
 def _fake_feature(content: bytes | None, dim: int) -> list[float]:
     """Deterministic stand-in for a decoded-media feature vector: bytes of
     the blob's sha256, scaled to [0,1).  NOT a real decoder."""
@@ -59,22 +209,19 @@ def extract_features(
 ) -> DataFrame:
     """Decode + featurize media blobs via Arrow-batched ``mapInPandas``.
 
-    Real decode is environment-dependent and stubbed: raises
-    ``NotImplementedError`` unless ``fake=True`` (deterministic fake)."""
+    The real path decodes PPM/PGM/BMP/PCM-WAV with the pure-numpy parsers
+    above (other codecs raise ``NotImplementedError`` — no media libs in
+    this environment); ``fake=True`` substitutes the deterministic
+    hash-derived feature, exercising identical plumbing."""
+    featurize = _fake_feature if fake else decode_feature
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decoding requires image/audio libraries not present "
-                    "in this environment; pass fake=True to exercise the "
-                    "distributed plumbing with deterministic fake features"
-                )
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": pdf["content"].map(lambda b: 0 if b is None else len(b)).astype("int64"),
-                "feature": pdf["content"].map(lambda b: _fake_feature(b, dim)),
+                "feature": pdf["content"].map(lambda b: featurize(b, dim)),
             })
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)

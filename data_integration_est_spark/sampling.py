@@ -102,6 +102,84 @@ def stratified_exact(
     return ranked.withColumn(out_col, F.when(cond, 1).otherwise(0)).drop("__rn__")
 
 
+def stratified_exact_threshold(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    n_per_stratum: dict,
+    seed: int,
+    out_col: str = "ind",
+    tag: str = "strat",
+    slack_sigmas: float = 8.0,
+) -> DataFrame:
+    """Two-phase exact-size stratified SRS for HUGE strata — selects the
+    IDENTICAL sample as ``stratified_exact`` (same hash keys, same
+    order-statistic cut) without pushing every stratum row through one
+    ranked-window task.
+
+    Phase 1 (parallel scan, no shuffle): keep rows whose uniform key is
+    below t_h = (n_h + slack·sqrt(n_h) + 10) / N_h — the n_h smallest
+    keys of stratum h are all below t_h whenever at least n_h keys are
+    (Binomial concentration makes the miss probability < 1e-12 at 8
+    sigmas).  Phase 2: rank ONLY the ~n_h(1+ε) candidates per stratum —
+    the window input is sample-sized, not population-sized.  A per-
+    stratum candidate count check (tiny agg) falls back to the full
+    window in the astronomically-unlikely undershoot.
+
+    Use this (or let callers choose) when max stratum size ≫ what one
+    task should sort; the plain window version stays the default for the
+    reference's 4-small-strata workloads.  See SCALE.md."""
+    sizes = {
+        r[stratum_col]: int(r["__n__"])
+        for r in df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n__")).collect()
+    }
+    thresholds = {}
+    for sv, n_h in n_per_stratum.items():
+        N_h = sizes.get(sv, 0)
+        if N_h <= 0:
+            continue
+        t = (n_h + slack_sigmas * (n_h ** 0.5) + 10.0) / N_h
+        thresholds[sv] = min(1.0, t)
+
+    # the key hashes the id VALUES, so computing it on the renamed column
+    # yields bit-identical keys to stratified_exact's
+    key = rng.uniform(["__sid__"], seed, tag)
+    thr = F.lit(None).cast("double")
+    for sv, t in thresholds.items():
+        thr = F.when(F.col("__st__") == F.lit(sv), F.lit(float(t))).otherwise(thr)
+    cand = (
+        df.select(F.col(id_col).alias("__sid__"), F.col(stratum_col).alias("__st__"))
+        .withColumn("__key__", key)
+        .filter(F.col("__key__") < thr)
+    )
+
+    got = {
+        r["__st__"]: int(r["__n__"])
+        for r in cand.groupBy("__st__").agg(F.count(F.lit(1)).alias("__n__")).collect()
+    }
+    for sv, n_h in n_per_stratum.items():
+        if sizes.get(sv, 0) >= n_h and got.get(sv, 0) < n_h:
+            # < 1e-12 event (or an adversarial key distribution): fall back
+            return stratified_exact(
+                df, id_col, stratum_col, n_per_stratum, seed, out_col, tag
+            )
+
+    w = Window.partitionBy("__st__").orderBy(F.col("__key__").asc(), F.col("__sid__").asc())
+    limit = F.lit(None)
+    for sv, nv in n_per_stratum.items():
+        limit = F.when(F.col("__st__") == F.lit(sv), F.lit(int(nv))).otherwise(limit)
+    chosen = (
+        cand.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= limit)
+        .select("__sid__")
+        .withColumn(out_col, F.lit(1))
+    )
+    joined = df.join(
+        F.broadcast(chosen), on=df[id_col] == chosen["__sid__"], how="left"
+    ).drop("__sid__")
+    return joined.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0)))
+
+
 def grouped_exact(
     df: DataFrame,
     key_cols: list[str],

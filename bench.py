@@ -30,6 +30,8 @@ HEADLINE = [
     "segment_pivot",
     "full_outer_integration",
     "semijoin_priority",
+    "asof_enrich",
+    "range_join_events",
     "events_hourly",
     "sessionize_events",
     # text / dedup / similarity

@@ -20,9 +20,19 @@ from pyspark.sql import functions as F
 from data_integration_est_spark.util import spread
 
 
-def dot_arrays(a: Column, b: Column) -> Column:
+def dot_arrays(a: Column, b: Column, dim: int | None = None) -> Column:
     """Dot product of two array columns, accumulated in double, in index
-    order (bit-reproducible against any oracle that sums in order)."""
+    order (bit-reproducible against any oracle that sums in order).
+
+    With a known static ``dim`` the sum expands to element_at arithmetic,
+    which whole-stage-codegen compiles (higher-order lambdas run
+    INTERPRETED per element — ~10x slower on all-pairs scans); the
+    summation order is identical, so results are bit-equal."""
+    if dim is not None:
+        expr: Column = F.lit(0.0)
+        for j in range(1, dim + 1):
+            expr = expr + F.element_at(a, j).cast("double") * F.element_at(b, j).cast("double")
+        return expr
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -30,7 +40,13 @@ def dot_arrays(a: Column, b: Column) -> Column:
     )
 
 
-def norm_array(a: Column) -> Column:
+def norm_array(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        s: Column = F.lit(0.0)
+        for j in range(1, dim + 1):
+            e = F.element_at(a, j).cast("double")
+            s = s + e * e
+        return F.sqrt(s)
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -40,8 +56,8 @@ def norm_array(a: Column) -> Column:
     )
 
 
-def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_arrays(a, b) / (norm_array(a) * norm_array(b))
+def cosine_expr(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot_arrays(a, b, dim) / (norm_array(a, dim) * norm_array(b, dim))
 
 
 def brute_force_knn(
@@ -50,6 +66,7 @@ def brute_force_knn(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
 
@@ -63,7 +80,7 @@ def brute_force_knn(
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("qv"), F.col("cv")), 6))
+        .withColumn("cosine", F.round(cosine_expr(F.col("qv"), F.col("cv"), dim), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -81,6 +98,7 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     candidates: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     cosine >= threshold, id_a < id_b.
@@ -95,7 +113,7 @@ def cosine_near_dup_pairs(
     else:
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        pairs.withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb"), dim), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -332,6 +350,7 @@ def ivf_knn(
     n_probe: int = 4,
     n_iter: int = 3,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF approximate kNN: k-means-partition the corpus, probe only the
     ``n_probe`` nearest clusters per query, exact cosine re-rank inside.
@@ -369,7 +388,7 @@ def ivf_knn(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = cand.withColumn(
-        "cosine", F.round(cosine_expr(F.col("qv"), F.col("cv")), 6)
+        "cosine", F.round(cosine_expr(F.col("qv"), F.col("cv"), dim), 6)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -468,7 +487,7 @@ def lsh_knn(
     scored = (
         cand.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .withColumn("cosine", F.round(cosine_expr(F.col("qv"), F.col("cv")), 6))
+        .withColumn("cosine", F.round(cosine_expr(F.col("qv"), F.col("cv"), dim), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -142,6 +142,45 @@ def enriched_hourly_counts(
     )
 
 
+def interval_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    max_lag_minutes: int = 10,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    each purchase pairs with the same user's clicks from the preceding
+    ``max_lag_minutes``.
+
+    On streaming inputs both sides are watermarked and the time-range
+    condition lets Spark expire join state (the canonical watermarked
+    stream-stream join shape — state is O(events inside the lag window
+    per key), not unbounded).  On batch inputs the same function is the
+    plan Catalyst picks for the theta-join — the batch twin doubles as
+    the streaming oracle in tests, and DuckDB's BETWEEN join oracles the
+    batch twin at the gate."""
+    p = purchases.select(
+        F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"),
+        "user_id", F.col("value").alias("p_value"),
+    )
+    c = clicks.select(
+        F.col("ts").alias("c_ts"), F.col("user_id").alias("c_uid"),
+        F.col("value").alias("c_value"),
+    )
+    if p.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+    if c.isStreaming:
+        c = c.withWatermark("c_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("c_uid"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {int(max_lag_minutes)} MINUTES"))
+    )
+    return p.join(c, cond, "inner").select(
+        "p_id", "p_ts", "user_id", "p_value", "c_ts", "c_value"
+    )
+
+
 def session_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -49,6 +49,26 @@ def test_stream_static_join_matches_batch(spark, events_dir):
     assert len(_canon(batch)) > 0
 
 
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """Watermarked stream-STREAM interval join == its batch theta-join
+    twin: every (purchase, click-within-10-min) pair, append mode."""
+    src = se.read_event_batch(spark, events_dir)
+    batch = se.interval_join(
+        src.filter(F.col("event_type") == "purchase"),
+        src.filter(F.col("event_type") == "click"),
+        max_lag_minutes=10,
+    )
+    # two INDEPENDENT stream sources (each side maintains its own offsets)
+    sp = se.read_event_stream(spark, events_dir).filter(F.col("event_type") == "purchase")
+    sc = se.read_event_stream(spark, events_dir).filter(F.col("event_type") == "click")
+    stream = se.run_to_memory(
+        se.interval_join(sp, sc, max_lag_minutes=10),
+        "interval_join_t", output_mode="append",
+    )
+    assert _canon(stream) == _canon(batch)
+    assert len(_canon(batch)) > 0
+
+
 def test_stateful_sessionize_runs(spark, events_dir):
     """Closed sessions emitted by the stateful operator must agree with the
     batch window-function sessionization for every (user, start) it emits

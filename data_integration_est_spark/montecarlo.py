@@ -345,7 +345,11 @@ def run_stratified_study(
     reference's Mean_S_B_II row (+1.833) is NOT reproducible from the
     committed generator (tilde is centered: 3x the y-bias gives ~-0.17)
     — a notebook-session drift; we summarize against the committed
-    generator's semantics."""
+    generator's semantics.  Notably OUR PC_X1_II (stratum-only
+    calibration) lands at +1.835 ≈ the 1.833 their table prints, and our
+    scalar two-table pc_estimator with nb[13]'s rich-aux call gives
+    ~+0.04 bias, consistent across the scalar and grouped paths — the
+    engine is self-consistent; the notebook's row labeling is not."""
     pop = stratified_grid_population(
         spark, N=N, n_sim=n_sim, n_A_total=n_A_total, n_B_total=n_B_total,
         seed=seed,

@@ -27,8 +27,11 @@ from data_integration_est_spark.integrate import integrate_samples, IntegratedDa
 from data_integration_est_spark.estimators.regdi import regdi, RegDIResult
 from data_integration_est_spark.estimators.pc import pc_estimator, PCResult
 from data_integration_est_spark.montecarlo import (
-    run_nmar_study, run_contaminated_study, MCResult,
+    run_nmar_study, run_contaminated_study, run_nmar_v2_study,
+    run_stratified_study, MCResult, NMARv2Result,
 )
+from data_integration_est_spark.ops.asof import asof_join
+from data_integration_est_spark.ops.range_join import range_join_points
 from data_integration_est_spark.session import get_spark
 
 __all__ = [
@@ -43,7 +46,12 @@ __all__ = [
     "PCResult",
     "run_nmar_study",
     "run_contaminated_study",
+    "run_nmar_v2_study",
+    "run_stratified_study",
     "MCResult",
+    "NMARv2Result",
+    "asof_join",
+    "range_join_points",
     "get_spark",
 ]
 

@@ -35,6 +35,23 @@ from data_integration_est_spark.estimators import vectorized as V
 Y_TRUE = 3.0  # the S1/S3 population mean (``nb[4]:9``)
 
 
+def _run_battery(tasks: dict) -> dict:
+    """Run the per-study estimator battery CONCURRENTLY: each estimator is
+    a chain of Spark jobs punctuated by tiny driver collects/solves, so
+    sequential execution leaves the cluster idle between jobs.  Spark's
+    scheduler interleaves jobs submitted from different threads (FIFO
+    within a pool), overlapping one estimator's shuffle with another's
+    driver solve — same results (all randomness is hash-derived, no
+    shared mutable state), ~2-3x lower study wall-clock.  The thread
+    count only bounds DRIVER-side concurrency; executor slots are
+    arbitrated by the scheduler as usual."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(tasks), 6)) as ex:
+        futures = {name: ex.submit(fn) for name, fn in tasks.items()}
+        return {name: f.result() for name, f in futures.items()}
+
+
 def nmar_grid_population(
     spark: SparkSession,
     N: int = 10_000,
@@ -133,24 +150,25 @@ def run_nmar_study(
         spark, N=N, n_sim=n_sim, gammas=gammas, size_a=size_a, size_b=size_b,
         seed=seed,
     ).persist()
+    pop.count()  # materialize once before the concurrent battery
     g = ["gamma", "sim_id"]
     try:
-        results: dict[str, dict[tuple, tuple]] = {
-            "Mean_S_A": V.naive_mean_grouped(pop, "y_i", "muestra_A", g),
-            "Mean_S_B": V.naive_mean_grouped(pop, "y_i", "muestra_B", g),
-            "RegDI_X1": V.regdi_c0_grouped(
+        results: dict[str, dict[tuple, tuple]] = _run_battery({
+            "Mean_S_A": lambda: V.naive_mean_grouped(pop, "y_i", "muestra_A", g),
+            "Mean_S_B": lambda: V.naive_mean_grouped(pop, "y_i", "muestra_B", g),
+            "RegDI_X1": lambda: V.regdi_c0_grouped(
                 pop, "y_i", "y_i", "muestra_A", "muestra_B", g, aux_vars=["x1_i"]
             ),
-            "PC_X1_X2": V.pc_s1_grouped(pop, "y_i", "muestra_B", ["x1_i", "x2_i"], g),
-            "PC_DR": V.pc_dr1_grouped(
+            "PC_X1_X2": lambda: V.pc_s1_grouped(pop, "y_i", "muestra_B", ["x1_i", "x2_i"], g),
+            "PC_DR": lambda: V.pc_dr1_grouped(
                 pop, "y_i", "y_i", "muestra_A", "muestra_B", ["x1_i", "x2_i"],
                 "y_i ~ x_i", g,
             ),
-            "RegDI_DR": V.regdi_dr_grouped(
+            "RegDI_DR": lambda: V.regdi_dr_grouped(
                 pop, "y_i", "y_i", "muestra_A", "muestra_B", "y_i ~ x_i", g,
                 aux_vars=["x1_i"],
             ),
-        }
+        })
     finally:
         pop.unpersist()
     return _summarize(spark, results, y_true)
@@ -186,21 +204,22 @@ def run_contaminated_study(
         spark, N=N, n_sim=n_sim, gammas=gammas, size_a=size_a, size_b=size_b,
         seed=seed,
     ).persist()
+    pop.count()  # materialize once before the concurrent battery
     g = ["gamma", "sim_id"]
     try:
-        results: dict[str, dict[tuple, tuple]] = {
-            "Mean_S_B_tilde": V.naive_mean_grouped(pop, "tilde_y_i", "muestra_B", g),
-            "RegDI_tilde": V.regdi_c0_grouped(
+        results: dict[str, dict[tuple, tuple]] = _run_battery({
+            "Mean_S_B_tilde": lambda: V.naive_mean_grouped(pop, "tilde_y_i", "muestra_B", g),
+            "RegDI_tilde": lambda: V.regdi_c0_grouped(
                 pop, "y_i", "tilde_y_i", "muestra_A", "muestra_B", g
             ),
-            "RegDI_C2": V.regdi_c2_grouped(
+            "RegDI_C2": lambda: V.regdi_c2_grouped(
                 pop, "y_i", "tilde_y_i", "muestra_A", "muestra_B", g
             ),
-            "PC_S2": V.pc_s2_grouped(
+            "PC_S2": lambda: V.pc_s2_grouped(
                 pop, "y_i", "tilde_y_i", "muestra_A", "muestra_B",
                 ["x1_i", "x2_i"], "y_i ~ tilde_y_i", g,
             ),
-        }
+        })
     finally:
         pop.unpersist()
     tilde_true = 2.0 + 0.9 * (y_true - 3.0)
@@ -354,35 +373,36 @@ def run_stratified_study(
         spark, N=N, n_sim=n_sim, n_A_total=n_A_total, n_B_total=n_B_total,
         seed=seed,
     ).persist()
+    pop.count()  # materialize once before the concurrent battery
     g = ["sim_id"]
     try:
-        results: dict[str, dict[tuple, tuple]] = {
-            "Mean_S_A": V.weighted_mean_grouped(pop, "y_i", "ind_A", "d_i_A", g),
-            "Mean_S_B": V.naive_mean_grouped(pop, "y_i", "ind_B", g),
-            "RegDI": V.regdi_c0_grouped(
+        results: dict[str, dict[tuple, tuple]] = _run_battery({
+            "Mean_S_A": lambda: V.weighted_mean_grouped(pop, "y_i", "ind_A", "d_i_A", g),
+            "Mean_S_B": lambda: V.naive_mean_grouped(pop, "y_i", "ind_B", g),
+            "RegDI": lambda: V.regdi_c0_grouped(
                 pop, "y_i", "y_i", "ind_A", "ind_B", g, weights_A="d_i_A"
             ),
-            "RegDI_X1": V.regdi_c0_grouped(
+            "RegDI_X1": lambda: V.regdi_c0_grouped(
                 pop, "y_i", "y_i", "ind_A", "ind_B", g,
                 aux_vars=["stratum", "x_i"], weights_A="d_i_A",
             ),
-            "PC_X1": V.pc_s1_grouped(
+            "PC_X1": lambda: V.pc_s1_grouped(
                 pop, "y_i", "ind_B", ["stratum"], g,
                 weights_A="d_i_A", ind_var_A="ind_A",
             ),
-            "Mean_S_B_II": V.naive_mean_grouped(pop, "tilde_y_i", "ind_B", g),
-            "RegDI_II": V.regdi_c0_grouped(
+            "Mean_S_B_II": lambda: V.naive_mean_grouped(pop, "tilde_y_i", "ind_B", g),
+            "RegDI_II": lambda: V.regdi_c0_grouped(
                 pop, "y_i", "tilde_y_i", "ind_A", "ind_B", g, weights_A="d_i_A"
             ),
-            "RegDI_X1_II": V.regdi_c0_grouped(
+            "RegDI_X1_II": lambda: V.regdi_c0_grouped(
                 pop, "y_i", "tilde_y_i", "ind_A", "ind_B", g,
                 aux_vars=["stratum", "x_i"], weights_A="d_i_A",
             ),
-            "PC_X1_II": V.pc_s2_grouped(
+            "PC_X1_II": lambda: V.pc_s2_grouped(
                 pop, "y_i", "tilde_y_i", "ind_A", "ind_B", ["stratum"],
                 "y_i ~ tilde_y_i", g, weights_A="d_i_A",
             ),
-        }
+        })
     finally:
         pop.unpersist()
     # gamma is not a dimension here; reuse the (gamma, sim) summary shape
@@ -518,27 +538,28 @@ def run_nmar_v2_study(
         .drop("__ycol__")
         .persist()
     )
+    long.count()  # materialize once before the concurrent battery
     g = ["gamma", "sd", "sim_id"]
     A, B = "muestra_A", "muestra_B"
     try:
-        results: dict[str, dict[tuple, tuple]] = {
+        results: dict[str, dict[tuple, tuple]] = _run_battery({
             # the nb[37] battery: 2 PC-DR variants + 3 RegDI variants
-            "PC_xi_DR": V.pc_dr1_grouped(
+            "PC_xi_DR": lambda: V.pc_dr1_grouped(
                 long, "y_val", "y_val", A, B, ["x1_i", "x2_i"],
                 "y_val ~ x1_i + x2_i", g,
             ),
-            "PC_ei_DR": V.pc_dr1_grouped(
+            "PC_ei_DR": lambda: V.pc_dr1_grouped(
                 long, "y_val", "y_val", A, B, ["e1_i", "e2_i"],
                 "y_val ~ e1_i + e2_i", g,
             ),
-            "RegDI_no_aux": V.regdi_c0_grouped(long, "y_val", "y_val", A, B, g),
-            "RegDI_xi": V.regdi_c0_grouped(
+            "RegDI_no_aux": lambda: V.regdi_c0_grouped(long, "y_val", "y_val", A, B, g),
+            "RegDI_xi": lambda: V.regdi_c0_grouped(
                 long, "y_val", "y_val", A, B, g, aux_vars=["x1_i"]
             ),
-            "RegDI_ei": V.regdi_c0_grouped(
+            "RegDI_ei": lambda: V.regdi_c0_grouped(
                 long, "y_val", "y_val", A, B, g, aux_vars=["e1_i"]
             ),
-        }
+        })
     finally:
         long.unpersist()
 

@@ -178,6 +178,85 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): hash every character k-gram, keep the minimum hash of
+    each sliding window of ``window`` consecutive k-grams, distinct.
+    Guarantees any shared substring of length >= k + window - 1 yields at
+    least one shared fingerprint — the robust partial-overlap primitive
+    (exact dedup's md5 fingerprint catches only whole-document dups).
+
+    Physical shape: explode k-gram positions to rows, one per-doc ranked
+    window for the mins, one distinct — all relational (a nested
+    higher-order-lambda formulation would re-evaluate the hash array per
+    window element, going quadratic in doc length).  Like any
+    per-document window, a single task sees a whole document's grams —
+    fine for web-scale docs (<= ~1 MB), chunk gigantic inputs first."""
+    src = spread(df.select(F.col(id_col), F.col(text_col)))
+    n = F.greatest(F.length(F.col(text_col)) - k + 1, F.lit(1))
+    grams = src.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), n)).alias("pos"),
+        F.col(text_col),
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.xxhash64(F.col(text_col).substr(F.col("pos"), F.lit(k))).alias("h"),
+    )
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        grams.withColumn("fp", F.min("h").over(win))
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Fingerprint-overlap (Jaccard over winnowed sets) for candidate
+    (id_a, id_b) pairs — the verify step for partial-overlap detection.
+    One fingerprint table feeds both join sides (persisted)."""
+    from pyspark import StorageLevel
+
+    fps = winnow_fingerprints(df, id_col, text_col, k, window).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    inter = (
+        candidates.join(a, "id_a").join(b, ["id_b", "fp"])
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_fp").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_fp").alias("n_b"))
+    return (
+        inter.join(na, "id_a").join(nb, "id_b")
+        .withColumn(
+            "overlap",
+            F.round(F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select("id_a", "id_b", "n_common", "overlap")
+    )
+
+
 def simhash64(
     df: DataFrame,
     id_col: str = "doc_id",

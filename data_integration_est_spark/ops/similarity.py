@@ -27,7 +27,12 @@ def dot_arrays(a: Column, b: Column, dim: int | None = None) -> Column:
     With a known static ``dim`` the sum expands to element_at arithmetic,
     which whole-stage-codegen compiles (higher-order lambdas run
     INTERPRETED per element — ~10x slower on all-pairs scans); the
-    summation order is identical, so results are bit-equal."""
+    summation order is identical, so results are bit-equal.
+
+    Pass ``dim`` only on BIG scans (>= ~10^6 row-pairs): the expanded
+    expression costs ~1-3 s of one-off codegen compilation, which
+    dominates small brute-force/candidate scoring where the interpreted
+    path finishes in well under a second."""
     if dim is not None:
         expr: Column = F.lit(0.0)
         for j in range(1, dim + 1):

@@ -352,10 +352,16 @@ def pc_dr1_grouped(
     outcome_model: str,
     group_cols: list[str],
     model_type: str = "normal",
+    eval_model_performance: bool = False,
 ) -> dict[tuple, tuple]:
     """PC scenario-3 DR1 for every group (``PC.R:299-328`` vectorized):
     Yhat = (sum_B w_cal_B*(y_B - yhat) + sum_U yhat) / N.
-    ``model_type='logistic'`` runs the grouped IRLS GLM (``PC.R:311``)."""
+    ``model_type='logistic'`` runs the grouped IRLS GLM (``PC.R:311``).
+
+    With ``eval_model_performance`` each value tuple gains the
+    per-group A-sample R² of the outcome model (``PC.R:330-340``,
+    recorded by the nb[37] study) — the residual stats ride the same
+    U-side pass as masked sums, no extra job."""
     indA = F.col(ind_var_A) == 1
     b_df, _, sizes = _calibrated_b(df, ind_var_B, aux_vars, group_cols)
 
@@ -363,12 +369,21 @@ def pc_dr1_grouped(
     fit = _fit_grouped(df.filter(indA), formula, model_type, group_cols)
 
     u_join, u_pred = fit.predict_expr_grouped(df)
+    ya = F.col(y_A_col).cast("double")
+    u_aggs = [F.sum(F.col("__yhat__")).alias("sum_pred")]
+    if eval_model_performance:
+        res2 = F.when(indA, F.pow(ya - F.col("__yhat__"), 2))
+        u_aggs += [
+            F.sum(res2).alias("ssr_A"),
+            F.var_samp(F.when(indA, ya)).alias("var_yA"),
+            F.sum(F.when(indA, 1).otherwise(0)).alias("n_A"),
+        ]
     u_rows = (
-        u_join.select(*group_cols, u_pred.alias("__yhat__"))
-        .groupBy(*group_cols).agg(F.sum("__yhat__").alias("sum_pred"))
+        u_join.withColumn("__yhat__", u_pred)
+        .groupBy(*group_cols).agg(*u_aggs)
         .collect()
     )
-    sum_pred = {tuple(r[c] for c in group_cols): float(r["sum_pred"] or 0.0) for r in u_rows}
+    u_by = {tuple(r[c] for c in group_cols): r for r in u_rows}
 
     b_join, b_pred = fit.predict_expr_grouped(b_df)
     t1_rows = (
@@ -383,7 +398,15 @@ def pc_dr1_grouped(
     for r in t1_rows:
         key = tuple(r[c] for c in group_cols)
         N, _ = sizes[key]
-        out[key] = ((float(r["t1"] or 0.0) + sum_pred[key]) / N, None)
+        u = u_by[key]
+        est = (float(r["t1"] or 0.0) + float(u["sum_pred"] or 0.0)) / N
+        if eval_model_performance:
+            n_A = int(u["n_A"] or 0)
+            sst = (u["var_yA"] or 0.0) * max(n_A - 1, 0)
+            r2 = 1.0 - (u["ssr_A"] or 0.0) / sst if sst > 0 else float("nan")
+            out[key] = (est, None, float(r2))
+        else:
+            out[key] = (est, None)
     return out
 
 

@@ -127,10 +127,11 @@ class MCResult:
 class NMARv2Result:
     """The nb[37]-nb[42] end-to-end study artifacts."""
 
-    results_wide: DataFrame  # (sim_id, gamma, mean_<est>_sd_<tag>, ...) — the CSV shape
+    results_wide: DataFrame  # (sim_id, gamma, mean_<est>_sd_<tag>, R2_..., ...) — the CSV shape
     bias_long: DataFrame     # (sim_id, gamma, estimator, sd, bias)
     summary: DataFrame       # (gamma, sd, estimator, bias_mean, bias_sd, rmse)
     anova: DataFrame         # Type-I table for bias ~ sd * gamma + estimator
+    r2_summary: DataFrame | None = None  # (gamma, sd, estimator, r2_mean, r2_sd)
 
 
 def run_nmar_study(
@@ -546,11 +547,11 @@ def run_nmar_v2_study(
             # the nb[37] battery: 2 PC-DR variants + 3 RegDI variants
             "PC_xi_DR": lambda: V.pc_dr1_grouped(
                 long, "y_val", "y_val", A, B, ["x1_i", "x2_i"],
-                "y_val ~ x1_i + x2_i", g,
+                "y_val ~ x1_i + x2_i", g, eval_model_performance=True,
             ),
             "PC_ei_DR": lambda: V.pc_dr1_grouped(
                 long, "y_val", "y_val", A, B, ["e1_i", "e2_i"],
-                "y_val ~ e1_i + e2_i", g,
+                "y_val ~ e1_i + e2_i", g, eval_model_performance=True,
             ),
             "RegDI_no_aux": lambda: V.regdi_c0_grouped(long, "y_val", "y_val", A, B, g),
             "RegDI_xi": lambda: V.regdi_c0_grouped(
@@ -564,23 +565,30 @@ def run_nmar_v2_study(
         long.unpersist()
 
     # the reference's wide CSV shape: one row per (sim, gamma), one
-    # mean_<est>_sd_<tag> column per estimator x sigma (``nb[37]:110-118``)
+    # mean_<est>_sd_<tag> column per estimator x sigma, plus R2_... for
+    # the model-assisted estimators (``nb[37]:110-124``)
     cells: dict[tuple, dict[str, float]] = {}
+    r2_ests: list[str] = []
     for est, by_key in results.items():
-        for (gamma, sd, sim_id), (val, _se) in by_key.items():
-            cells.setdefault((int(sim_id), float(gamma)), {})[
-                f"mean_{est}_sd_{_sd_tag(sd)}"
-            ] = float(val)
+        has_r2 = any(len(v) > 2 for v in by_key.values())
+        if has_r2:
+            r2_ests.append(est)
+        for (gamma, sd, sim_id), vals in by_key.items():
+            row = cells.setdefault((int(sim_id), float(gamma)), {})
+            row[f"mean_{est}_sd_{_sd_tag(sd)}"] = float(vals[0])
+            if has_r2:
+                row[f"R2_{est}_sd_{_sd_tag(sd)}"] = float(vals[2])
     value_cols = [
         f"mean_{est}_sd_{_sd_tag(sd)}" for est in results for sd in sd_vector
     ]
+    r2_cols = [f"R2_{est}_sd_{_sd_tag(sd)}" for est in r2_ests for sd in sd_vector]
     schema = StructType(
         [StructField("sim_id", LongType(), False),
          StructField("gamma", DoubleType(), False)]
-        + [StructField(c, DoubleType(), True) for c in value_cols]
+        + [StructField(c, DoubleType(), True) for c in value_cols + r2_cols]
     )
     rows = [
-        (sim_id, gamma, *[vals.get(c) for c in value_cols])
+        (sim_id, gamma, *[vals.get(c) for c in value_cols + r2_cols])
         for (sim_id, gamma), vals in sorted(cells.items())
     ]
     wide = spark.createDataFrame(rows, schema)
@@ -616,6 +624,27 @@ def run_nmar_v2_study(
                            + F.coalesce(F.col("bias_sd"), F.lit(0.0)) ** 2), 3),
         )
     )
+    # nb[41]:24-46: the R2 reshape + (Gamma, Sd, Estimator) summary for
+    # the model-assisted estimators
+    r2_summary = None
+    if r2_cols:
+        r2_long = melt(
+            wide.select("sim_id", "gamma", *r2_cols),
+            id_vars=["sim_id", "gamma"], var_name="est_sd", value_name="r2",
+        )
+        r2_long = separate(
+            r2_long, "est_sd", ["estimator", "__sdtag__"], r"^R2_(.+)_sd_(.+)$"
+        ).withColumn(
+            "sd", F.regexp_replace("__sdtag__", "p", ".").cast("double")
+        ).drop("__sdtag__")
+        r2_summary = (
+            r2_long.groupBy("gamma", "sd", "estimator")
+            .agg(
+                F.round(F.avg("r2"), 3).alias("r2_mean"),
+                F.round(F.stddev_samp("r2"), 3).alias("r2_sd"),
+            )
+        )
+
     # nb[42]: aov(Bias ~ factor(Sd) * factor(Gamma) + Estimator) — R's
     # term order is Sd, Gamma, Estimator, Sd:Gamma (interaction last)
     anova = anova_type1(
@@ -623,7 +652,8 @@ def run_nmar_v2_study(
         [("sd",), ("gamma",), ("estimator",), ("sd", "gamma")],
     )
     return NMARv2Result(
-        results_wide=wide, bias_long=bias_long, summary=summary, anova=anova
+        results_wide=wide, bias_long=bias_long, summary=summary, anova=anova,
+        r2_summary=r2_summary,
     )
 
 

@@ -289,6 +289,7 @@ def kmeans_centroids(
     n_iter: int = 5,
     seed: int = 42,
     init: str = "kmeans||",
+    init_rounds: int = 2,
 ) -> list[list[float]]:
     """Spherical k-means (cosine) via distributed Lloyd iterations.
 
@@ -305,7 +306,8 @@ def kmeans_centroids(
     xxhash64(id, seed) (deterministic but distance-blind)."""
     if init == "kmeans||":
         centroids = kmeans_parallel_init(
-            corpus, vec_col=vec_col, id_col=id_col, k=k, seed=seed
+            corpus, vec_col=vec_col, id_col=id_col, k=k, seed=seed,
+            rounds=init_rounds,
         )
     else:
         rows = (
@@ -356,6 +358,7 @@ def ivf_knn(
     n_iter: int = 3,
     seed: int = 42,
     dim: int | None = None,
+    init_rounds: int = 2,
 ) -> DataFrame:
     """IVF approximate kNN: k-means-partition the corpus, probe only the
     ``n_probe`` nearest clusters per query, exact cosine re-rank inside.
@@ -365,7 +368,8 @@ def ivf_knn(
     cluster); each query joins only its probed clusters — candidate count
     drops by ~n_clusters/n_probe versus brute force."""
     centroids = kmeans_centroids(
-        corpus, vec_col, id_col, k=n_clusters, n_iter=n_iter, seed=seed
+        corpus, vec_col, id_col, k=n_clusters, n_iter=n_iter, seed=seed,
+        init_rounds=init_rounds,
     )
     c_assigned = spread(corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")

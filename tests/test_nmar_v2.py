@@ -28,12 +28,27 @@ def v2_result(spark):
 
 def test_wide_frame_shape(v2_result):
     wide = v2_result.results_wide
-    # one row per (sim, gamma); one mean_ + one bias_ column per est x sd
+    # one row per (sim, gamma); one mean_ + one bias_ column per est x sd,
+    # plus R2_ columns for the two model-assisted PC estimators
     assert wide.count() == 4 * 3
     mean_cols = [c for c in wide.columns if c.startswith("mean_")]
     bias_cols = [c for c in wide.columns if c.startswith("bias_")]
+    r2_cols = [c for c in wide.columns if c.startswith("R2_")]
     assert len(mean_cols) == 5 * 3
     assert len(bias_cols) == 5 * 3
+    assert len(r2_cols) == 2 * 3
+
+
+def test_r2_summary(v2_result):
+    """nb[41]'s r2_summary: R2 lives in (0,1) and degrades as the
+    outcome noise sigma grows (the model explains a shrinking share)."""
+    rows = {
+        (r["gamma"], r["sd"], r["estimator"]): r["r2_mean"]
+        for r in v2_result.r2_summary.collect()
+    }
+    assert all(0.0 < v < 1.0 for v in rows.values()), rows
+    for est in ("PC_xi_DR", "PC_ei_DR"):
+        assert rows[(0.0, 0.0, est)] > rows[(0.0, 0.5, est)], est
 
 
 def test_bias_long_reshape(v2_result):

@@ -42,6 +42,27 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite",
+                single_file: bool = False) -> None:
+    """JSON-Lines sink — the training-data interchange format (one JSON
+    object per line; Spark's json writer IS jsonl).  Directory-based like
+    every writer here; ``single_file`` only for tiny tables."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str,
+               schema: StructType | str | None = None) -> DataFrame:
+    """JSON-Lines source.  ALWAYS pass a schema in production: inference
+    scans all data once, and at 100 TB that doubles the read.  Malformed
+    lines surface in ``_corrupt_record`` under the default PERMISSIVE
+    mode rather than failing the job."""
+    reader = spark.read
+    if schema is not None:
+        return reader.schema(schema).json(path)
+    return reader.json(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -33,3 +33,27 @@ def test_parquet_roundtrip_partitioned(spark, sf_dir, tmp_path):
     assert sorted((r["c_mktsegment"], r["n"]) for r in back.collect()) == sorted(
         (r["c_mktsegment"], r["n"]) for r in df.collect()
     )
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    """JSONL round-trip preserves values; the on-disk format is one JSON
+    object per line (the training-data interchange contract)."""
+    import json as _json
+    from pathlib import Path
+
+    df = _summary(spark, sf_dir)
+    path = str(tmp_path / "summary_jsonl")
+    dio.write_jsonl(df, path, single_file=True)
+    back = dio.read_jsonl(
+        spark, path, schema="c_mktsegment string, n long, avg_bal double"
+    )
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted((r["c_mktsegment"], r["n"], r["avg_bal"]) for r in back.collect())
+    assert [(s, int(n), float(v)) for s, n, v in a] == [
+        (s, int(n), float(v)) for s, n, v in b
+    ]
+    # each data line is standalone JSON
+    part = next(p for p in Path(path).iterdir() if p.name.startswith("part-"))
+    lines = [l for l in part.read_text().splitlines() if l.strip()]
+    assert len(lines) == df.count()
+    assert all(isinstance(_json.loads(l), dict) for l in lines)

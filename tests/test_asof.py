@@ -56,6 +56,58 @@ def test_tolerance_nulls_far_matches(frames):
     assert out["b"] is None
 
 
+def test_property_matches_pandas_merge_asof(spark):
+    """Randomized equivalence with pandas.merge_asof — the de-facto
+    reference semantics — across directions and tolerances."""
+    import random
+
+    import pandas as pd
+
+    rnd = random.Random(20260813)
+    for trial in range(4):
+        direction = ("backward", "forward")[trial % 2]
+        tolerance = (None, 7.0)[trial // 2]
+        left_rows = sorted(
+            (rnd.randint(1, 3), float(rnd.randint(0, 200)))
+            for _ in range(60)
+        )
+        right_rows = sorted(
+            (rnd.randint(1, 3), float(rnd.randint(0, 200)), rnd.random())
+            for _ in range(40)
+        )
+        # merge_asof ties on equal (key, ts) right rows are arbitrary in
+        # both engines — dedupe to keep the comparison well-defined
+        seen = set()
+        right_rows = [
+            r for r in right_rows
+            if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))
+        ]
+        lpdf = pd.DataFrame(left_rows, columns=["k", "t"]).sort_values("t")
+        rpdf = pd.DataFrame(right_rows, columns=["k", "t", "v"]).sort_values("t")
+        expect = pd.merge_asof(
+            lpdf, rpdf, on="t", by="k", direction=direction,
+            tolerance=tolerance,
+        )
+
+        left = spark.createDataFrame(
+            [(int(k), float(t)) for k, t in left_rows], "k int, t double"
+        ).select("k", F.timestamp_seconds("t").alias("ts"))
+        right = spark.createDataFrame(
+            [(int(k), float(t), float(v)) for k, t, v in right_rows],
+            "k int, t double, v double",
+        ).select("k", F.timestamp_seconds("t").alias("ts"), "v")
+        got = asof_join(left, right, "ts", ["k"], ["v"],
+                        direction=direction, tolerance=tolerance)
+        got_map: dict[tuple, list] = {}
+        for r in got.collect():
+            got_map.setdefault((r["k"], r["ts"].timestamp()), []).append(r["v_asof"])
+        for _, e in expect.iterrows():
+            key = (int(e["k"]), float(e["t"]))
+            vals = got_map[key]
+            want = None if pd.isna(e["v"]) else float(e["v"])
+            assert want in vals, (trial, key, want, vals)
+
+
 def test_matched_ts_carried(frames):
     left, right = frames
     rows = {r["tag"]: r for r in asof_join(left, right, "ts", ["k"], ["v"]).collect()}

@@ -42,6 +42,9 @@ class PCResult:
     r2: float | None = None
     df: DataFrame | None = None  # combined table with d_i_A / d_i_B columns
     weight_col: str | None = None  # calibrated B weights
+    # IRLS convergence of the outcome model (scenarios 2/3); None when no
+    # model is fit (scenario 1) — mirrors R glm's $converged.
+    model_converged: bool | None = None
 
 
 def pc_estimator(
@@ -247,7 +250,7 @@ def _scenario_2(df, b_df, wB_cal_expr, indA, indB, y_A, outcome_model, model_typ
     ).collect()[0]
     est = ((row["t1"] or 0.0) + (row["t2"] or 0.0)) / float(N_total)
     return PCResult(estimate=float(est), model_coef=fit.coef_for(()), df=b_df,
-                    weight_col="w_cal_B")
+                    weight_col="w_cal_B", model_converged=fit.converged)
 
 
 def _scenario_3(
@@ -297,4 +300,4 @@ def _scenario_3(
         sst = (stats["var_yA"] or 0.0) * (n_A - 1)
         r2 = 1.0 - (stats["ssr_A"] or 0.0) / sst if sst > 0 else float("nan")
     return PCResult(estimate=float(est), model_coef=fit.coef_for(()), rmse=rmse, r2=r2,
-                    df=b_df, weight_col="w_cal_B")
+                    df=b_df, weight_col="w_cal_B", model_converged=fit.converged)

@@ -371,9 +371,20 @@ def fit_logistic(
     if not converged:
         import warnings
 
+        # |coef| blowing up is the signature of (quasi-)complete separation:
+        # the MLE does not exist and IRLS walks the linear predictor toward
+        # +/-inf (R glm emits "fitted probabilities numerically 0 or 1").
+        max_coef = float(np.max(np.abs(beta)))
+        hint = (
+            " — coefficient magnitudes are diverging "
+            f"(max|coef|={max_coef:.1f}); likely (quasi-)complete separation, "
+            "the MLE does not exist for this data"
+            if max_coef > 15.0
+            else ""
+        )
         warnings.warn(
             f"fit_logistic: IRLS did not converge in {max_iter} iterations "
-            "(R glm warns here too); inspect FitResult.converged",
+            f"(R glm warns here too); inspect FitResult.converged{hint}",
             RuntimeWarning,
             stacklevel=2,
         )

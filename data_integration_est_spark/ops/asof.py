@@ -44,11 +44,18 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     carried = [f"{c}{suffix}" for c in value_cols] + [f"{ts_col}{suffix}"]
+    # Carry ONE struct per right row (never null at the struct level even
+    # when individual value fields are NULL) so every carried field comes
+    # from the SAME matched right row — per-column last(ignorenulls) would
+    # splice a stale previous row's value into a NULL field, which pandas
+    # merge_asof / DuckDB ASOF JOIN never do.
     r2 = right.select(
         *by_cols,
         F.col(ts_col),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
-        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        F.struct(
+            *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+            F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        ).alias("__carry__"),
     ).withColumn("__side__", F.lit(0))
     l2 = left.withColumn("__side__", F.lit(1))
     u = l2.unionByName(r2, allowMissingColumns=True)
@@ -64,10 +71,12 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in carried:
-        u = u.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    u = u.withColumn("__carry__", F.last(F.col("__carry__"), ignorenulls=True).over(w))
 
     out = u.filter(F.col("__side__") == 1).drop("__side__")
+    for c in carried:
+        out = out.withColumn(c, F.col("__carry__").getField(c))
+    out = out.drop("__carry__")
     if tolerance is not None:
         ts_r = F.col(f"{ts_col}{suffix}")
         lag = F.abs(

@@ -58,7 +58,10 @@ def test_tolerance_nulls_far_matches(frames):
 
 def test_property_matches_pandas_merge_asof(spark):
     """Randomized equivalence with pandas.merge_asof — the de-facto
-    reference semantics — across directions and tolerances."""
+    reference semantics — across directions and tolerances.  Right rows
+    carry TWO value columns with ~20% NULLs in one of them, so a
+    per-column carry that splices a stale row's value into a matched
+    row's NULL field (the pre-r03 bug) fails the tuple comparison."""
     import random
 
     import pandas as pd
@@ -72,8 +75,16 @@ def test_property_matches_pandas_merge_asof(spark):
             for _ in range(60)
         )
         right_rows = sorted(
-            (rnd.randint(1, 3), float(rnd.randint(0, 200)), rnd.random())
-            for _ in range(40)
+            (
+                (
+                    rnd.randint(1, 3),
+                    float(rnd.randint(0, 200)),
+                    None if rnd.random() < 0.2 else rnd.random(),
+                    rnd.random(),
+                )
+                for _ in range(40)
+            ),
+            key=lambda r: (r[0], r[1]),
         )
         # merge_asof ties on equal (key, ts) right rows are arbitrary in
         # both engines — dedupe to keep the comparison well-defined
@@ -83,7 +94,9 @@ def test_property_matches_pandas_merge_asof(spark):
             if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))
         ]
         lpdf = pd.DataFrame(left_rows, columns=["k", "t"]).sort_values("t")
-        rpdf = pd.DataFrame(right_rows, columns=["k", "t", "v"]).sort_values("t")
+        rpdf = pd.DataFrame(
+            right_rows, columns=["k", "t", "v", "w"]
+        ).sort_values("t")
         expect = pd.merge_asof(
             lpdf, rpdf, on="t", by="k", direction=direction,
             tolerance=tolerance,
@@ -93,19 +106,44 @@ def test_property_matches_pandas_merge_asof(spark):
             [(int(k), float(t)) for k, t in left_rows], "k int, t double"
         ).select("k", F.timestamp_seconds("t").alias("ts"))
         right = spark.createDataFrame(
-            [(int(k), float(t), float(v)) for k, t, v in right_rows],
-            "k int, t double, v double",
-        ).select("k", F.timestamp_seconds("t").alias("ts"), "v")
-        got = asof_join(left, right, "ts", ["k"], ["v"],
+            [
+                (int(k), float(t), None if v is None else float(v), float(w))
+                for k, t, v, w in right_rows
+            ],
+            "k int, t double, v double, w double",
+        ).select("k", F.timestamp_seconds("t").alias("ts"), "v", "w")
+        got = asof_join(left, right, "ts", ["k"], ["v", "w"],
                         direction=direction, tolerance=tolerance)
         got_map: dict[tuple, list] = {}
         for r in got.collect():
-            got_map.setdefault((r["k"], r["ts"].timestamp()), []).append(r["v_asof"])
+            got_map.setdefault((r["k"], r["ts"].timestamp()), []).append(
+                (r["v_asof"], r["w_asof"])
+            )
         for _, e in expect.iterrows():
             key = (int(e["k"]), float(e["t"]))
             vals = got_map[key]
-            want = None if pd.isna(e["v"]) else float(e["v"])
+            want = (
+                None if pd.isna(e["v"]) else float(e["v"]),
+                None if pd.isna(e["w"]) else float(e["w"]),
+            )
             assert want in vals, (trial, key, want, vals)
+
+
+def test_null_right_value_not_spliced(spark):
+    """A matched right row with a NULL value column must yield NULL —
+    never the previous right row's non-NULL value (ADVICE r02)."""
+    left = spark.createDataFrame([(1, 30.0)], "k int, t double").select(
+        "k", F.timestamp_seconds("t").alias("ts")
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0, 100.0, 1.0), (1, 20.0, None, 2.0)],
+        "k int, t double, v double, w double",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "v", "w")
+    row = asof_join(left, right, "ts", ["k"], ["v", "w"]).collect()[0]
+    # match is the t=20 row: v must be its NULL, w its 2.0
+    assert row["v_asof"] is None
+    assert row["w_asof"] == 2.0
+    assert row["ts_asof"].timestamp() == 20.0
 
 
 def test_matched_ts_carried(frames):

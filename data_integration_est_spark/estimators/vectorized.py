@@ -42,6 +42,21 @@ def _fit_grouped(sample: DataFrame, formula: Formula, model_type: str, group_col
     raise ValueError("model_type must be 'normal' or 'logistic'")
 
 
+def _note_fit(diag: dict | None, fit) -> None:
+    """Accumulate fit-health counters into a caller-supplied dict — the
+    Monte Carlo harness surfaces these on MCResult.diagnostics so silent
+    numerical issues in big grids (unconverged IRLS, undersized cells)
+    are visible without scraping warnings."""
+    if diag is None:
+        return
+    diag["n_fits"] = diag.get("n_fits", 0) + 1
+    if fit.kind == "logistic" and not fit.converged:
+        diag["unconverged"] = diag.get("unconverged", 0) + 1
+    diag["degenerate_groups"] = (
+        diag.get("degenerate_groups", 0) + len(fit.degenerate_keys)
+    )
+
+
 def _broadcast_scalars(
     df: DataFrame, group_cols: list[str], values: dict[tuple, tuple], names: list[str]
 ) -> DataFrame:
@@ -92,8 +107,15 @@ def weighted_mean_grouped(
         .agg(F.sum(w * y).alias("swy"), F.sum(w).alias("sw"))
         .collect()
     )
+    # null guards match the sibling grouped estimators: an all-NULL y (or
+    # weight) group yields NaN instead of raising TypeError on float(None)
     return {
-        tuple(r[c] for c in group_cols): (float(r["swy"]) / float(r["sw"]), None)
+        tuple(r[c] for c in group_cols): (
+            float(r["swy"]) / float(r["sw"])
+            if r["swy"] is not None and (r["sw"] or 0.0) != 0.0
+            else float("nan"),
+            None,
+        )
         for r in rows
     }
 
@@ -180,6 +202,7 @@ def regdi_c2_grouped(
     ind_var_B: str,
     group_cols: list[str],
     aux_vars: list[str] | None = None,
+    diag: dict | None = None,
 ) -> dict[tuple, tuple]:
     """RegDI correction-2 (measurement error) for every group at once
     (``RegDI2.R:250-307`` vectorized): per-group OLS of y_A on y_B over
@@ -191,6 +214,7 @@ def regdi_c2_grouped(
         df.filter(indA & indB), y_col=y_A_col, x_cols=[y_B_col],
         group_cols=group_cols,
     )
+    _note_fit(diag, fit)
     coefs = {
         key: (float(fit.coef_for(key)[0]), float(fit.coef_for(key)[1]))
         for key in fit.keys
@@ -217,6 +241,7 @@ def pc_s2_grouped(
     group_cols: list[str],
     model_type: str = "normal",
     weights_A: str | None = None,
+    diag: dict | None = None,
 ) -> dict[tuple, tuple]:
     """PC scenario 2 (y unobserved in B) for every group
     (``PC.R:255-297`` vectorized):
@@ -231,6 +256,7 @@ def pc_s2_grouped(
 
     formula = Formula.parse(outcome_model).resolve(df.columns)
     fit = _fit_grouped(df.filter(indA & indB), formula, model_type, group_cols)
+    _note_fit(diag, fit)
 
     b_join, b_pred = fit.predict_expr_grouped(b_df)
     t1_rows = (
@@ -353,6 +379,7 @@ def pc_dr1_grouped(
     group_cols: list[str],
     model_type: str = "normal",
     eval_model_performance: bool = False,
+    diag: dict | None = None,
 ) -> dict[tuple, tuple]:
     """PC scenario-3 DR1 for every group (``PC.R:299-328`` vectorized):
     Yhat = (sum_B w_cal_B*(y_B - yhat) + sum_U yhat) / N.
@@ -367,6 +394,7 @@ def pc_dr1_grouped(
 
     formula = Formula.parse(outcome_model).resolve(df.columns)
     fit = _fit_grouped(df.filter(indA), formula, model_type, group_cols)
+    _note_fit(diag, fit)
 
     u_join, u_pred = fit.predict_expr_grouped(df)
     ya = F.col(y_A_col).cast("double")
@@ -419,6 +447,7 @@ def regdi_dr_grouped(
     outcome_model: str,
     group_cols: list[str],
     aux_vars: list[str] | None = None,
+    diag: dict | None = None,
 ) -> dict[tuple, tuple]:
     """RegDI correction-3 (doubly robust) for every group
     (``RegDI2.R:196-241`` vectorized):
@@ -474,6 +503,7 @@ def regdi_dr_grouped(
         df.filter(indA), y_col=formula.response, x_cols=list(formula.predictors),
         intercept=formula.intercept, group_cols=group_cols,
     )
+    _note_fit(diag, fit)
 
     a_join, a_pred = fit.predict_expr_grouped(cal.df)
     a_rows = (

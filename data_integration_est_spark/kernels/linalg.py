@@ -202,6 +202,10 @@ class FitResult:
     # (R's glm warns in the same situation) — always True for OLS.
     converged: bool = True
     n_obs: int | None = None  # rows (min across groups) that entered the fit
+    # Grouped fits only: keys whose group had fewer rows than design columns.
+    # Their coefficient rows are NaN (the reference's guard, RegDI2.R:254-255,
+    # is per-call — one undersized Monte Carlo cell must not abort the grid).
+    degenerate_keys: tuple = ()
 
     def coef_for(self, key: tuple = ()) -> np.ndarray:
         return self.coef[{k: i for i, k in enumerate(self.keys)}[key]]
@@ -266,18 +270,32 @@ def fit_ols(
         work = work.withColumn(ones, F.lit(1.0))
         xs = [ones] + xs
     g = gram_aggregate(work, xs, y_cols=[y_col], weight_col=weight_col, group_cols=group_cols)
+    k = len(xs)
     n_min = int(g.count.min()) if len(g.keys) else 0
-    if n_min < len(xs):
+    bad = np.asarray(g.count) < k
+    if n_min < k and not group_cols:
         # Mirrors the reference's validation-data guard (``RegDI2.R:254-255``)
         # with a clearer message than the singular-Gram failure it would hit.
         raise CalibrationError(
             f"fit_ols: insufficient rows (min group n={n_min}) for "
-            f"{len(xs)} design columns"
+            f"{k} design columns"
         )
-    beta = _solve_ols_stacked(g.gram, g.xy[:, :, 0:1], "fit_ols").squeeze(-1).reshape(len(g.keys), len(xs))
+    gram, xy = g.gram, g.xy
+    if bad.any():
+        # Grouped fit: degrade ONLY the undersized groups to NaN instead of
+        # aborting the whole (gamma, sim) grid — the reference's guard is
+        # per-call, not global.  Identity Grams keep the stacked solve sane.
+        gram = gram.copy()
+        xy = xy.copy()
+        gram[bad] = np.eye(k)
+        xy[bad] = 0.0
+    beta = _solve_ols_stacked(gram, xy[:, :, 0:1], "fit_ols").squeeze(-1).reshape(len(g.keys), k)
+    if bad.any():
+        beta[bad] = float("nan")
     return FitResult(
         x_cols=list(x_cols), intercept=intercept, coef=beta,
         keys=g.keys, group_cols=group_cols, kind="ols", n_obs=n_min,
+        degenerate_keys=tuple(key for i, key in enumerate(g.keys) if bad[i]),
     )
 
 
@@ -316,7 +334,8 @@ def fit_logistic(
     g0 = gram_aggregate(work, xs, weight_col=weight_col, group_cols=group_cols)
     keys, ng, k = g0.keys, len(g0.keys), len(xs)
     n_min = int(g0.count.min()) if keys else 0
-    if n_min < k:
+    bad = np.asarray(g0.count) < k
+    if n_min < k and not group_cols:
         raise CalibrationError(
             f"fit_logistic: insufficient rows (min group n={n_min}) for "
             f"{k} design columns"
@@ -362,6 +381,11 @@ def fit_logistic(
                     v = r[f"__h_{i}_{j}__"] or 0.0
                     H[gi, i, j] = H[gi, j, i] = v
                 s[gi, i] = r[f"__s_{i}__"] or 0.0
+        if bad.any():
+            # undersized groups (degraded to NaN below): identity Hessian /
+            # zero score keeps the stacked solve non-singular, step stays 0
+            H[bad] = np.eye(k)
+            s[bad] = 0.0
         step = _solve_stacked(H, s[..., None], "fit_logistic").squeeze(-1).reshape(ng, k)
         beta = beta + step
         if float(np.max(np.abs(step))) < tol:
@@ -388,8 +412,11 @@ def fit_logistic(
             RuntimeWarning,
             stacklevel=2,
         )
+    if bad.any():
+        beta[bad] = float("nan")
     return FitResult(
         x_cols=list(x_cols), intercept=intercept, coef=beta,
         keys=keys, group_cols=group_cols, kind="logistic",
         converged=converged, n_obs=n_min,
+        degenerate_keys=tuple(key for i, key in enumerate(keys) if bad[i]),
     )

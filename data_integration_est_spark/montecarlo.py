@@ -121,6 +121,12 @@ class MCResult:
 
     estimates: DataFrame  # (gamma, sim_id, estimator, estimate, se)
     summary: DataFrame    # (gamma, estimator, bias_mean, bias_sd, rmse, n_sim)
+    # per-estimator fit health: {estimator: {n_fits, unconverged,
+    # degenerate_groups}} for every battery member that fits a model —
+    # silent numerical trouble in a big grid (IRLS at max_iter, an
+    # undersized cell NaN'd by the grouped solvers) surfaces here instead
+    # of only as a RuntimeWarning in the driver log.
+    diagnostics: dict[str, dict] | None = None
 
 
 @dataclass
@@ -153,6 +159,7 @@ def run_nmar_study(
     ).persist()
     pop.count()  # materialize once before the concurrent battery
     g = ["gamma", "sim_id"]
+    diags: dict[str, dict] = {"PC_DR": {}, "RegDI_DR": {}}
     try:
         results: dict[str, dict[tuple, tuple]] = _run_battery({
             "Mean_S_A": lambda: V.naive_mean_grouped(pop, "y_i", "muestra_A", g),
@@ -163,16 +170,16 @@ def run_nmar_study(
             "PC_X1_X2": lambda: V.pc_s1_grouped(pop, "y_i", "muestra_B", ["x1_i", "x2_i"], g),
             "PC_DR": lambda: V.pc_dr1_grouped(
                 pop, "y_i", "y_i", "muestra_A", "muestra_B", ["x1_i", "x2_i"],
-                "y_i ~ x_i", g,
+                "y_i ~ x_i", g, diag=diags["PC_DR"],
             ),
             "RegDI_DR": lambda: V.regdi_dr_grouped(
                 pop, "y_i", "y_i", "muestra_A", "muestra_B", "y_i ~ x_i", g,
-                aux_vars=["x1_i"],
+                aux_vars=["x1_i"], diag=diags["RegDI_DR"],
             ),
         })
     finally:
         pop.unpersist()
-    return _summarize(spark, results, y_true)
+    return _summarize(spark, results, y_true, diagnostics=diags)
 
 
 def run_contaminated_study(
@@ -207,6 +214,7 @@ def run_contaminated_study(
     ).persist()
     pop.count()  # materialize once before the concurrent battery
     g = ["gamma", "sim_id"]
+    diags: dict[str, dict] = {"RegDI_C2": {}, "PC_S2": {}}
     try:
         results: dict[str, dict[tuple, tuple]] = _run_battery({
             "Mean_S_B_tilde": lambda: V.naive_mean_grouped(pop, "tilde_y_i", "muestra_B", g),
@@ -214,18 +222,20 @@ def run_contaminated_study(
                 pop, "y_i", "tilde_y_i", "muestra_A", "muestra_B", g
             ),
             "RegDI_C2": lambda: V.regdi_c2_grouped(
-                pop, "y_i", "tilde_y_i", "muestra_A", "muestra_B", g
+                pop, "y_i", "tilde_y_i", "muestra_A", "muestra_B", g,
+                diag=diags["RegDI_C2"],
             ),
             "PC_S2": lambda: V.pc_s2_grouped(
                 pop, "y_i", "tilde_y_i", "muestra_A", "muestra_B",
-                ["x1_i", "x2_i"], "y_i ~ tilde_y_i", g,
+                ["x1_i", "x2_i"], "y_i ~ tilde_y_i", g, diag=diags["PC_S2"],
             ),
         })
     finally:
         pop.unpersist()
     tilde_true = 2.0 + 0.9 * (y_true - 3.0)
     return _summarize(
-        spark, results, y_true, y_true_by_est={"RegDI_C2": tilde_true}
+        spark, results, y_true, y_true_by_est={"RegDI_C2": tilde_true},
+        diagnostics=diags,
     )
 
 
@@ -662,6 +672,7 @@ def _summarize(
     results: dict[str, dict[tuple, tuple]],
     y_true: float,
     y_true_by_est: dict[str, float] | None = None,
+    diagnostics: dict[str, dict] | None = None,
 ) -> MCResult:
     """``y_true_by_est`` overrides the truth per estimator — used when an
     estimator targets a different estimand (e.g. the proxy-scale mean)."""
@@ -698,4 +709,4 @@ def _summarize(
         )
         .select("gamma", "estimator", "bias_mean", "bias_sd", "rmse", "n_sim")
     )
-    return MCResult(estimates=estimates, summary=summary)
+    return MCResult(estimates=estimates, summary=summary, diagnostics=diagnostics)

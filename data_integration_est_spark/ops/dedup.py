@@ -207,13 +207,22 @@ def winnow_fingerprints(
     ).select(
         F.col(id_col),
         F.col("pos"),
+        (F.length(F.col(text_col)) - k + 1).alias("n_grams"),
         F.xxhash64(F.col(text_col).substr(F.col("pos"), F.lit(k))).alias("h"),
     )
     from pyspark.sql import Window as W
 
     win = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    # FULL windows only (pos <= n_grams - window + 1): emitting the partial
+    # trailing windows too would be a superset of the SIGMOD-2003 winnowing
+    # set and slightly inflate short-doc overlap Jaccard.  Docs too short
+    # for one full window keep their single all-grams window.
     return (
         grams.withColumn("fp", F.min("h").over(win))
+        .filter(
+            F.col("pos")
+            <= F.greatest(F.col("n_grams") - window + 1, F.lit(1))
+        )
         .select(id_col, "fp")
         .distinct()
     )

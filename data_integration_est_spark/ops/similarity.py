@@ -240,11 +240,25 @@ def kmeans_parallel_init(
     centers = [[float(v) for v in first[0][vec_col]]]
 
     src = spread(corpus.select(F.col(id_col), F.col(vec_col)))
+    # _centroid_sims_sql normalizes only the CENTROIDS (enough for argmax
+    # ordering), but here the values feed the distance-weighted sampling
+    # draw, so divide by the row norm too: without it a non-unit row with
+    # |x|cos > 1 clamps to d=0 and can never be sampled, skewing seeding.
+    dim = len(centers[0])
+    sq = " + ".join(
+        f"CAST(element_at(`{vec_col}`, {j + 1}) AS DOUBLE) * "
+        f"CAST(element_at(`{vec_col}`, {j + 1}) AS DOUBLE)"
+        for j in range(dim)
+    )
+    row_norm = F.greatest(F.expr(f"sqrt({sq})"), F.lit(1e-12))
     for r in range(rounds):
         sims = _centroid_sims_sql(vec_col, centers)
         # cosine distance to the nearest current center, clamped at 0
         d = src.withColumn(
-            "__d__", F.greatest(F.lit(0.0), F.lit(1.0) - F.expr(f"array_max({sims})"))
+            "__d__",
+            F.greatest(
+                F.lit(0.0), F.lit(1.0) - F.expr(f"array_max({sims})") / row_norm
+            ),
         )
         total = d.agg(F.sum("__d__")).collect()[0][0] or 0.0
         if total <= 0:

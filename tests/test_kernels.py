@@ -152,3 +152,56 @@ def test_svymean_grouped_matches_ungrouped(small_df):
         m_np, v_np = oracle_np.svymean_var(sub.y.to_numpy(), sub.w.to_numpy())
         np.testing.assert_allclose(rows[(gv,)].estimate, m_np, rtol=1e-9)
         np.testing.assert_allclose(rows[(gv,)].variance, v_np, rtol=1e-8)
+
+
+def test_grouped_fit_degrades_undersized_group_to_nan(spark):
+    """One undersized (n < k) group must NOT abort a grouped fit — its
+    coefficients go NaN and the key is surfaced on FitResult (the
+    reference's guard, RegDI2.R:254-255, is per-call, not per-grid)."""
+    rng = np.random.default_rng(5)
+    n = 120
+    pdf = pd.DataFrame({
+        "g": ["big"] * (n - 2) + ["tiny"] * 2,
+        "x1": rng.normal(0, 1, n),
+        "x2": rng.normal(0, 1, n),
+        "y": rng.normal(0, 1, n),
+    })
+    pdf["y"] = 1.0 + 0.5 * pdf.x1 - 0.25 * pdf.x2 + pdf.y
+    pdf["yb"] = (pdf.y > pdf.y.median()).astype(float)
+    df = spark.createDataFrame(pdf)
+
+    # 2 rows < 3 design columns (intercept + x1 + x2)
+    fit = fit_ols(df, "y", ["x1", "x2"], intercept=True, group_cols=["g"])
+    assert fit.degenerate_keys == (("tiny",),)
+    assert np.isnan(fit.coef_for(("tiny",))).all()
+    sub = pdf[pdf.g == "big"]
+    X = np.column_stack([np.ones(len(sub)), sub.x1, sub.x2])
+    np.testing.assert_allclose(
+        fit.coef_for(("big",)), oracle_np.ols(X, sub.y.to_numpy()), rtol=1e-8
+    )
+
+    lfit = fit_logistic(df, "yb", ["x1", "x2"], intercept=True, group_cols=["g"])
+    assert lfit.degenerate_keys == (("tiny",),)
+    assert np.isnan(lfit.coef_for(("tiny",))).all()
+    assert np.isfinite(lfit.coef_for(("big",))).all()
+
+    # ungrouped fits keep the fatal reference behavior
+    tiny = spark.createDataFrame(pdf[pdf.g == "tiny"])
+    with pytest.raises(CalibrationError):
+        fit_ols(tiny, "y", ["x1", "x2"], intercept=True)
+    with pytest.raises(CalibrationError):
+        fit_logistic(tiny, "yb", ["x1", "x2"], intercept=True)
+
+
+def test_weighted_mean_grouped_all_null_group_is_nan(spark):
+    """An all-NULL y group yields NaN (not TypeError) — parity with the
+    sibling grouped estimators' null handling (ADVICE r02)."""
+    from data_integration_est_spark.estimators.vectorized import weighted_mean_grouped
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0, 1), ("a", 3.0, 1.0, 1), ("b", None, 1.0, 1)],
+        "g string, y double, w double, s int",
+    )
+    out = weighted_mean_grouped(df, "y", "s", "w", ["g"])
+    assert out[("a",)][0] == pytest.approx(2.0)
+    assert np.isnan(out[("b",)][0])

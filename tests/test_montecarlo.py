@@ -182,3 +182,12 @@ def test_nmar_study_bias_pattern(spark):
     assert r["rmse"] == pytest.approx(
         math.sqrt(r["bias_mean"] ** 2 + (r["bias_sd"] or 0.0) ** 2), abs=2e-6
     )
+
+    # fit-health diagnostics (VERDICT r02 item 10): every model-fitting
+    # battery member reports; this healthy grid has no degenerate cells
+    assert res.diagnostics is not None
+    for name in ("PC_DR", "RegDI_DR"):
+        d = res.diagnostics[name]
+        assert d["n_fits"] >= 1
+        assert d.get("unconverged", 0) == 0
+        assert d["degenerate_groups"] == 0

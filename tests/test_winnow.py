@@ -11,10 +11,13 @@ K, W = 8, 4
 
 
 def _py_winnow(hashes: list[int], window: int) -> set[int]:
+    """SIGMOD-2003 winnowing: min of each FULL window of `window`
+    consecutive hashes (no partial trailing windows); a doc too short
+    for one full window keeps its single all-grams min."""
     if len(hashes) <= window:
         return set([min(hashes)]) if hashes else set()
     out = set()
-    for j in range(len(hashes)):
+    for j in range(len(hashes) - window + 1):
         out.add(min(hashes[j : j + window]))
     return out
 

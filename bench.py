@@ -10,6 +10,12 @@ does the same), so timings include result materialization.  The suite is
 the same `queries()` registry the correctness gate runs — headline subset
 chosen to cover every engine layer: relational (joins/aggs/pivots/windows),
 text/dedup/similarity, and the statistical estimators.
+
+Each query runs ``$SPARK_GRAFT_BENCH_REPS`` times (default 3) and reports
+the per-query MEDIAN; the box has external background load (±7 s observed
+run-to-run on the full suite) and first-run JIT warm-up inflates a cold
+query up to ~3x, so single-shot timings flagged two spurious regressions
+in round 2.  ``value`` is the sum of medians.
 """
 
 from __future__ import annotations
@@ -76,16 +82,21 @@ def main() -> None:
     # JVM/codegen warm-up on a trivial job so q1 doesn't absorb startup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        dt = time.perf_counter() - t0
+        runs: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        dt = sorted(runs)[len(runs) // 2]
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        detail = "/".join(f"{r:.3f}" for r in sorted(runs))
+        print(f"# {name}: median {dt:.3f}s of [{detail}]", file=sys.stderr)
 
     print(json.dumps({
         "metric": "suite_wall_sec",
@@ -93,6 +104,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_num,
+        "reps": reps,
     }))
 
 

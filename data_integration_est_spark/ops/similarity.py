@@ -388,9 +388,18 @@ def ivf_knn(
     c_assigned = spread(corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )).withColumn("__c__", _nearest_centroid("cv", centroids))
+    return _probe_and_rank(c_assigned, queries, centroids, k, id_col, vec_col,
+                           n_probe, dim)
 
+
+def _query_probes(
+    queries: DataFrame, centroids: list[list[float]], n_probe: int, id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, qv, __c__) — each query exploded to its n_probe nearest
+    cluster ids by centroid cosine."""
     sims = F.expr(_centroid_sims_sql("qv", centroids))
-    q_probes = (
+    return (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
         .withColumn("__sims__", sims)
         .select(
@@ -407,7 +416,99 @@ def ivf_knn(
         )
         .select("query_id", "qv", F.col("__p__.c").cast("int").alias("__c__"))
     )
+
+
+def _probe_and_rank(
+    c_assigned: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+    dim: int | None,
+) -> DataFrame:
+    """Shared IVF probe: equi-join queries' probed cluster ids against the
+    (neighbor_id, cv, __c__) corpus, exact cosine re-rank, partial top-k."""
+    q_probes = _query_probes(queries, centroids, n_probe, id_col, vec_col)
     cand = q_probes.join(c_assigned, on="__c__").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(cosine_expr(F.col("qv"), F.col("cv"), dim), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_build_partitioned(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    n_iter: int = 3,
+    seed: int = 42,
+    init_rounds: int = 2,
+) -> list[list[float]]:
+    """The IVF 100 TB layout: assign every corpus vector its cluster id and
+    persist PARTITIONED BY cluster_id (one directory per cluster).
+
+    A probe query then filters ``cluster_id IN (<probed>)`` and the parquet
+    scan never opens the other clusters' files — partition pruning turns
+    n_probe/n_clusters into a SCAN-SIZE reduction, not just a candidate-
+    count reduction (``ivf_probe_partitioned``; plan evidence in SCALE.md
+    and tests/test_bucketing.py).  Returns the centroid matrix the caller
+    must keep for probing (tiny: k x dim floats)."""
+    from data_integration_est_spark.io import write_parquet
+
+    centroids = kmeans_centroids(
+        corpus, vec_col, id_col, k=n_clusters, n_iter=n_iter, seed=seed,
+        init_rounds=init_rounds,
+    )
+    assigned = spread(corpus.select(F.col(id_col), F.col(vec_col))).withColumn(
+        "cluster_id", _nearest_centroid(vec_col, centroids)
+    )
+    write_parquet(assigned, path, partition_by=["cluster_id"])
+    return centroids
+
+
+def ivf_probe_partitioned(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Probe an ``ivf_build_partitioned`` layout with static partition
+    pruning: the probed cluster ids are computed from the (small) query
+    side and pushed as a literal ``cluster_id IN (...)`` partition filter,
+    so the corpus scan reads only ~n_probe/n_clusters of the files —
+    the pruning shows up as ``PartitionFilters`` on the scan node."""
+    q_probes = _query_probes(queries, centroids, n_probe, id_col, vec_col)
+    probed = sorted(
+        r["__c__"] for r in q_probes.select("__c__").distinct().collect()
+    )
+    corpus = (
+        spark.read.parquet(path)
+        .filter(F.col("cluster_id").isin([int(c) for c in probed]))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            F.col("cluster_id").cast("int").alias("__c__"),
+        )
+    )
+    cand = q_probes.join(corpus, on="__c__").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = cand.withColumn(

@@ -146,6 +146,40 @@ def test_null_right_value_not_spliced(spark):
     assert row["ts_asof"].timestamp() == 20.0
 
 
+def test_hot_key_single_window(spark):
+    """One pathologically hot key (99% of rows) funnels through a single
+    window task — correctness must hold there, and the plan must stay the
+    documented shape: ONE shuffle on the key feeding ONE Window, with no
+    theta join (SCALE.md round-3 as-of rule).  AQE splits skewed joins,
+    not windows, so this is the skew case the rule is about."""
+    n_hot = 5_000
+    left_rows = [(0, float(t) + 0.5) for t in range(n_hot)] + [
+        (k, 42.5) for k in range(1, 6)
+    ]
+    # right rows every 10s on the hot key; value encodes its own ts
+    right_rows = [(0, float(t), float(t)) for t in range(0, n_hot, 10)] + [
+        (k, 40.0, 40.0) for k in range(1, 6)
+    ]
+    left = spark.createDataFrame(left_rows, "k int, t double").select(
+        "k", F.timestamp_seconds("t").alias("ts")
+    )
+    right = spark.createDataFrame(right_rows, "k int, t double, v double").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "v"
+    )
+    out = asof_join(left, right, "ts", ["k"], ["v"])
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+    assert "Join" not in plan  # union + window, never a range/theta join
+
+    got = out.collect()
+    assert len(got) == len(left_rows)
+    for r in got:
+        t = r["ts"].timestamp()
+        want = (t // 10) * 10 if r["k"] == 0 else 40.0
+        assert r["v_asof"] == want, (r["k"], t, r["v_asof"], want)
+
+
 def test_matched_ts_carried(frames):
     left, right = frames
     rows = {r["tag"]: r for r in asof_join(left, right, "ts", ["k"], ["v"]).collect()}

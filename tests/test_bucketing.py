@@ -62,3 +62,42 @@ def test_bucketed_aggregation_elides_shuffle(spark, sf_dir):
     )
     assert "Exchange" not in _explain(agg)
     assert agg.count() > 0
+
+
+def test_ivf_partitioned_probe_prunes_scan(spark, sf_dir, tmp_path):
+    """The IVF 100 TB layout (VERDICT r02 item 6): corpus written
+    partitionBy(cluster_id); a probe pushes a literal cluster_id IN (...)
+    PARTITION filter, so the scan reads only the probed clusters'
+    directories — and returns exactly what the in-memory IVF returns."""
+    from data_integration_est_spark.ops import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(8)
+    path = str(tmp_path / "ivf_corpus")
+
+    cents = sim.ivf_build_partitioned(
+        emb, path, n_clusters=8, n_iter=2, seed=42
+    )
+    got = sim.ivf_probe_partitioned(
+        spark, path, cents, queries, k=5, n_probe=2
+    )
+
+    plan = _explain(got)
+    assert "PartitionFilters" in plan
+    # the IN-list partition filter reaches the scan node (pruning), rather
+    # than being applied post-scan as a data filter
+    import re
+    m = re.search(r"PartitionFilters: \[[^\]]*cluster_id[^\]]*IN \(", plan)
+    assert m, "cluster_id IN (...) not in PartitionFilters:\n" + plan
+
+    # fewer partition directories scanned than exist on disk
+    import os
+    n_dirs = len([d for d in os.listdir(path) if d.startswith("cluster_id=")])
+    probed = {r["__c__"] for r in sim._query_probes(
+        queries, cents, 2, "vec_id", "embedding"
+    ).select("__c__").distinct().collect()}
+    assert 0 < len(probed) < n_dirs
+
+    # identical results to the all-in-memory IVF with the same seed/params
+    mem = sim.ivf_knn(emb, queries, k=5, n_clusters=8, n_probe=2, n_iter=2, seed=42)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, mem.collect()))

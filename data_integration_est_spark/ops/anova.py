@@ -85,11 +85,30 @@ def f_sf(f_stat: float, df1: float, df2: float) -> float:
     return _betainc(df2 / 2.0, df1 / 2.0, x)
 
 
+MAX_FACTOR_LEVELS = 100
+
+
 def _dummies(df: DataFrame, col: str) -> tuple[DataFrame, list[str]]:
-    """Drop-first dummy encoding; level order is sorted (R factor order)."""
-    levels = sorted(
-        r[0] for r in df.select(col).distinct().collect() if r[0] is not None
+    """Drop-first dummy encoding; level order is sorted (R factor order).
+
+    Guarded at ``MAX_FACTOR_LEVELS``: each level becomes a dummy design
+    column and the Gram solve is O(k^2) driver memory / O(k^2) agg state,
+    so an accidental high-cardinality factor (an id column, say) must
+    fail loudly instead of building thousands of columns.  The LIMIT is
+    pushed into the distinct scan so the driver never receives more than
+    the cap + 1 rows even for million-level columns.
+    """
+    capped = (
+        df.select(col).filter(F.col(col).isNotNull()).distinct()
+        .limit(MAX_FACTOR_LEVELS + 1).collect()
     )
+    if len(capped) > MAX_FACTOR_LEVELS:
+        raise ValueError(
+            f"anova_type1: factor {col!r} has more than {MAX_FACTOR_LEVELS} "
+            "distinct levels - almost certainly a continuous or id column. "
+            "Bucket it first, or raise anova.MAX_FACTOR_LEVELS explicitly."
+        )
+    levels = sorted(r[0] for r in capped)
     names = []
     # index-based names: level VALUES may contain dots (e.g. numeric factor
     # levels like 0.25) which F.col would parse as struct access

@@ -81,3 +81,15 @@ def test_f_sf_known_values():
     assert f_sf(4.9646, 1, 10) == pytest.approx(0.05, abs=2e-4)
     assert f_sf(3.0984, 3, 20) == pytest.approx(0.05, abs=2e-4)
     assert f_sf(0.0, 3, 20) == 1.0
+
+
+def test_factor_cardinality_guard(spark):
+    """A high-cardinality factor (e.g. an id column) must fail loudly
+    before building thousands of dummy columns (VERDICT r02 item 7)."""
+    import pytest
+
+    df = spark.range(500).selectExpr(
+        "cast(id as string) as big_factor", "cast(id % 7 as double) as y"
+    )
+    with pytest.raises(ValueError, match="more than 100 distinct levels"):
+        anova_type1(df, "y", [("big_factor",)])

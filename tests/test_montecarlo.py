@@ -191,3 +191,81 @@ def test_nmar_study_bias_pattern(spark):
         assert d["n_fits"] >= 1
         assert d.get("unconverged", 0) == 0
         assert d["degenerate_groups"] == 0
+
+
+def test_dr_grouped_variance_vs_golden(spark):
+    """Correction-3 variance vs golden (RegDI2.R:222-225:
+    V = var(w_cal*(y-yhat))/n_A + var_U(yhat)/N), two pins:
+
+    1. The grouped SE path reproduces a literal numpy transcription of
+       the reference formula on a cell's collected rows (1e-9) — so the
+       fused Spark aggregation can't drift from the reference semantics.
+    2. The formula's DOCUMENTED miscalibration is asserted, not hidden:
+       the reference divides var(w*res) by n_A, i.e. it estimates the
+       variance of mean(w*res), while the estimator uses sum(w*res)/N —
+       with d = N/n_A calibrated weights the reported SE therefore runs
+       ~N/n_A times the true Monte-Carlo SD of the estimate.  We pin
+       mean(SE)/mc_sd onto that N/n_A line (loose band: 10 sims put ~25%
+       relative noise on the SD).  Faithful-to-reference beats
+       "statistically calibrated" here; flagging the ratio keeps the
+       deviation from ever silently changing.
+    """
+    import numpy as np
+
+    N_pop, n_A = 4_000, 500
+    pop = mc.nmar_grid_population(
+        spark, N=N_pop, n_sim=10, gammas=(0.0,), size_a=n_A, size_b=1_000,
+        seed=2026,
+    ).persist()
+    pop.count()
+    try:
+        cells = V.regdi_dr_grouped(
+            pop, "y_i", "y_i", "muestra_A", "muestra_B", "y_i ~ x_i",
+            ["gamma", "sim_id"], aux_vars=["x1_i"],
+        )
+
+        # --- pin 1: numpy transcription of RegDI2.R:209-225 on one cell
+        cell = pop.filter((F.col("gamma") == 0.0) & (F.col("sim_id") == 1))
+        rows = cell.select("uid", "y_i", "x_i", "x1_i", "muestra_A",
+                           "muestra_B").collect()
+        y = np.array([r["y_i"] for r in rows])
+        x = np.array([r["x_i"] for r in rows])
+        x1 = np.array([r["x1_i"] for r in rows], dtype=float)
+        inA = np.array([r["muestra_A"] for r in rows]) == 1
+        inB = np.array([r["muestra_B"] for r in rows]) == 1
+        N = len(rows)
+        d = N / inA.sum()
+        # calibrate d to totals of (1, delta, delta*y, delta*x1) — the
+        # engine's correction-3 constraint set (delta = ind_B)
+        Xc = np.column_stack([
+            np.ones(N), inB.astype(float), np.where(inB, y, 0.0),
+            np.where(inB, x1, 0.0),
+        ])
+        tot = Xc.sum(axis=0)
+        Xa = Xc[inA]
+        lam = np.linalg.solve(Xa.T @ (d * np.ones(inA.sum())[:, None] * Xa),
+                              tot - d * Xa.sum(axis=0))
+        w = d * (1.0 + Xa @ lam)
+        # OLS y ~ x on A; predict over U
+        D = np.column_stack([np.ones(inA.sum()), x[inA]])
+        beta = np.linalg.lstsq(D, y[inA], rcond=None)[0]
+        yhat = beta[0] + beta[1] * x
+        wres = w * (y[inA] - yhat[inA])
+        t_np = (wres.sum() + yhat.sum()) / N
+        v_np = wres.var(ddof=1) / inA.sum() + yhat.var(ddof=1) / N
+        t_sp, se_sp = cells[(0.0, 1)]
+        assert t_sp == pytest.approx(t_np, rel=1e-9)
+        assert se_sp == pytest.approx(v_np ** 0.5, rel=1e-9)
+
+        # --- pin 2: the documented ~N/n_A SE inflation vs MC SD
+        ests = [t for t, _ in cells.values()]
+        ses = [s for _, s in cells.values()]
+        m = sum(ests) / len(ests)
+        mc_sd = (sum((e - m) ** 2 for e in ests) / (len(ests) - 1)) ** 0.5
+        mean_se = sum(ses) / len(ses)
+        ratio = mean_se / mc_sd
+        assert 0.6 < ratio / (N_pop / n_A) < 1.7, (ratio, mean_se, mc_sd)
+        # estimates unbiased at gamma=0 (nb[25] row 1: DR bias 0.006)
+        assert abs(m - 3.0) < 0.15, m
+    finally:
+        pop.unpersist()

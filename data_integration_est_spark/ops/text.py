@@ -109,6 +109,67 @@ def bpe_token_count(text: Column) -> Column:
     return F.size(bpe_ish_tokens(text))
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_token_len: int = 2,
+) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, sklearn's smoothing).
+
+    Scale shape: explode -> (doc, term) count (shuffle 1, map-side
+    partial), term document-frequency derived FROM that aggregate (one
+    more agg on term — never a distinct over raw tokens), a shuffle join
+    on term to attach idf (vocab is large at corpus scale; broadcast
+    would not hold), and a per-doc partial top-k window (WindowGroupLimit
+    pushes the limit map-side).  The N-docs scalar rides a broadcast
+    1-row cross join.  Deterministic output: score rounded to 6 before
+    ranking, ties broken by term.
+    """
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+            ).alias("term"),
+        )
+        .filter(F.length("term") >= min_token_len)
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n_docs__"))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("__n_docs__") + F.lit(1.0))
+                        / (F.col("df_t") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df_t", "tfidf", "rank")
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of the lowercased text with whitespace
     collapsed and non-alphanumerics stripped — stable under trivial

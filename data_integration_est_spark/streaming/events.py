@@ -29,18 +29,6 @@ from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType, TimestampType,
 )
 
-# Schema of /root/testdata/*/events.parquet with ts read as epoch-nanos
-# (TIMESTAMP(NANOS) is rejected by the Spark parquet reader; see
-# entry_queries._t).
-EVENT_NANOS_SCHEMA = StructType([
-    StructField("event_id", LongType(), True),
-    StructField("ts", LongType(), True),
-    StructField("user_id", LongType(), True),
-    StructField("event_type", StringType(), True),
-    StructField("value", DoubleType(), True),
-    StructField("props", StringType(), True),
-])
-
 EVENT_SCHEMA = StructType([
     StructField("event_id", LongType(), True),
     StructField("ts", TimestampType(), True),
@@ -51,27 +39,60 @@ EVENT_SCHEMA = StructType([
 ])
 
 
-def _with_timestamp(df: DataFrame) -> DataFrame:
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    )
+def _prepare_reader_conf(spark: SparkSession) -> None:
+    # nanosAsLong lets the reader accept TIMESTAMP(NANOS) files (older
+    # testdata vintage) — it does NOT affect micros files.  Session tz is
+    # pinned to UTC so epoch-based ts math matches DuckDB's naive read of
+    # the same parquet regardless of the host session's timezone.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def adapt_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the ``ts`` column to TIMESTAMP whatever the parquet
+    vintage delivered:
+
+    - ``LongType`` (epoch nanos via ``nanosAsLong``): rebuild a micros
+      timestamp via integer ``div`` — ``/`` would go through double,
+      whose ulp at epoch-nanos magnitude is ~256 ns and can shift a
+      microsecond boundary.  ``div`` truncation matches DuckDB's ns→us
+      conversion for the post-1970 testdata.
+    - ``TIMESTAMP_NTZ`` (plain ``timestamp[us]`` parquet): cast to
+      TIMESTAMP — with the session tz pinned UTC this is value-identical
+      to what DuckDB reads, and downstream ``unix_micros``/watermark code
+      needs the zoned type.
+    - ``TIMESTAMP``: pass through.
+
+    The testdata's events schema drifted between rounds (nanos → micros);
+    this is the single place that absorbs it for batch AND streaming."""
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampType):
+        return df
+    # TIMESTAMP_NTZ (or DATE-ish drift): cast via the SQL engine.
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def read_event_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream of event parquet under ``path``."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENT_NANOS_SCHEMA)
+    """File-source stream of event parquet under ``path``.  The required
+    explicit schema is probed from the parquet footer (a metadata-only
+    batch read), so the stream adapts to the same ts-dtype drift as the
+    batch reader instead of forcing a stale schema onto the files."""
+    _prepare_reader_conf(spark)
+    probed = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(probed)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return _with_timestamp(reader.parquet(path))
+    return adapt_event_ts(reader.parquet(path))
 
 
 def read_event_batch(spark: SparkSession, path: str) -> DataFrame:
     """The batch twin of ``read_event_stream`` (same schema and ts)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _with_timestamp(spark.read.schema(EVENT_NANOS_SCHEMA).parquet(path))
+    _prepare_reader_conf(spark)
+    return adapt_event_ts(spark.read.parquet(path))
 
 
 def hourly_counts(

@@ -50,6 +50,12 @@ HEADLINE = [
     "knn_cosine",
     "embedding_neardup_lsh",
     "embedding_norms",
+    # round-3 ops (events/text/linkage/replicate layers)
+    "tfidf_top_terms",
+    "event_funnel",
+    "rolling_user_features",
+    "fuzzy_linkage",
+    "jackknife_mean",
     # statistical estimators (GREG calibration / OLS / DR pipelines)
     "regdi_c0",
     "regdi_aux",
@@ -57,11 +63,33 @@ HEADLINE = [
     "regdi_dr",
     "pc_s1",
     "pc_s2",
+    "pc_s2_logistic",
     "pc_s3",
     "svymean_events",
     # Monte Carlo grid: 15 cells x 6 estimators as one vectorized job
     "mc_nmar_study",
+    # reference-workload-shape MC grid (nb[23]): N=1e5 x 5 gammas x 20 sims
+    # = 100 cells / 10M expanded rows, 600 estimator fits in one job.  A
+    # long-running THROUGHPUT measure, so reps=1 (length amortizes noise).
+    "mc_grid_full",
 ]
+
+# mc_grid_full is a bench-only workload (perf shape, not a correctness
+# row); resolved here instead of the gate registry.
+REPS_OVERRIDE = {"mc_grid_full": 1}
+
+
+def _mc_grid_full(spark, sf_dir):
+    from data_integration_est_spark.montecarlo import run_nmar_study
+
+    res = run_nmar_study(
+        spark, N=100_000, n_sim=20, gammas=(0.0, 0.25, 0.5, 0.75, 1.0),
+        size_a=500, size_b=2_000, seed=1234,
+    )
+    return res.summary
+
+
+BENCH_ONLY = {"mc_grid_full": _mc_grid_full}
 
 
 def main() -> None:
@@ -86,9 +114,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        fn = qs[name]
-        runs: list[float] = []
-        for _ in range(reps):
+        fn = BENCH_ONLY.get(name) or qs[name]
+        runs = []
+        for _ in range(REPS_OVERRIDE.get(name, reps)):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)

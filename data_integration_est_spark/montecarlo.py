@@ -710,3 +710,73 @@ def _summarize(
         .select("gamma", "estimator", "bias_mean", "bias_sd", "rmse", "n_sim")
     )
     return MCResult(estimates=estimates, summary=summary, diagnostics=diagnostics)
+
+
+def run_deterministic_study(
+    spark: SparkSession,
+    orders: DataFrame,
+    n_sim: int = 3,
+    gammas: tuple[float, ...] = (0.0, 1.0),
+) -> MCResult:
+    """RNG-free grid study — the HASH-CHECKABLE twin of ``run_nmar_study``.
+
+    The reference's MC studies (``nb[23]:113-159``) are gate-checkable only
+    rows-only because their populations come from RNG streams no second
+    engine can replay.  This variant freezes everything: the population is
+    a real table (orders), and each cell's samples are MODULAR-ARITHMETIC
+    functions of (unit id, sim_id, gamma) — S_A = (id+sim) % 7 == 0,
+    S_B drawn by a Knuth-hash uniform against a gamma-tilted (NMAR-shaped)
+    threshold.  Every stage — grid expansion, the grouped estimator
+    battery (``estimators.vectorized``), and the O3 bias/SE/RMSE summary
+    (``_summarize``) — is the SAME code path as the real studies, so a
+    DuckDB oracle of this query certifies the whole O1-O3 pipeline
+    end-to-end, not a parallel reimplementation.
+    """
+    base = orders.select(
+        F.col("o_orderkey").alias("uid"),
+        F.log("o_totalprice").alias("y_i"),
+        F.when(F.col("o_totalprice") <= 250000, 1.0).otherwise(0.0).alias("x1_i"),
+        F.when(F.col("o_totalprice") > 250000, 1.0).otherwise(0.0).alias("x2_i"),
+    )
+    y_true = float(base.agg(F.avg("y_i")).collect()[0][0])
+    sims = spark.createDataFrame(
+        [(s,) for s in range(1, n_sim + 1)],
+        StructType([StructField("sim_id", LongType(), False)]),
+    )
+    gamma_df = spark.createDataFrame(
+        [(float(g),) for g in gammas],
+        StructType([StructField("gamma", DoubleType(), False)]),
+    )
+    grid = base.crossJoin(F.broadcast(sims)).crossJoin(F.broadcast(gamma_df))
+    # deterministic uniform in [0, 1): Knuth multiplicative hash of the
+    # unit id, decorrelated across sims by a prime stride — bit-identical
+    # in any engine with 64-bit integer % (exactly mirrored in the SQL
+    # oracle)
+    u = ((F.col("uid") * F.lit(2654435761) + F.col("sim_id") * F.lit(7919))
+         % 1000).cast("double") / 1000.0
+    grid = (
+        grid.withColumn(
+            "muestra_A",
+            F.when((F.col("uid") + F.col("sim_id")) % 7 == 0, 1).otherwise(0),
+        )
+        .withColumn(
+            "muestra_B",
+            F.when(
+                u < F.lit(0.15) + F.lit(0.25) * F.col("gamma") * F.col("x2_i"), 1
+            ).otherwise(0),
+        )
+        .persist()
+    )
+    grid.count()
+    g = ["gamma", "sim_id"]
+    try:
+        results: dict[str, dict[tuple, tuple]] = _run_battery({
+            "Mean_S_A": lambda: V.naive_mean_grouped(grid, "y_i", "muestra_A", g),
+            "Mean_S_B": lambda: V.naive_mean_grouped(grid, "y_i", "muestra_B", g),
+            "RegDI_X1": lambda: V.regdi_c0_grouped(
+                grid, "y_i", "y_i", "muestra_A", "muestra_B", g, aux_vars=["x1_i"]
+            ),
+        })
+    finally:
+        grid.unpersist()
+    return _summarize(spark, results, y_true)

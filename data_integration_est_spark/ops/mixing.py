@@ -1,0 +1,84 @@
+"""Temperature-based source mixing — corpus composition reweighting.
+
+LLM pre-training corpora are mixtures of sources with wildly unequal
+sizes; sampling sources proportional to ``p_s^alpha`` (``alpha < 1``
+up-weights small, high-quality sources; ``alpha = 1`` is natural
+frequency) is the standard recipe (multilingual BERT's exponent-smoothed
+sampling; Llama/Pile mixture weights).  The reference repo has no
+analogue; this extends the engine's LLM-data-pipeline surface.
+
+Scale design: the mixture solve touches only the per-source count table
+(#sources rows — driver-tiny), broadcast back as a join; membership is a
+deterministic per-row hash-uniform against the source's acceptance rate,
+so the sample needs NO shuffle of the corpus at all — one broadcast join
++ filter, fully map-side at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Knuth multiplicative hash — the engine's deterministic uniform; the
+# modulus keeps u on a 1e-6 grid so any SQL engine reproduces it exactly.
+_HASH_MULT = 2654435761
+_HASH_MOD = 1_000_000
+
+
+def source_mixture(
+    docs: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Per-source mixture table: natural share ``p``, temperature share
+    ``q ∝ p^alpha``, and the per-source acceptance ``rate`` that realizes
+    ``q`` over an expected ``target_frac`` of the corpus, capped at 1
+    (a small source cannot be sampled above its full size; the cap is the
+    standard practical compromise — rates are NOT renormalized after
+    capping, matching the simple one-pass recipe)."""
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_s"))
+    tot = counts.agg(
+        F.sum("n_s").alias("N"),
+        F.sum(F.pow(F.col("n_s"), F.lit(alpha))).alias("Z"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_s",
+            F.round(F.col("n_s") / F.col("N"), 6).alias("p"),
+            F.round(F.pow(F.col("n_s"), F.lit(alpha)) / F.col("Z"), 6).alias("q"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.pow(F.col("n_s"), F.lit(alpha)) / F.col("Z")
+                    * F.lit(target_frac) * F.col("N") / F.col("n_s"),
+                ),
+                6,
+            ).alias("rate"),
+        )
+    )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Deterministic temperature-weighted corpus sample: keep a row iff
+    its hash-uniform ``u(id) < rate(source)``.  Same rows on every run
+    and every engine; expected composition follows ``p^alpha``."""
+    mix = source_mixture(docs, source_col, alpha, target_frac).select(
+        source_col, "rate"
+    )
+    u = (
+        (F.col(id_col) * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+    ).cast("double") / float(_HASH_MOD)
+    return (
+        docs.join(F.broadcast(mix), source_col)
+        .filter(u < F.col("rate"))
+        .drop("rate")
+    )

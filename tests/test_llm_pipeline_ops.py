@@ -1,0 +1,166 @@
+"""Round-4 LLM-pipeline extensions: decontamination, repetition quality,
+temperature source mixing, and the O5 plot frames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_est_spark.ops.decontam import contamination_scan, decontaminate
+from data_integration_est_spark.ops.mixing import source_mixture, temperature_sample
+from data_integration_est_spark.ops.quality_rep import repetition_stats
+
+
+# ------------------------------------------------------------- decontam
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # doc 1 embeds the benchmark question verbatim -> contaminated
+        (1, "intro text here the quick brown fox jumps over the lazy dog today"),
+        # doc 2 shares no 5-gram with the benchmark
+        (2, "completely unrelated content about spark partitions and shuffles"),
+        # doc 3 short (< 5 words): whole text is its single gram
+        (3, "tiny document"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def bench_docs(spark):
+    return spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+
+
+def test_contamination_scan_flags_verbatim_overlap(spark, corpus, bench_docs):
+    out = {
+        r["doc_id"]: r
+        for r in contamination_scan(corpus, bench_docs, n=5).collect()
+    }
+    assert out[1]["n_hits"] > 0 and out[1]["contaminated"] == 1
+    assert out[2]["n_hits"] == 0 and out[2]["contaminated"] == 0
+    assert out[3]["n_grams"] == 1 and out[3]["n_hits"] == 0
+
+
+def test_exact_and_hash_paths_agree(spark, corpus, bench_docs):
+    a = sorted(map(tuple, contamination_scan(corpus, bench_docs, n=5, exact=True).collect()))
+    b = sorted(map(tuple, contamination_scan(corpus, bench_docs, n=5, exact=False).collect()))
+    assert a == b
+
+
+def test_decontaminate_drops_flagged(spark, corpus, bench_docs):
+    kept = sorted(r["doc_id"] for r in decontaminate(corpus, bench_docs, n=5).collect())
+    assert kept == [2, 3]
+
+
+def test_benchmark_side_is_broadcast(spark, corpus, bench_docs):
+    import contextlib, io
+
+    df = contamination_scan(corpus, bench_docs, n=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    assert "BroadcastHashJoin" in buf.getvalue()
+
+
+# ------------------------------------------------------- repetition stats
+def test_repetition_stats_known_values(spark):
+    # "a b\na b\nc" -> lines [a b, a b, c]: 3 lines, 2 distinct,
+    # dup chars = 3 (one repeat of "a b"), line chars = 7
+    # tokens (\s+ splits space AND newline): [a,b,a,b,c]
+    # bigrams: "a b","b a","a b","b c" -> top "a b" x2, len 3, doc len 9
+    docs = spark.createDataFrame([(1, "a b\na b\nc")], "doc_id long, text string")
+    r = repetition_stats(docs).collect()[0]
+    assert r["n_lines"] == 3
+    assert r["dup_line_frac"] == round(1 - 2 / 3, 6)
+    assert r["dup_line_char_frac"] == round(3 / 7, 6)
+    assert r["top_bigram_count"] == 2
+    assert r["top_bigram_char_frac"] == round(2 * 3 / 9, 6)
+
+
+def test_repetition_stats_degenerate_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "oneword"), (2, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[1]["n_lines"] == 1 and out[1]["dup_line_frac"] == 0.0
+    assert out[1]["top_bigram_count"] == 0
+    assert out[2]["top_bigram_char_frac"] == 0.0
+
+
+# ------------------------------------------------------------- mixing
+@pytest.fixture(scope="module")
+def sourced_docs(spark):
+    # 90 docs from 'web', 10 from 'books'
+    return spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 90, "web").otherwise("books").alias("source"),
+    )
+
+
+def test_source_mixture_weights(spark, sourced_docs):
+    mix = {r["source"]: r for r in source_mixture(sourced_docs, alpha=0.5).collect()}
+    z = 90 ** 0.5 + 10 ** 0.5
+    assert mix["web"]["p"] == 0.9 and mix["books"]["p"] == 0.1
+    assert mix["web"]["q"] == round(90 ** 0.5 / z, 6)
+    assert mix["books"]["q"] == round(10 ** 0.5 / z, 6)
+    # alpha < 1 up-weights the small source relative to natural share
+    assert mix["books"]["q"] > mix["books"]["p"]
+    # expected sample of the small source exceeds natural-proportion share
+    assert mix["books"]["rate"] > mix["web"]["rate"]
+
+
+def test_temperature_sample_deterministic_and_shaped(spark, sourced_docs):
+    s1 = sorted(r["doc_id"] for r in temperature_sample(sourced_docs).collect())
+    s2 = sorted(r["doc_id"] for r in temperature_sample(sourced_docs).collect())
+    assert s1 == s2 and len(s1) > 0
+    # every sampled id satisfies the acceptance rule for its source
+    mix = {r["source"]: r["rate"] for r in source_mixture(sourced_docs).collect()}
+    for r in temperature_sample(sourced_docs).collect():
+        u = (r["doc_id"] * 2654435761) % 1_000_000 / 1_000_000
+        assert u < mix[r["source"]]
+
+
+def test_alpha_one_is_uniform_rate(spark, sourced_docs):
+    """alpha=1 -> q == p -> every source gets the same acceptance rate
+    (= target_frac)."""
+    mix = {r["source"]: r for r in source_mixture(sourced_docs, alpha=1.0, target_frac=0.4).collect()}
+    assert mix["web"]["rate"] == mix["books"]["rate"] == 0.4
+
+
+# ------------------------------------------------------------- O5 plots
+def test_bias_frame_shape(spark):
+    from data_integration_est_spark.plots import bias_frame
+
+    summary = spark.createDataFrame(
+        [(1.0, "B", 0.2, 0.01, 0.2, 5), (0.0, "A", 0.0, 0.02, 0.02, 5),
+         (1.0, "A", 0.1, 0.01, 0.1, 5)],
+        "gamma double, estimator string, bias_mean double, bias_sd double, rmse double, n_sim long",
+    )
+    pdf = bias_frame(summary)
+    assert list(pdf.columns) == ["gamma", "estimator", "bias_mean", "bias_sd", "rmse"]
+    # sorted by (gamma, estimator) for deterministic line order
+    assert list(zip(pdf["gamma"], pdf["estimator"])) == [
+        (0.0, "A"), (1.0, "A"), (1.0, "B")
+    ]
+
+
+def test_plot_render_gated_on_matplotlib(spark):
+    from data_integration_est_spark.plots import plot_bias_vs_gamma
+
+    summary = spark.createDataFrame(
+        [(0.0, "A", 0.0, 0.02, 0.02, 5)],
+        "gamma double, estimator string, bias_mean double, bias_sd double, rmse double, n_sim long",
+    )
+    try:
+        import matplotlib  # noqa: F401
+        has_mpl = True
+    except ImportError:
+        has_mpl = False
+    if has_mpl:
+        fig = plot_bias_vs_gamma(summary)
+        assert fig is not None
+    else:
+        with pytest.raises(NotImplementedError, match="matplotlib"):
+            plot_bias_vs_gamma(summary)

@@ -56,6 +56,11 @@ HEADLINE = [
     "rolling_user_features",
     "fuzzy_linkage",
     "jackknife_mean",
+    # round-4 LLM-pipeline ops
+    "decontam_scan",
+    "repetition_quality",
+    "source_mixing",
+    "mc_deterministic_study",
     # statistical estimators (GREG calibration / OLS / DR pipelines)
     "regdi_c0",
     "regdi_aux",

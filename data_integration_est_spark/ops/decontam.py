@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_integration_est_spark.ops.dedup import word_shingles
+from data_integration_est_spark.util import spread
 
 
 def _norm_text(text: Column) -> Column:
@@ -46,8 +46,28 @@ def _gram_keys(
     text.  Scale path keys by ``xxhash64`` (16 B/gram shuffle width);
     ``exact=True`` keys by the gram string itself — the oracle-checkable
     mode, immune to (astronomically rare) hash collisions."""
-    grams = word_shingles(_norm_text(F.col(text_col)), n=n)
-    out = df.select(F.col(id_col), F.explode(grams).alias("__gram__"))
+    # Materialize normalization + tokenization ONCE per row before the
+    # gram transform: passing the raw normalize-and-split expression into
+    # ``word_shingles`` would inline it into every lambda reference, and
+    # the regex pipeline then re-runs per GRAM instead of per doc (~8x
+    # slower measured at sf0.1).  Also spread a small-file input across
+    # cores (no-op when the scan already has >= parallelism splits).
+    base = spread(df).select(
+        F.col(id_col), _norm_text(F.col(text_col)).alias("__t__")
+    ).select(
+        id_col, "__t__", F.split(F.col("__t__"), " ").alias("__toks__")
+    )
+    k = F.size("__toks__")
+    grams = F.when(
+        k >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), k - n),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__toks__"), i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array(F.col("__t__")))
+    out = base.select(F.col(id_col), F.explode(grams).alias("__gram__"))
     if exact:
         return out.select(id_col, F.col("__gram__").alias("gram_key"))
     return out.select(id_col, F.xxhash64("__gram__").alias("gram_key"))

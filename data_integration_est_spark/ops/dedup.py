@@ -38,7 +38,15 @@ def exact_dedup(
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles; documents shorter than n tokens get
-    their whole (trimmed) text as a single shingle."""
+    their whole (trimmed) text as a single shingle.
+
+    PERF: the transform lambda references ``toks`` per iteration, and
+    Spark does NOT hoist loop-invariant subexpressions out of
+    higher-order-function lambdas — so whatever expression ``text`` is
+    gets re-evaluated PER GRAM.  Pass a cheap column (raw attribute);
+    materialize any normalization into a real column first (see
+    ``ops/decontam._gram_keys``, where inlining the regex pipeline cost
+    ~8x)."""
     toks = F.split(F.trim(text), r"\s+")
     k = F.size(toks)
     grams = F.transform(

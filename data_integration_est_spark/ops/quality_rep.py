@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_integration_est_spark.util import spread
+
 
 def _lines(text: Column) -> Column:
     # literal newlines; documents without newlines are one line
@@ -38,6 +40,9 @@ def repetition_stats(
       (count × gram length / doc length).  Ties broken by the
       lexicographically smallest gram for determinism.
     """
+    # both passes explode per-token rows out of per-doc rows: spread a
+    # small-file scan across cores first (no-op at real input widths)
+    docs = spread(docs)
     lines = (
         docs.select(F.col(id_col), F.explode(_lines(F.col(text_col))).alias("line"))
         .groupBy(id_col, "line")
@@ -63,18 +68,26 @@ def repetition_stats(
         )
     )
 
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # materialize the token array before the transform — the lambda would
+    # otherwise re-run the split per bigram (see ops/dedup.word_shingles
+    # PERF note)
+    toked = docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("doc_len"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks__"),
+    )
+    nt = F.size("__toks__")
     bigrams = F.when(
-        F.size(toks) >= 2,
+        nt >= 2,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+            F.sequence(F.lit(0), nt - 2),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__toks__"), i + 1, 2)),
         ),
     ).otherwise(F.array())
     counted = (
-        docs.select(
+        toked.select(
             F.col(id_col),
-            F.length(F.col(text_col)).alias("doc_len"),
+            "doc_len",
             F.explode_outer(bigrams).alias("gram"),
         )
         .groupBy(id_col, "doc_len", "gram")

@@ -60,6 +60,7 @@ HEADLINE = [
     "decontam_scan",
     "repetition_quality",
     "source_mixing",
+    "pii_scan",
     "mc_deterministic_study",
     # statistical estimators (GREG calibration / OLS / DR pipelines)
     "regdi_c0",

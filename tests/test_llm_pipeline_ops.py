@@ -164,3 +164,36 @@ def test_plot_render_gated_on_matplotlib(spark):
     else:
         with pytest.raises(NotImplementedError, match="matplotlib"):
             plot_bias_vs_gamma(summary)
+
+
+# ------------------------------------------------------------- PII scan
+def test_pii_scan_counts_and_redaction(spark):
+    from data_integration_est_spark.ops.pii import pii_scan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@test.org or 10.0.0.1 works"),
+            (2, "ssn 123-45-6789 phone 555-123-4567"),
+            (3, "clean text with no identifiers at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scan(docs).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_ipv4"] == 1 and out[1]["n_pii"] == 2
+    assert out[2]["n_ssn"] == 1 and out[2]["n_phone"] == 1 and out[2]["n_pii"] == 2
+    assert out[3]["n_pii"] == 0 and out[3]["redacted"] == docs.collect()[2]["text"]
+    assert out[1]["redacted"] == "mail me at [EMAIL] or [IP] works"
+    assert out[2]["redacted"] == "ssn [SSN] phone [PHONE]"
+
+
+def test_pii_redaction_order_no_remap(spark):
+    """An SSN-shaped run inside a longer digit context must not leave
+    digits that re-match the phone family after redaction."""
+    from data_integration_est_spark.ops.pii import pii_scan
+
+    docs = spark.createDataFrame(
+        [(1, "contact 123-45-6789 and 999-888-7777")], "doc_id long, text string"
+    )
+    r = pii_scan(docs).collect()[0]
+    assert r["redacted"] == "contact [SSN] and [PHONE]"
+    assert "[" in r["redacted"] and not any(ch.isdigit() for ch in r["redacted"])

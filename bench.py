@@ -61,6 +61,7 @@ HEADLINE = [
     "repetition_quality",
     "source_mixing",
     "pii_scan",
+    "pack_chunks",
     "mc_deterministic_study",
     # statistical estimators (GREG calibration / OLS / DR pipelines)
     "regdi_c0",

@@ -1,0 +1,81 @@
+"""Sequence packing — concat-and-chunk documents into training windows.
+
+LLM pre-training consumes fixed-length token sequences; the standard
+GPT-style recipe concatenates documents (within a stream) and cuts every
+``budget`` tokens, so a document may span chunks and a chunk may hold
+several documents.  This operator computes, per document, its token span
+and chunk assignment in the packed stream, plus per-chunk occupancy — the
+bookkeeping a packing writer needs.
+
+Scale design: packing is inherently sequential PER STREAM, so the stream
+key (``by`` — typically source or shard) bounds the window: one shuffle
+on the key, a RANGE-free cumulative sum per stream, no global ordering
+ever materializes.  A single global stream would serialize through one
+task — the documented anti-pattern (see SCALE.md); shard first instead.
+Chunk ids are made globally unique by prefixing the stream key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_chunks(
+    docs: DataFrame,
+    tokens_col: str,
+    budget: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document packing plan: token offsets in the per-``by`` stream
+    (documents ordered by ``id_col`` — deterministic), the first/last
+    chunk the doc lands in, and how many chunks it spans.
+
+    ``first_chunk``/``last_chunk`` index chunks WITHIN the stream; a doc
+    spans ``floor(start/budget) .. floor((end-1)/budget)``.  Zero-token
+    docs get their boundary chunk and span 1."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = (
+        Window.partitionBy(by)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = F.col(tokens_col).cast("long")
+    out = docs.select(
+        F.col(id_col), F.col(by), t.alias("n_tokens"),
+        F.sum(t).over(w).alias("end_off"),
+    ).withColumn("start_off", F.col("end_off") - F.col("n_tokens"))
+    first = F.floor(F.col("start_off") / budget)
+    last = F.floor(
+        F.greatest(F.col("end_off") - 1, F.col("start_off")) / budget
+    )
+    return out.select(
+        id_col, by, "n_tokens", "start_off", "end_off",
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first + 1).alias("n_chunks_spanned"),
+    )
+
+
+def chunk_occupancy(
+    packed: DataFrame, budget: int, by: str = "source"
+) -> DataFrame:
+    """Per-stream packing summary from a ``pack_chunks`` plan: total
+    tokens, number of ``budget``-token chunks the stream fills
+    (ceil-divide; the final partial chunk counts), and the padding wasted
+    in that final chunk — the utilization numbers a packing job reports."""
+    return (
+        packed.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            by, "n_docs", "total_tokens",
+            F.ceil(F.col("total_tokens") / budget).alias("n_chunks"),
+            (F.ceil(F.col("total_tokens") / budget) * budget
+             - F.col("total_tokens")).alias("pad_tokens"),
+        )
+    )

@@ -197,3 +197,71 @@ def test_pii_redaction_order_no_remap(spark):
     r = pii_scan(docs).collect()[0]
     assert r["redacted"] == "contact [SSN] and [PHONE]"
     assert "[" in r["redacted"] and not any(ch.isdigit() for ch in r["redacted"])
+
+
+# --------------------------------------------------------- sequence packing
+def test_pack_chunks_known_layout(spark):
+    from data_integration_est_spark.ops.packing import chunk_occupancy, pack_chunks
+
+    # one stream, budget 10: docs of 4, 8, 10, 3 tokens
+    # offsets: [0,4) [4,12) [12,22) [22,25)
+    # chunks:  0     0-1    1-2     2
+    docs = spark.createDataFrame(
+        [(1, "s", 4), (2, "s", 8), (3, "s", 10), (4, "s", 3)],
+        "doc_id long, source string, n_tok long",
+    )
+    plan = {r["doc_id"]: r for r in pack_chunks(docs, "n_tok", 10).collect()}
+    assert (plan[1]["first_chunk"], plan[1]["last_chunk"]) == (0, 0)
+    assert (plan[2]["first_chunk"], plan[2]["last_chunk"]) == (0, 1)
+    assert (plan[3]["first_chunk"], plan[3]["last_chunk"]) == (1, 2)
+    assert (plan[4]["first_chunk"], plan[4]["last_chunk"]) == (2, 2)
+    assert plan[3]["n_chunks_spanned"] == 2
+
+    occ = chunk_occupancy(pack_chunks(docs, "n_tok", 10), 10).collect()[0]
+    assert occ["total_tokens"] == 25 and occ["n_chunks"] == 3 and occ["pad_tokens"] == 5
+
+
+def test_pack_chunks_streams_independent(spark):
+    from data_integration_est_spark.ops.packing import pack_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "a", 7), (2, "b", 7), (3, "a", 7), (4, "b", 7)],
+        "doc_id long, source string, n_tok long",
+    )
+    plan = {r["doc_id"]: r for r in pack_chunks(docs, "n_tok", 10).collect()}
+    # each stream packs from offset 0 independently
+    assert plan[1]["start_off"] == 0 and plan[2]["start_off"] == 0
+    assert plan[3]["start_off"] == 7 and plan[4]["start_off"] == 7
+
+
+def test_pack_chunks_zero_token_doc(spark):
+    from data_integration_est_spark.ops.packing import pack_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "s", 10), (2, "s", 0), (3, "s", 1)],
+        "doc_id long, source string, n_tok long",
+    )
+    plan = {r["doc_id"]: r for r in pack_chunks(docs, "n_tok", 10).collect()}
+    # zero-token doc sits AT the boundary (offset 10) and spans 1 chunk
+    assert plan[2]["n_chunks_spanned"] == 1
+    assert plan[2]["first_chunk"] == plan[2]["last_chunk"] == 1
+
+
+def test_pack_chunks_keyed_window_plan(spark):
+    """The packing window must be keyed by the stream column — no
+    unpartitioned (single-task) window in the plan."""
+    import contextlib, io
+
+    from data_integration_est_spark.ops.packing import pack_chunks
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("source"),
+        (F.col("id") % 100 + 1).alias("n_tok"),
+    )
+    df = pack_chunks(docs, "n_tok", 4096)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    plan = buf.getvalue()
+    assert "hashpartitioning(source" in plan

@@ -318,3 +318,21 @@ def sessionize_stateful(
             timeoutConf=conf,
         )
     )
+
+
+def dedup_events(
+    events: DataFrame, id_col: str = "event_id", watermark: str = "2 hours"
+) -> DataFrame:
+    """Exact-key event dedup, batch/stream shared — the at-least-once
+    ingestion companion (replayed files/offsets re-emit the same
+    event_id).  Streaming uses ``dropDuplicatesWithinWatermark`` so the
+    dedup state is BOUNDED by the watermark delay (plain
+    ``dropDuplicates`` on a stream keeps every key forever — unbounded
+    state, the canonical streaming OOM); duplicates arriving inside the
+    watermark window are suppressed, which is exactly the replay window
+    file/Kafka sources need.  Batch twin is a plain dropDuplicates."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            [id_col]
+        )
+    return events.dropDuplicates([id_col])

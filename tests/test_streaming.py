@@ -110,3 +110,27 @@ def test_stateful_sessionize_runs(spark, events_dir):
     for key, n in got.items():
         assert key in oracle, f"emitted session {key} not in batch oracle"
         assert oracle[key] == n
+
+
+def test_streaming_dedup_suppresses_replay(spark, events_dir, tmp_path):
+    """A file source that sees the same events twice (replay) must emit
+    each event_id once, matching the batch distinct of the same data."""
+    import shutil
+
+    d = tmp_path / "replayed"
+    d.mkdir()
+    shutil.copy(f"{events_dir}/events.parquet", d / "events_a.parquet")
+    shutil.copy(f"{events_dir}/events.parquet", d / "events_b.parquet")
+
+    stream = se.dedup_events(se.read_event_stream(spark, str(d)))
+    out = se.run_to_memory(
+        stream.select("event_id"), "dedup_t", output_mode="append"
+    )
+    got = sorted(r["event_id"] for r in out.collect())
+
+    batch = se.dedup_events(se.read_event_batch(spark, str(d)))
+    want = sorted(r["event_id"] for r in batch.select("event_id").collect())
+    assert got == want
+    # and the replay really was a duplication
+    total = se.read_event_batch(spark, str(d)).count()
+    assert total == 2 * len(want)

@@ -62,6 +62,7 @@ HEADLINE = [
     "source_mixing",
     "pii_scan",
     "pack_chunks",
+    "dup_components",
     "mc_deterministic_study",
     # statistical estimators (GREG calibration / OLS / DR pipelines)
     "regdi_c0",

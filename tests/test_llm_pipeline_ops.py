@@ -265,3 +265,51 @@ def test_pack_chunks_keyed_window_plan(spark):
         df.explain()
     plan = buf.getvalue()
     assert "hashpartitioning(source" in plan
+
+
+# ---------------------------------------------------- connected components
+def test_connected_components_chain_and_star(spark):
+    from data_integration_est_spark.ops.components import connected_components
+
+    # chain 1-2-3-4, star 10-(11,12), singleton edge 20-20 (self-loop)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (20, 20)],
+        "src long, dst long",
+    )
+    comp = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == comp[12] == 10
+    assert comp[20] == 20
+
+
+def test_connected_components_merges_via_transitivity(spark):
+    from data_integration_est_spark.ops.components import connected_components
+
+    # two pair-lists that only connect transitively: (5,6) and (6,7)
+    edges = spark.createDataFrame([(5, 6), (6, 7)], "src long, dst long")
+    comp = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp[5] == comp[6] == comp[7] == 5
+
+
+def test_dedup_keep_representative(spark):
+    from data_integration_est_spark.ops.components import dedup_keep_representative
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_l long, id_r long"
+    )
+    kept = sorted(r["doc_id"] for r in dedup_keep_representative(docs, pairs).collect())
+    # clusters {1,2,3} -> keep 1; {5,6} -> keep 5; untouched: 4, 7
+    assert kept == [1, 4, 5, 7]
+
+
+def test_connected_components_max_iter_guard(spark):
+    from data_integration_est_spark.ops.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(edges, max_iter=2)

@@ -79,3 +79,59 @@ def chunk_occupancy(
              - F.col("total_tokens")).alias("pad_tokens"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into (overlapping) token-window chunks — the
+    RAG/embedding-prep companion to ``pack_chunks``: one row per
+    (doc, chunk_idx) with the chunk text and its token span.  ``stride``
+    defaults to ``size`` (disjoint windows); ``stride < size`` overlaps
+    consecutive chunks (context-preserving retrieval chunking).  The
+    final window is the possibly-short tail; empty docs yield one empty
+    chunk (their single empty token, span 0-1), so no document silently
+    disappears.
+
+    Tokenization is whitespace (split on \\s+), materialized once per
+    row before the window transform (the word_shingles PERF rule).
+    Map-only: explode multiplies rows, but there is no shuffle at all.
+    """
+    if size <= 0:
+        raise ValueError("size must be positive")
+    stride = size if stride is None else stride
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+    toked = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks__"),
+    )
+    n = F.size("__toks__")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - size) / F.lit(float(stride))).cast("long") + 1,
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            (i * stride).alias("tok_start"),
+            F.least(i * stride + size, n).alias("tok_end"),
+            F.concat_ws(
+                " ", F.slice(F.col("__toks__"), i * stride + 1, size)
+            ).alias("chunk_text"),
+        ),
+    )
+    return toked.select(
+        F.col(id_col), F.explode(chunks).alias("c")
+    ).select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.tok_start").alias("tok_start"),
+        F.col("c.tok_end").alias("tok_end"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

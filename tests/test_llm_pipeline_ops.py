@@ -313,3 +313,54 @@ def test_connected_components_max_iter_guard(spark):
     )
     with pytest.raises(RuntimeError, match="fixpoint"):
         connected_components(edges, max_iter=2)
+
+
+# -------------------------------------------------------- document chunking
+def test_chunk_documents_overlap(spark):
+    from data_integration_est_spark.ops.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g")], "doc_id long, text string"
+    )
+    out = sorted(
+        (r["chunk_idx"], r["tok_start"], r["tok_end"], r["chunk_text"])
+        for r in chunk_documents(docs, size=4, stride=2).collect()
+    )
+    # 7 tokens, size 4, stride 2 -> ceil((7-4)/2)+1 = 3 chunks
+    assert out == [
+        (0, 0, 4, "a b c d"),
+        (1, 2, 6, "c d e f"),
+        (2, 4, 7, "e f g"),
+    ]
+
+
+def test_chunk_documents_disjoint_default_and_short_doc(spark):
+    from data_integration_est_spark.ops.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, "")], "doc_id long, text string"
+    )
+    rows = chunk_documents(docs, size=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"])
+        )
+    assert sorted(by_doc[1]) == [(0, "a b"), (1, "c d"), (2, "e")]
+    assert by_doc[2] == [(0, "x")]
+    # empty doc still yields exactly one (empty) chunk
+    assert by_doc[3] == [(0, "")]
+
+
+def test_chunk_documents_reassembles_disjoint(spark):
+    """With stride == size, concatenating chunks in order restores the
+    tokenized document exactly."""
+    from data_integration_est_spark.ops.packing import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(57))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_idx"], r["chunk_text"])
+        for r in chunk_documents(docs, size=10).collect()
+    )
+    assert " ".join(t for _, t in rows) == text

@@ -28,9 +28,19 @@ from data_integration_est_spark.estimators.regdi import regdi, RegDIResult
 from data_integration_est_spark.estimators.pc import pc_estimator, PCResult
 from data_integration_est_spark.montecarlo import (
     run_nmar_study, run_contaminated_study, run_nmar_v2_study,
-    run_stratified_study, MCResult, NMARv2Result,
+    run_stratified_study, run_deterministic_study, MCResult, NMARv2Result,
 )
 from data_integration_est_spark.ops.asof import asof_join
+from data_integration_est_spark.ops.components import (
+    connected_components, dedup_keep_representative,
+)
+from data_integration_est_spark.ops.decontam import contamination_scan, decontaminate
+from data_integration_est_spark.ops.mixing import source_mixture, temperature_sample
+from data_integration_est_spark.ops.packing import (
+    chunk_documents, chunk_occupancy, pack_chunks,
+)
+from data_integration_est_spark.ops.pii import pii_scan
+from data_integration_est_spark.ops.quality_rep import repetition_stats
 from data_integration_est_spark.ops.range_join import range_join_points
 from data_integration_est_spark.session import get_spark
 
@@ -50,8 +60,20 @@ __all__ = [
     "run_stratified_study",
     "MCResult",
     "NMARv2Result",
+    "run_deterministic_study",
     "asof_join",
     "range_join_points",
+    "connected_components",
+    "dedup_keep_representative",
+    "contamination_scan",
+    "decontaminate",
+    "source_mixture",
+    "temperature_sample",
+    "pack_chunks",
+    "chunk_occupancy",
+    "chunk_documents",
+    "pii_scan",
+    "repetition_stats",
     "get_spark",
 ]
 

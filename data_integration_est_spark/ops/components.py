@@ -36,11 +36,17 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    edges_per_partition: int = 100_000,
 ) -> DataFrame:
     """Component labels for every vertex appearing in ``edges``
-    (undirected; self-loops and duplicate pairs are fine).  Returns
+    (undirected; self-loops and duplicate pairs are fine).  Vertex ids
+    may be any orderable type (numeric, string hash/URL, ...).  Returns
     (vertex, component) with ``component`` = the minimum vertex id in the
     component.  Raises if ``max_iter`` rounds don't reach the fixpoint.
+
+    ``edges_per_partition`` sizes the per-round shuffles to the graph
+    (see below); lower it for wide rows or memory-tight executors, raise
+    it when the scheduler overhead of many small tasks dominates.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -52,24 +58,23 @@ def connected_components(
     # size the per-round shuffles to the GRAPH, not the session default:
     # each round is a tiny keyed shuffle over O(E) rows, and 32 near-empty
     # partitions × several rounds is pure scheduler overhead on small
-    # graphs (measured 4-7 s for a 1k-edge graph).  ~100k edge rows per
-    # partition; large graphs keep the session parallelism.
+    # graphs (measured 4-7 s for a 1k-edge graph).  ~edges_per_partition
+    # edge rows per partition; large graphs keep the session parallelism.
     n_edges = sym.count()
     default_parts = sym.rdd.getNumPartitions()
-    parts = max(1, min(default_parts, n_edges // 100_000 + 1))
+    parts = max(1, min(default_parts, n_edges // edges_per_partition + 1))
     if parts < default_parts:
-        sym = sym.repartition(parts, "b").persist()
+        resized = sym.repartition(parts, "b").persist()
+        resized.count()  # materialize before dropping the source cache
+        sym.unpersist()
+        sym = resized
     labels = (
         sym.select(F.col("a").alias("vertex"))
         .distinct()
         .withColumn("component", F.col("vertex"))
+        .repartition(parts, "vertex")  # co-partition with every later round
         .persist()
     )
-    # labels only ever DECREASE (min-aggregation), so the decimal label
-    # sum is an exact fixpoint signal: unchanged sum <=> no label moved.
-    # One agg job per round instead of a join-against-previous + count.
-    sum_expr = F.sum(F.col("component").cast("decimal(38,0)"))
-    prev_sum = labels.agg(sum_expr).collect()[0][0]
 
     for _ in range(max_iter):
         # candidate labels: own current label + each neighbor's label
@@ -84,14 +89,23 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .persist()
         )
-        new_sum = new_labels.agg(sum_expr).collect()[0][0]
+        # fixpoint = no vertex changed label this round.  Exact and
+        # type-agnostic (works for string ids, where a numeric-cast
+        # label sum would NULL out and falsely converge); both sides are
+        # hash-partitioned on vertex so the join adds no extra shuffle.
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
         labels.unpersist()
         labels = new_labels
-        if new_sum == prev_sum:
+        if converged:
             sym.unpersist()
             return labels
-        prev_sum = new_sum
     sym.unpersist()
+    labels.unpersist()
     raise RuntimeError(
         f"connected_components: no fixpoint after {max_iter} rounds — "
         "component diameter exceeds the bound (likely a degenerate "

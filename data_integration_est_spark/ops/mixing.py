@@ -71,6 +71,21 @@ def temperature_sample(
     """Deterministic temperature-weighted corpus sample: keep a row iff
     its hash-uniform ``u(id) < rate(source)``.  Same rows on every run
     and every engine; expected composition follows ``p^alpha``."""
+    id_type = docs.schema[id_col].dataType.typeName()
+    if id_type not in (
+        "byte", "short", "integer", "long", "decimal", "float", "double"
+    ):
+        # a string id would make the multiplicative hash NULL and the
+        # filter silently drop EVERY row — refuse loudly instead.  The
+        # hash must stay SQL-replicable (cross-engine oracle), so we
+        # don't fall back to an engine-specific hash of strings here;
+        # callers with string ids should pre-map them to a numeric id
+        # (e.g. xxhash64) and accept engine-specific sampling.
+        raise TypeError(
+            f"temperature_sample: id column {id_col!r} has type "
+            f"{id_type!r}; the deterministic hash-uniform needs a "
+            "numeric id (map string ids to a numeric hash first)"
+        )
     mix = source_mixture(docs, source_col, alpha, target_frac).select(
         source_col, "rate"
     )

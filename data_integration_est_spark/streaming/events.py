@@ -80,9 +80,17 @@ def read_event_stream(
     """File-source stream of event parquet under ``path``.  The required
     explicit schema is probed from the parquet footer (a metadata-only
     batch read), so the stream adapts to the same ts-dtype drift as the
-    batch reader instead of forcing a stale schema onto the files."""
+    batch reader instead of forcing a stale schema onto the files.  When
+    the directory is empty at stream start (source populated after the
+    query starts — a normal streaming deployment), the probe can't infer
+    anything, so fall back to ``EVENT_SCHEMA`` (micros vintage): the
+    stream still starts, and ``adapt_event_ts`` is a no-op passthrough
+    for that schema."""
     _prepare_reader_conf(spark)
-    probed = spark.read.parquet(path).schema
+    try:
+        probed = spark.read.parquet(path).schema
+    except Exception:  # AnalysisException: unable to infer schema (empty dir)
+        probed = EVENT_SCHEMA
     reader = spark.readStream.schema(probed)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -101,6 +101,23 @@ def test_adapt_long_nanos_column(spark):
     assert got == want
 
 
+def test_stream_starts_on_empty_directory(spark, tmp_path):
+    """Streaming deployment reality: the watched dir is often empty when
+    the query starts and only fills afterwards.  The schema probe can't
+    infer anything from zero files, so the reader must fall back to
+    EVENT_SCHEMA instead of raising — and still read micros-vintage files
+    that land later."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    sdf = read_event_stream(spark, str(src))  # must not raise on empty dir
+    assert isinstance(sdf.schema["ts"].dataType, TimestampType)
+    # files arrive after the stream was constructed
+    p = src / "events.parquet"
+    _write_events(p, pa.array(_TS_US, pa.timestamp("us")))
+    out = run_to_memory(sdf.select("event_id", "ts"), "t_evempty", "append")
+    assert _spark_utc(out) == _truth_utc(p)
+
+
 def test_timestamps_are_not_epoch_1970(spark, events_file):
     """The r3 silent-wrongness signature: micros misread as nanos lands in
     1970.  Assert the adapted values are in the data's real era."""

@@ -315,6 +315,45 @@ def test_connected_components_max_iter_guard(spark):
         connected_components(edges, max_iter=2)
 
 
+def test_connected_components_string_ids(spark):
+    # string vertex ids (doc hashes / URLs) with a diameter-4 chain: the
+    # old decimal-sum convergence signal NULLed out on strings and
+    # returned after ONE propagation round — this chain needs several.
+    from data_integration_est_spark.ops.components import connected_components
+
+    edges = spark.createDataFrame(
+        [("e", "d"), ("d", "c"), ("c", "b"), ("b", "a"), ("x", "y")],
+        "src string, dst string",
+    )
+    comp = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == comp["d"] == comp["e"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+
+
+def test_dedup_keep_representative_string_ids(spark):
+    from data_integration_est_spark.ops.components import dedup_keep_representative
+
+    docs = spark.createDataFrame(
+        [(f"h{i}", f"t{i}") for i in range(1, 6)], "doc_id string, text string"
+    )
+    # transitively connected chain h1-h2-h3 (diameter > 2 after symmetry)
+    pairs = spark.createDataFrame(
+        [("h1", "h2"), ("h2", "h3")], "id_l string, id_r string"
+    )
+    kept = sorted(r["doc_id"] for r in dedup_keep_representative(docs, pairs).collect())
+    assert kept == ["h1", "h4", "h5"]
+
+
+def test_temperature_sample_rejects_string_ids(spark):
+    # a string id silently NULLed the hash-uniform and dropped every row;
+    # now it must refuse loudly.
+    docs = spark.createDataFrame(
+        [(f"d{i}", "web") for i in range(10)], "doc_id string, source string"
+    )
+    with pytest.raises(TypeError, match="numeric id"):
+        temperature_sample(docs)
+
+
 # -------------------------------------------------------- document chunking
 def test_chunk_documents_overlap(spark):
     from data_integration_est_spark.ops.packing import chunk_documents

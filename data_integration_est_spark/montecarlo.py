@@ -731,12 +731,25 @@ def run_deterministic_study(
     (``_summarize``) — is the SAME code path as the real studies, so a
     DuckDB oracle of this query certifies the whole O1-O3 pipeline
     end-to-end, not a parallel reimplementation.
+
+    The battery covers every vectorized estimator family the seeded
+    studies use: naive A/B means, RegDI correction-0 with aux, RegDI
+    correction-3 (DR), and PC scenarios 1-3 (including the per-cell OLS
+    outcome models) — so the hash certificate extends to the grouped
+    calibration, grouped OLS fit/predict, and DR composition paths, not
+    just the GREG solve.
     """
+    key = F.col("o_orderkey")
+    price = F.col("o_totalprice")
     base = orders.select(
-        F.col("o_orderkey").alias("uid"),
-        F.log("o_totalprice").alias("y_i"),
-        F.when(F.col("o_totalprice") <= 250000, 1.0).otherwise(0.0).alias("x1_i"),
-        F.when(F.col("o_totalprice") > 250000, 1.0).otherwise(0.0).alias("x2_i"),
+        key.alias("uid"),
+        F.log(price).alias("y_i"),
+        (price / 1000.0).alias("x_i"),
+        # deterministic proxy outcome (scale/location bias + hash noise) —
+        # the same shape as entry_queries._population's yb
+        (0.9 * F.log(price) + 0.3 + ((key % 97) / 97.0 - 0.5) * 0.2).alias("yb_i"),
+        F.when(price <= 250000, 1.0).otherwise(0.0).alias("x1_i"),
+        F.when(price > 250000, 1.0).otherwise(0.0).alias("x2_i"),
     )
     y_true = float(base.agg(F.avg("y_i")).collect()[0][0])
     sims = spark.createDataFrame(
@@ -775,6 +788,21 @@ def run_deterministic_study(
             "Mean_S_B": lambda: V.naive_mean_grouped(grid, "y_i", "muestra_B", g),
             "RegDI_X1": lambda: V.regdi_c0_grouped(
                 grid, "y_i", "y_i", "muestra_A", "muestra_B", g, aux_vars=["x1_i"]
+            ),
+            "RegDI_DR": lambda: V.regdi_dr_grouped(
+                grid, "y_i", "y_i", "muestra_A", "muestra_B", "y_i ~ x_i", g,
+                aux_vars=["x_i"],
+            ),
+            "PC_S1": lambda: V.pc_s1_grouped(
+                grid, "y_i", "muestra_B", ["x1_i", "x2_i"], g
+            ),
+            "PC_S2": lambda: V.pc_s2_grouped(
+                grid, "y_i", "yb_i", "muestra_A", "muestra_B",
+                ["x1_i", "x2_i"], "y_i ~ yb_i", g,
+            ),
+            "PC_S3": lambda: V.pc_dr1_grouped(
+                grid, "y_i", "y_i", "muestra_A", "muestra_B",
+                ["x1_i", "x2_i"], "y_i ~ x_i", g,
             ),
         })
     finally:

@@ -269,3 +269,37 @@ def test_dr_grouped_variance_vs_golden(spark):
         assert abs(m - 3.0) < 0.15, m
     finally:
         pop.unpersist()
+
+
+def test_deterministic_study_battery_widened(spark):
+    """The hash-certified O1-O3 twin now exercises every vectorized
+    estimator family the seeded studies use (VERDICT r4: widen from 3 to
+    7).  Check the full battery emits one summary row per (gamma,
+    estimator) cell and that the estimators behave: the bias-corrected
+    families (RegDI/PC) must beat the naive B mean under strong NMAR
+    selection (gamma=1), and everything must be near-unbiased at
+    gamma=0 where B is a uniform subsample."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    res = mc.run_deterministic_study(spark, orders, n_sim=3, gammas=GAMMAS)
+    rows = {
+        (r["gamma"], r["estimator"]): r for r in res.summary.collect()
+    }
+    families = {
+        "Mean_S_A", "Mean_S_B", "RegDI_X1", "RegDI_DR", "PC_S1", "PC_S2",
+        "PC_S3",
+    }
+    assert {k[1] for k in rows} == families
+    assert len(rows) == len(GAMMAS) * len(families)
+    for (gamma, est), r in rows.items():
+        assert r["n_sim"] == 3
+        assert r["rmse"] is not None and r["rmse"] >= 0
+    # gamma=1 tilts B toward the high-price stratum: the naive B mean is
+    # biased up, the corrected families must shrink that bias
+    naive_b = abs(rows[(1.0, "Mean_S_B")]["bias_mean"])
+    for est in ("RegDI_X1", "RegDI_DR", "PC_S1", "PC_S3"):
+        assert abs(rows[(1.0, est)]["bias_mean"]) < naive_b, est
+    # at gamma=0 every estimator is near-unbiased (B is an unbiased
+    # hash-uniform subsample); the bound is loose because sf0.001's A
+    # sample is ~215 rows — exactness is the DuckDB oracle's job
+    for est in families:
+        assert abs(rows[(0.0, est)]["bias_mean"]) < 0.1, (est, rows[(0.0, est)])

@@ -1,0 +1,136 @@
+"""Scale probe — second/third scale points beyond the sf0.1 bench.
+
+Usage:
+    python tools/scale_probe.py [mc|docs|all]
+
+Measures how the two heaviest engine paths scale when the DATA grows 10x
+with the plan held fixed, which is the local stand-in for the 100 TB
+question ("does the operator profile survive a scale-up, or does some
+hidden driver collect / shuffle explosion appear?"):
+
+- ``mc``: the nb[23]-shape Monte Carlo grid at N=1e5 (the bench's
+  mc_grid_full shape) and at N=1e6 — 10M vs 100M expanded (unit, gamma,
+  sim) rows through the same ~10-shuffle vectorized study.
+- ``docs``: the MinHash/LSH dedup candidate path over the sf0.1
+  documents corpus at 1x and a 10x union (ids offset so the copies are
+  distinct docs), plus the text-stats scan profile at both sizes.
+
+Prints one JSON line per measurement; paste results into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _timed(label: str, fn):
+    t0 = time.perf_counter()
+    out = fn()
+    dt = time.perf_counter() - t0
+    print(json.dumps({"probe": label, "sec": round(dt, 2), "result_rows": out}))
+    return dt
+
+
+def probe_mc(spark):
+    from data_integration_est_spark.montecarlo import run_nmar_study
+
+    # bench shape: 100 cells over a 10M-row expanded grid
+    def small():
+        res = run_nmar_study(
+            spark, N=100_000, n_sim=20, gammas=(0.0, 0.25, 0.5, 0.75, 1.0),
+            size_a=500, size_b=2_000, seed=1234,
+        )
+        return len(res.summary.collect())
+
+    # 10x population, 30 cells over a 30M-row expanded grid — per-row
+    # throughput should hold or improve (fewer, bigger cells)
+    def big():
+        res = run_nmar_study(
+            spark, N=1_000_000, n_sim=10, gammas=(0.0, 0.5, 1.0),
+            size_a=2_000, size_b=20_000, seed=1234,
+        )
+        return len(res.summary.collect())
+
+    t_small = _timed("mc_grid_N1e5_100cells_10Mrows", small)
+    t_big = _timed("mc_grid_N1e6_30cells_30Mrows", big)
+    print(json.dumps({
+        "probe": "mc_rows_per_sec",
+        "small": round(10e6 / t_small),
+        "big": round(30e6 / t_big),
+    }))
+
+
+def probe_docs(spark, sf_dir: str):
+    from data_integration_est_spark.ops import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+
+    def corpus(mult: int):
+        parts = [
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * (max_id + 1)))
+            for i in range(mult)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def minhash_at(mult: int):
+        c = corpus(mult).persist()
+        c.count()
+        try:
+            sigs = dedup.minhash_signatures(c, num_hashes=32)
+            cand = dedup.lsh_candidate_pairs(sigs, bands=16, rows_per_band=2)
+            return cand.count()
+        finally:
+            c.unpersist()
+
+    def text_stats_at(mult: int):
+        c = corpus(mult)
+        return (
+            c.select(
+                F.length("text").alias("len"),
+                F.size(F.split(F.col("text"), r"\s+")).alias("toks"),
+            )
+            .agg(F.avg("len"), F.avg("toks"), F.count(F.lit(1)))
+            .count()
+        )
+
+    t1 = _timed(f"minhash_lsh_docs_x1_{n}rows", lambda: minhash_at(1))
+    t10 = _timed(f"minhash_lsh_docs_x10_{10 * n}rows", lambda: minhash_at(10))
+    print(json.dumps({
+        "probe": "minhash_scale_factor_10x",
+        "factor": round(t10 / t1, 2),
+    }))
+    s1 = _timed(f"text_scan_x1_{n}rows", lambda: text_stats_at(1))
+    s10 = _timed(f"text_scan_x10_{10 * n}rows", lambda: text_stats_at(10))
+    print(json.dumps({
+        "probe": "text_scan_scale_factor_10x",
+        "factor": round(s10 / s1, 2),
+    }))
+
+
+def main() -> None:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from data_integration_est_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+    if which in ("mc", "all"):
+        probe_mc(spark)
+    if which in ("docs", "all"):
+        probe_docs(spark, sf_dir)
+
+
+if __name__ == "__main__":
+    main()

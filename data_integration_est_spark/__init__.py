@@ -35,7 +35,10 @@ from data_integration_est_spark.ops.components import (
     connected_components, dedup_keep_representative,
 )
 from data_integration_est_spark.ops.decontam import contamination_scan, decontaminate
-from data_integration_est_spark.ops.mixing import source_mixture, temperature_sample
+from data_integration_est_spark.ops.dedup import line_dedup
+from data_integration_est_spark.ops.mixing import (
+    cap_per_key, source_mixture, temperature_sample,
+)
 from data_integration_est_spark.ops.packing import (
     chunk_documents, chunk_occupancy, pack_chunks,
 )
@@ -67,6 +70,8 @@ __all__ = [
     "dedup_keep_representative",
     "contamination_scan",
     "decontaminate",
+    "line_dedup",
+    "cap_per_key",
     "source_mixture",
     "temperature_sample",
     "pack_chunks",

@@ -308,3 +308,75 @@ def simhash64(
     )
     out = agg.withColumn(out_col, sim)
     return out.select(id_col, out_col)
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+    max_doc_freq: int = 1,
+    hash_lines: bool = True,
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Cross-document line-level dedup — the CCNet/RefinedWeb corpus
+    cleaning step: a line appearing in more than ``max_doc_freq`` DISTINCT
+    documents (boilerplate: nav bars, cookie banners, license headers) is
+    removed from EVERY document; remaining lines are reassembled in their
+    original order.  Returns (id_col, out_col, n_lines, n_kept).
+
+    Physical shape (3 shuffles, all O(lines)): posexplode lines ->
+    groupBy line-key with countDistinct(doc) [map-side partial] ->
+    shuffle join back on the line-key -> groupBy doc to reassemble
+    (sort_array over (pos, line) structs — no window).  Blank lines are
+    kept verbatim (they carry formatting, and counting them as
+    boilerplate would strip every paragraph break).
+
+    ``hash_lines=True`` (the 100 TB default) keys the count and join by
+    ``xxhash64(line)`` so shuffle rows stay narrow (16 bytes vs the full
+    line text); a 64-bit collision deleting a legitimate line is a
+    ~2^-64-per-pair event.  ``hash_lines=False`` keys by the raw line
+    string — bit-identical semantics, used by the gate row so a SQL
+    oracle can replay it; equality of the two paths is pinned in
+    ``tests/test_llm_pipeline_ops.py``.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep, -1)).alias("pos", "line"),
+    )
+    key = F.xxhash64("line") if hash_lines else F.col("line")
+    lines = lines.withColumn("lkey", key)
+    boiler = (
+        lines.filter(F.trim(F.col("line")) != "")
+        .groupBy("lkey")
+        .agg(F.count_distinct(F.col(id_col)).alias("df_"))
+        .filter(F.col("df_") > max_doc_freq)
+        .select("lkey")
+    )
+    kept = lines.join(boiler, "lkey", "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                line_sep,
+            ).alias(out_col),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(
+            lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines")),
+            id_col,
+            # docs whose every line was boilerplate drop out of `kept` —
+            # restore them with an empty cleaned text
+            "right",
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )

@@ -97,3 +97,35 @@ def temperature_sample(
         .filter(u < F.col("rate"))
         .drop("rate")
     )
+
+
+def cap_per_key(
+    docs: DataFrame,
+    key_col: str = "source",
+    n_max: int = 1000,
+    order_col: str = "doc_id",
+    descending: bool = False,
+) -> DataFrame:
+    """Cap the number of rows per key — the domain/source-cap step of web
+    corpus curation (an over-crawled domain must not dominate the
+    mixture; RefinedWeb-style pipelines cap docs per registered domain).
+    Keeps the first ``n_max`` rows of each key ordered by ``order_col``
+    (deterministic — rank by quality score descending, or by id for a
+    stable arbitrary cap); drops the rest.
+
+    Physical shape: ONE shuffle on ``key_col`` feeding a ranked window;
+    Spark inserts WindowGroupLimit (partial per-partition top-n) below
+    the exchange, so shuffle volume is O(keys x n_max) when partitions
+    hold more than n_max rows of a key, not O(rows)."""
+    from pyspark.sql import Window
+
+    # order_col must rank uniquely within a key (an id, or a quality
+    # score tie-broken into the column beforehand) — row_number over ties
+    # would be partition-order-dependent, breaking determinism rule 7.
+    order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(key_col).orderBy(order)
+    return (
+        docs.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= n_max)
+        .drop("__rn__")
+    )

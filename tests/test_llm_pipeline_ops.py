@@ -403,3 +403,81 @@ def test_chunk_documents_reassembles_disjoint(spark):
         for r in chunk_documents(docs, size=10).collect()
     )
     assert " ".join(t for _, t in rows) == text
+
+
+# -------------------------------------------------- line dedup / source cap
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    from data_integration_est_spark.ops.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro one\nCOOKIE BANNER\nbody A\n\nend A"),
+            (2, "COOKIE BANNER\nbody B"),
+            (3, "body C\nCOOKIE BANNER"),
+            (4, "unique doc"),
+            (5, "COOKIE BANNER"),  # all-boilerplate doc -> empty text
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert len(out) == 5
+    # the shared line is stripped from EVERY doc, order preserved
+    assert out[1]["text_dedup"] == "intro one\nbody A\n\nend A"
+    assert out[2]["text_dedup"] == "body B"
+    assert out[3]["text_dedup"] == "body C"
+    assert out[4]["text_dedup"] == "unique doc"
+    assert out[5]["text_dedup"] == "" and out[5]["n_kept"] == 0
+    # blank lines are kept (formatting), not treated as boilerplate
+    assert out[1]["n_lines"] == 5 and out[1]["n_kept"] == 4
+
+
+def test_line_dedup_hash_equals_raw_path(spark):
+    """The xxhash64-keyed scale path and the raw-string gate path must
+    agree exactly (same doctrine as decontam's exact/hash twin)."""
+    from data_integration_est_spark.ops.dedup import line_dedup
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(
+            "doc_id", F.regexp_replace("text", " the ", "\n").alias("text")
+        )
+    )
+    a = line_dedup(docs, hash_lines=True).orderBy("doc_id").collect()
+    b = line_dedup(docs, hash_lines=False).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_cap_per_key_binds_and_is_deterministic(spark):
+    from data_integration_est_spark.ops.mixing import cap_per_key
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", float(i)) for i in range(100)],
+        "doc_id long, source string, score double",
+    )
+    capped = cap_per_key(docs, "source", n_max=5, order_col="doc_id")
+    got = sorted(r["doc_id"] for r in capped.collect())
+    # first 5 ids of each of the 3 sources
+    want = sorted(
+        i for s in range(3) for i in [j for j in range(100) if j % 3 == s][:5]
+    )
+    assert got == want
+    # descending keeps the TOP scores per key
+    top = cap_per_key(docs, "source", n_max=2, order_col="score", descending=True)
+    assert sorted(r["doc_id"] for r in top.collect()) == sorted(
+        [99, 96, 98, 95, 97, 94]
+    )
+
+
+def test_cap_per_key_plan_has_window_group_limit(spark):
+    import contextlib
+    import io
+
+    from data_integration_est_spark.ops.mixing import cap_per_key
+
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).cast("string").alias("source")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cap_per_key(docs, "source", n_max=10, order_col="doc_id").explain()
+    assert "WindowGroupLimit" in buf.getvalue()

@@ -47,7 +47,7 @@ def _run_battery(tasks: dict) -> dict:
     arbitrated by the scheduler as usual."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(len(tasks), 6)) as ex:
+    with ThreadPoolExecutor(max_workers=min(len(tasks), 8)) as ex:
         futures = {name: ex.submit(fn) for name, fn in tasks.items()}
         return {name: f.result() for name, f in futures.items()}
 

@@ -76,6 +76,20 @@ def connected_components(
         .persist()
     )
 
+    # fixpoint signal, two exact variants by vertex type:
+    # - numeric ids: labels only ever DECREASE (min-aggregation), so the
+    #   decimal label sum is an exact signal — unchanged sum <=> no label
+    #   moved.  ONE cheap agg job per round.
+    # - anything else (string doc hashes/URLs, ...): the decimal cast
+    #   would NULL out and falsely converge after one round (ADVICE r4),
+    #   so compare against the previous labels directly — both sides are
+    #   hash-partitioned on vertex, so the join adds no extra shuffle.
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(labels.schema["vertex"].dataType, NumericType)
+    sum_expr = F.sum(F.col("component").cast("decimal(38,0)"))
+    prev_sum = labels.agg(sum_expr).collect()[0][0] if numeric_ids else None
+
     for _ in range(max_iter):
         # candidate labels: own current label + each neighbor's label
         neigh = (
@@ -89,16 +103,17 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .persist()
         )
-        # fixpoint = no vertex changed label this round.  Exact and
-        # type-agnostic (works for string ids, where a numeric-cast
-        # label sum would NULL out and falsely converge); both sides are
-        # hash-partitioned on vertex so the join adds no extra shuffle.
-        converged = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .isEmpty()
-        )
+        if numeric_ids:
+            new_sum = new_labels.agg(sum_expr).collect()[0][0]
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "vertex")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .isEmpty()
+            )
         labels.unpersist()
         labels = new_labels
         if converged:

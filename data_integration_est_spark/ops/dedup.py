@@ -325,12 +325,15 @@ def line_dedup(
     removed from EVERY document; remaining lines are reassembled in their
     original order.  Returns (id_col, out_col, n_lines, n_kept).
 
-    Physical shape (3 shuffles, all O(lines)): posexplode lines ->
-    groupBy line-key with countDistinct(doc) [map-side partial] ->
-    shuffle join back on the line-key -> groupBy doc to reassemble
-    (sort_array over (pos, line) structs — no window).  Blank lines are
-    kept verbatim (they carry formatting, and counting them as
-    boilerplate would strip every paragraph break).
+    Physical shape (3 shuffles, all O(lines); 2 corpus explodes):
+    posexplode lines -> groupBy line-key with countDistinct(doc)
+    [map-side partial, projects only (key, doc)] -> LEFT join the flag
+    back on the line-key -> ONE groupBy doc that reassembles kept lines
+    (``collect_list`` skips the null-flagged boilerplate structs;
+    sort_array over (pos, line) — no window) and counts total/kept in
+    the same pass, so all-boilerplate docs stay present with empty
+    text.  Blank lines are kept verbatim (they carry formatting, and
+    counting them as boilerplate would strip every paragraph break).
 
     ``hash_lines=True`` (the 100 TB default) keys the count and join by
     ``xxhash64(line)`` so shuffle rows stay narrow (16 bytes vs the full
@@ -351,32 +354,21 @@ def line_dedup(
         .groupBy("lkey")
         .agg(F.count_distinct(F.col(id_col)).alias("df_"))
         .filter(F.col("df_") > max_doc_freq)
-        .select("lkey")
+        .select("lkey", F.lit(True).alias("__boiler__"))
     )
-    kept = lines.join(boiler, "lkey", "left_anti")
-    return (
-        kept.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "line"))),
-                    lambda s: s["line"],
-                ),
-                line_sep,
-            ).alias(out_col),
-            F.count(F.lit(1)).alias("n_kept"),
-        )
-        .join(
-            lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines")),
-            id_col,
-            # docs whose every line was boilerplate drop out of `kept` —
-            # restore them with an empty cleaned text
-            "right",
-        )
-        .select(
-            id_col,
-            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
-            "n_lines",
-            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-        )
+    flagged = lines.join(boiler, "lkey", "left")
+    kept_struct = F.when(
+        F.col("__boiler__").isNull(), F.struct("pos", "line")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                # collect_list drops the NULLs the boilerplate rows map to
+                F.sort_array(F.collect_list(kept_struct)),
+                lambda s: s["line"],
+            ),
+            line_sep,
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("__boiler__").isNull(), 1).otherwise(0)).alias("n_kept"),
     )

@@ -621,3 +621,117 @@ def lsh_knn(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def embedding_second_moment(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    with_means: bool = False,
+) -> DataFrame:
+    """Long-form uncentered second-moment matrix of an embedding column:
+    rows (i, j, m) with ``m = mean(e_i * e_j)`` over the upper triangle
+    (j >= i) — the one-pass sufficient statistic behind covariance, PCA
+    whitening, and Mahalanobis near-dup.
+
+    Physical shape: Arrow-batched ``mapInPandas`` computes each batch's
+    ``X^T X`` in numpy (cast to float64 BEFORE the product so a SQL
+    engine multiplying DOUBLEs reproduces every term exactly) and emits
+    d(d+1)/2 partial rows; one groupBy(i, j) reduces them.  Shuffle
+    volume is O(partitions x d^2), independent of row count — the same
+    sufficient-statistic discipline as the Gram kernels (SCALE.md rule
+    1).  ``with_means=True`` appends rows (i, -1, mean(e_i)) so a
+    centered covariance needs no second pass."""
+    import pandas as pd
+
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col))).first()[0]
+    d = int(dim)
+
+    def part(batches):
+        iu0, iu1 = np.triu_indices(d)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            G = X.T @ X
+            out = pd.DataFrame({
+                "i": iu0.astype("int32"),
+                "j": iu1.astype("int32"),
+                "s": G[iu0, iu1],
+                "n": np.full(len(iu0), len(X), dtype="int64"),
+            })
+            if with_means:
+                out = pd.concat([out, pd.DataFrame({
+                    "i": np.arange(d, dtype="int32"),
+                    "j": np.full(d, -1, dtype="int32"),
+                    "s": X.sum(axis=0),
+                    "n": np.full(d, len(X), dtype="int64"),
+                })], ignore_index=True)
+            yield out
+
+    partials = df.select(vec_col).mapInPandas(part, "i int, j int, s double, n long")
+    return partials.groupBy("i", "j").agg(
+        F.round(F.sum("s") / F.sum("n"), 6).alias("m")
+    )
+
+
+def pca_components(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    dim: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Top-k PCA of an embedding column: returns (components [k x d],
+    eigenvalues [k], mean [d]).  The distributed work is ONE
+    sufficient-statistic pass (``embedding_second_moment`` with means);
+    the eigendecomposition is a d x d driver ``numpy.linalg.eigh`` —
+    O(d^3) on d<=a few thousand, never on row count.  Component signs
+    are normalized (largest-|loading| entry positive) so results are
+    partitioning-independent (SCALE.md rule 7)."""
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col))).first()[0]
+    d = int(dim)
+    rows = embedding_second_moment(df, vec_col, dim=d, with_means=True).collect()
+    M = np.zeros((d, d))
+    mu = np.zeros(d)
+    for r in rows:
+        if r["j"] == -1:
+            mu[r["i"]] = r["m"]
+        else:
+            M[r["i"], r["j"]] = r["m"]
+            M[r["j"], r["i"]] = r["m"]
+    cov = M - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T
+    # deterministic sign: the largest-|loading| coordinate is positive
+    for c in comps:
+        j = int(np.argmax(np.abs(c)))
+        if c[j] < 0:
+            c *= -1
+    return comps, vals[order], mu
+
+
+def pca_project(
+    df: DataFrame,
+    components: np.ndarray,
+    mean: np.ndarray | None = None,
+    vec_col: str = "embedding",
+    out_prefix: str = "pc",
+) -> DataFrame:
+    """Project embeddings onto PCA components as new columns
+    ``{out_prefix}0..{k-1}``.  The (k x d) component matrix is inlined as
+    ONE parsed SQL expression of ``element_at`` arithmetic per component
+    — map-only, codegen'd, no shuffle (SCALE.md round-2 expression
+    rules; higher-order lambdas would run interpreted per element)."""
+    k, d = components.shape
+    mu = np.zeros(d) if mean is None else mean
+    exprs = []
+    for c in range(k):
+        terms = " + ".join(
+            f"(CAST(element_at({vec_col}, {i + 1}) AS DOUBLE) - ({mu[i]!r})) * ({components[c, i]!r})"
+            for i in range(d)
+        )
+        exprs.append(F.expr(terms).alias(f"{out_prefix}{c}"))
+    return df.select("*", *exprs)

@@ -62,3 +62,64 @@ def test_near_dup_exact_vs_lsh_candidates(emb):
     assert bucketed <= exact
     if exact:
         assert len(bucketed) / len(exact) >= 0.3
+
+
+# ------------------------------------------------- second moment / PCA
+def test_second_moment_matches_numpy(emb):
+    import numpy as np
+
+    X = np.stack([r["embedding"] for r in emb.select("embedding").collect()])
+    X = X.astype("float64")
+    want = (X.T @ X) / len(X)
+    got = {(r["i"], r["j"]): r["m"] for r in sim.embedding_second_moment(emb).collect()}
+    d = X.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for i in range(0, d, 7):
+        for j in range(i, d, 11):
+            assert got[(i, j)] == pytest.approx(want[i, j], abs=1e-6)
+
+
+def test_second_moment_partitioning_invariant(emb):
+    a = sorted(map(tuple, sim.embedding_second_moment(emb).collect()))
+    b = sorted(map(tuple, sim.embedding_second_moment(emb.repartition(7)).collect()))
+    assert a == b
+
+
+def test_pca_matches_numpy(emb):
+    import numpy as np
+
+    comps, vals, mu = sim.pca_components(emb, k=4)
+    X = np.stack([r["embedding"] for r in emb.select("embedding").collect()])
+    X = X.astype("float64")
+    # rounding in the long-form stats perturbs the moments at 1e-6;
+    # eigenvalues are stable at that scale, eigenvectors up to sign
+    cov = np.cov(X, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:4]
+    assert vals == pytest.approx(w[order], rel=1e-3)
+    for c_sp, idx in zip(comps, order):
+        c_np = v[:, idx]
+        dot = abs(float(c_sp @ c_np))
+        assert dot == pytest.approx(1.0, abs=1e-3)
+
+
+def test_pca_project_is_map_only_and_correct(emb):
+    import numpy as np
+
+    comps, _, mu = sim.pca_components(emb, k=2)
+    out = sim.pca_project(emb, comps, mu)
+    rows = out.select("vec_id", "pc0", "pc1").orderBy("vec_id").collect()
+    X = np.stack([
+        r["embedding"]
+        for r in emb.select("embedding").orderBy("vec_id").collect()
+    ]).astype("float64")
+    want = (X - mu) @ comps.T
+    got = np.array([[r["pc0"], r["pc1"]] for r in rows])
+    assert np.allclose(got, want, atol=1e-9)
+    # map-only: no exchange in the projection plan
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sim.pca_project(emb, comps, mu).explain()
+    assert "Exchange" not in buf.getvalue()

@@ -66,10 +66,12 @@ HEADLINE = [
     # mc_deterministic_study widened in r5 from 3 to 7 estimator families
     # (PC s1-s3 + RegDI-DR) — added coverage, expect ~2x its r4 time
     "mc_deterministic_study",
-    # round-5 ops (line-level dedup, domain caps, RAG chunking)
+    # round-5 ops (line-level dedup, domain caps, RAG chunking,
+    # embedding second-moment/PCA statistic)
     "line_dedup_stats",
     "source_cap",
     "chunk_documents",
+    "embedding_gram",
     # statistical estimators (GREG calibration / OLS / DR pipelines)
     "regdi_c0",
     "regdi_aux",

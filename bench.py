@@ -72,6 +72,7 @@ HEADLINE = [
     "source_cap",
     "chunk_documents",
     "embedding_gram",
+    "unigram_quality",
     # statistical estimators (GREG calibration / OLS / DR pipelines)
     "regdi_c0",
     "regdi_aux",

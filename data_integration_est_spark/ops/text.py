@@ -178,3 +178,43 @@ def fingerprint(text: Column) -> Column:
         F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", ""), r"\s+", " "
     )
     return F.md5(F.trim(norm))
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the classic cheap quality/perplexity filter (documents
+    full of rare junk tokens score low, fluent in-distribution text
+    scores high; the KenLM-filter stand-in when only Spark is at hand).
+    Returns (id_col, n_tokens, avg_logprob).
+
+    Physical shape: ONE explode -> token-count groupBy (map-side
+    partial) -> shuffle join of tokens to their counts (the vocabulary
+    is corpus-sized at 100 TB, so no broadcast) -> per-doc aggregation.
+    The corpus total rides a 1-row cross join (broadcast).  Every token
+    exists in the corpus by construction, so the self-scored LM needs no
+    smoothing; score EXTERNAL corpora against these counts with an
+    explicit smoothing join instead."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("T"))
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            (F.log(F.col("c").cast("double")) - F.log(F.col("T").cast("double"))).alias(
+                "lp"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )

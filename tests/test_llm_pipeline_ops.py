@@ -481,3 +481,23 @@ def test_cap_per_key_plan_has_window_group_limit(spark):
     with contextlib.redirect_stdout(buf):
         cap_per_key(docs, "source", n_max=10, order_col="doc_id").explain()
     assert "WindowGroupLimit" in buf.getvalue()
+
+
+# ------------------------------------------------------ unigram quality
+def test_unigram_logprob_known_values(spark):
+    import math
+
+    from data_integration_est_spark.ops.text import unigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob_scores(docs).collect()}
+    # corpus counts: a=2, b=1, c=1, T=4
+    want1 = (2 * math.log(2 / 4) + math.log(1 / 4)) / 3
+    want2 = math.log(1 / 4)
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["avg_logprob"] == pytest.approx(want1, abs=1e-6)
+    assert out[2]["avg_logprob"] == pytest.approx(want2, abs=1e-6)
+    # rare-token docs score lower than common-token docs
+    assert out[2]["avg_logprob"] < out[1]["avg_logprob"]

@@ -81,6 +81,100 @@ def chunk_occupancy(
     )
 
 
+def pack_bins(
+    docs: DataFrame,
+    tokens_col: str,
+    budget: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+) -> DataFrame:
+    """No-split greedy (next-fit) bin packing: each document is placed
+    WHOLE into the current fixed-capacity bin of its ``by`` stream, or
+    opens a new bin when it doesn't fit — the packing used when documents
+    must stay contiguous (SFT examples, RAG contexts), as opposed to
+    ``pack_chunks``'s concat-and-cut.  A document larger than ``budget``
+    gets a bin of its own (never dropped, never split).
+
+    Returns one row per document: (id, by, n_tokens, bin) with ``bin``
+    numbered 0.. within the stream, documents visited in ``order_col``
+    order (default ``id_col``; pass a length-descending rank column for
+    next-fit-decreasing).  ``order_col`` must be unique per stream —
+    determinism rule 7.
+
+    Scale: bin state is a running (bin, fill) pair — inherently
+    sequential PER STREAM, so the stream key is the parallel unit (shard
+    first; a single global stream serializes through one task, the
+    documented anti-pattern).  Arrow-batched ``applyInPandas``: one
+    shuffle on ``by``, O(stream) memory per task, no driver state."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    order_col = order_col or id_col
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    src_schema = docs.schema
+    out_schema = StructType([
+        src_schema[id_col],
+        src_schema[by],
+        StructField("n_tokens", LongType(), True),
+        StructField("bin", LongType(), False),
+    ])
+
+    cols = list(dict.fromkeys([id_col, by, tokens_col, order_col]))
+    narrow = docs.select(*cols)
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        toks = pdf[tokens_col].fillna(0).astype("int64").to_numpy()
+        bins = [0] * len(toks)
+        b, fill = 0, 0
+        for i, t in enumerate(toks):
+            if fill + t > budget and fill > 0:
+                b, fill = b + 1, 0
+            bins[i] = b
+            fill += t
+        return pd.DataFrame({
+            id_col: pdf[id_col].to_numpy(),
+            by: pdf[by].to_numpy(),
+            "n_tokens": toks,
+            "bin": bins,
+        })
+
+    return narrow.groupBy(by).applyInPandas(_pack, out_schema)
+
+
+def bin_stats(packed: DataFrame, budget: int, by: str = "source") -> DataFrame:
+    """Packing-efficiency report from a ``pack_bins`` plan: per stream,
+    the bin count, token totals, and padding waste (unused capacity in
+    non-overflow bins; an oversized single-doc bin wastes nothing).
+    Utilization = total_tokens / (total_tokens + pad_tokens)."""
+    per_bin = (
+        packed.groupBy(by, "bin")
+        .agg(F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        per_bin.groupBy(by)
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("fill").alias("total_tokens"),
+            F.sum(F.greatest(F.lit(budget) - F.col("fill"), F.lit(0))).alias(
+                "pad_tokens"
+            ),
+        )
+        .withColumn(
+            "utilization",
+            F.round(
+                F.col("total_tokens")
+                / (F.col("total_tokens") + F.col("pad_tokens")),
+                6,
+            ),
+        )
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     size: int,

@@ -354,6 +354,95 @@ def test_temperature_sample_rejects_string_ids(spark):
         temperature_sample(docs)
 
 
+# ----------------------------------------------------- no-split bin packing
+def _nextfit_oracle(items, budget):
+    """Reference next-fit in plain python: [(id, tokens)] -> {id: bin}."""
+    out, b, fill = {}, 0, 0
+    for i, t in items:
+        if fill + t > budget and fill > 0:
+            b, fill = b + 1, 0
+        out[i] = b
+        fill += t
+    return out
+
+
+def test_pack_bins_matches_python_oracle(spark):
+    from data_integration_est_spark.ops.packing import pack_bins
+
+    # deterministic pseudo-random sizes incl. zero and oversize docs
+    rows = [(i, str(i % 3), (i * 37) % 130) for i in range(200)]
+    rows[17] = (17, "2", 0)
+    rows[23] = (23, "2", 500)  # > budget: bin of its own
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    got = {
+        (r["source"], r["doc_id"]): r["bin"]
+        for r in pack_bins(docs, "n_tok", budget=100, by="source").collect()
+    }
+    for s in ("0", "1", "2"):
+        items = [(i, t) for (i, src, t) in rows if src == s]
+        want = _nextfit_oracle(sorted(items), 100)
+        for i, b in want.items():
+            assert got[(s, i)] == b, (s, i)
+
+
+def test_pack_bins_invariants_and_stats(spark):
+    from data_integration_est_spark.ops.packing import bin_stats, pack_bins
+
+    docs = spark.createDataFrame(
+        [(i, "s", (i * 13) % 40 + 1) for i in range(100)],
+        "doc_id long, source string, n_tok long",
+    )
+    plan = pack_bins(docs, "n_tok", budget=64, by="source")
+    rows = plan.collect()
+    assert len(rows) == 100  # no doc dropped or duplicated
+    fills = {}
+    for r in rows:
+        fills[r["bin"]] = fills.get(r["bin"], 0) + r["n_tokens"]
+    assert all(f <= 64 for f in fills.values())  # no oversize docs here
+    assert sorted(fills) == list(range(len(fills)))  # contiguous bin ids
+
+    st = bin_stats(plan, 64).collect()[0]
+    assert st["n_docs"] == 100
+    assert st["n_bins"] == len(fills)
+    assert st["total_tokens"] == sum(fills.values())
+    assert st["pad_tokens"] == sum(64 - f for f in fills.values())
+    assert st["utilization"] == pytest.approx(
+        st["total_tokens"] / (64 * st["n_bins"]), abs=1e-6
+    )
+
+
+def test_pack_bins_oversize_doc_owns_bin_no_padding_charge(spark):
+    from data_integration_est_spark.ops.packing import bin_stats, pack_bins
+
+    docs = spark.createDataFrame(
+        [(1, "s", 50), (2, "s", 300), (3, "s", 60)],
+        "doc_id long, source string, n_tok long",
+    )
+    plan = {r["doc_id"]: r["bin"] for r in
+            pack_bins(docs, "n_tok", budget=100, by="source").collect()}
+    assert plan == {1: 0, 2: 1, 3: 2}
+    st = bin_stats(
+        pack_bins(docs, "n_tok", budget=100, by="source"), 100
+    ).collect()[0]
+    # pads: bin0 50, bin1 overflow->0, bin2 40
+    assert st["pad_tokens"] == 90
+
+
+def test_pack_bins_custom_order_nextfit_decreasing(spark):
+    from data_integration_est_spark.ops.packing import pack_bins
+
+    docs = spark.createDataFrame(
+        [(1, "s", 10), (2, "s", 90), (3, "s", 85), (4, "s", 15)],
+        "doc_id long, source string, n_tok long",
+    ).withColumn("neg_len", -F.col("n_tok") * 1000 + F.col("doc_id"))
+    # length-descending visit order: 90, 85, 15, 10 -> bins 0,1,1,2? no:
+    # 90 -> bin0 (fill 90); 85 -> bin1 (85); 15 -> bin1 (100); 10 -> bin2
+    plan = {r["doc_id"]: r["bin"] for r in
+            pack_bins(docs, "n_tok", budget=100, by="source",
+                      order_col="neg_len").collect()}
+    assert plan == {2: 0, 3: 1, 4: 1, 1: 2}
+
+
 # -------------------------------------------------------- document chunking
 def test_chunk_documents_overlap(spark):
     from data_integration_est_spark.ops.packing import chunk_documents

@@ -73,6 +73,9 @@ HEADLINE = [
     "chunk_documents",
     "embedding_gram",
     "unigram_quality",
+    "pack_bins_stats",
+    # domain estimation (svyby-style grouped RegDI)
+    "regdi_by_priority",
     # statistical estimators (GREG calibration / OLS / DR pipelines)
     "regdi_c0",
     "regdi_aux",

@@ -1,0 +1,98 @@
+"""Raking (iterative proportional fitting) — ``survey::rake`` parity.
+
+Linear GREG calibration (``kernels/linalg.calibrate``) matches totals of
+arbitrary x-columns but can produce negative weights; raking calibrates
+to the MARGINS of categorical variables with multiplicative updates, so
+weights stay positive — the standard post-stratification tool when only
+margin counts (not the joint distribution) are known.  The reference's
+calibration entry point (``RegDI2.R:188-193``) is the linear member of
+the same calibration family; raking is its multiplicative sibling over
+factor margins.
+
+Algorithm (classic IPF): cycle through the margins; for margin m with
+target totals T_m(level), multiply every row's weight by
+``T_m(level_i) / sum_w(level_i)``.  Repeat until every margin matches
+within ``tol`` or ``max_iter`` sweeps.
+
+Scale design: the raked weight is, by construction, always
+``d_i * prod_m fac_m(level_mi)`` — so the whole state is a per-margin
+{level: factor} dict on the DRIVER, applied as a map-literal column
+expression.  Each margin update is then ONE flat groupBy over the base
+table (O(levels) rows collected, no join chain, no growing lineage), and
+the final output is a single projection.  A full 10-sweep × 3-margin
+rake is 30 scan-light aggregations over an unchanging plan shape.
+Margins must have broadcastable level counts (thousands, not millions) —
+use GREG calibration for high-cardinality margins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class RakingError(ValueError):
+    pass
+
+
+def _weight_expr(d_col: str, factors: dict[str, dict]) -> Column:
+    w = F.col(d_col).cast("double")
+    for col, fac in factors.items():
+        pairs: list[Column] = []
+        for lvl, f in fac.items():
+            pairs.extend([F.lit(lvl), F.lit(float(f))])
+        w = w * F.create_map(*pairs)[F.col(col)]
+    return w
+
+
+def rake(
+    df: DataFrame,
+    margins: dict[str, dict],
+    d_col: str,
+    out_col: str = "w_rake",
+    max_iter: int = 10,
+    tol: float | None = 1e-7,
+) -> DataFrame:
+    """Rake design weights ``d_col`` to the margin targets.
+
+    ``margins`` maps margin column -> {level: target_total}; every level
+    present in ``df`` must have a target (unknown levels raise — silent
+    zero-weighting loses rows).  ``tol`` is the worst relative margin
+    error at which to stop early; pass ``None`` to always run exactly
+    ``max_iter`` sweeps (deterministic work, e.g. for cross-engine
+    replay).  Returns ``df`` plus ``out_col``; the input is never
+    shuffled or reordered."""
+    if not margins:
+        raise RakingError("rake: need at least one margin")
+    # seed factors from the targets so the first sweep also validates
+    # that every data level has a target
+    factors: dict[str, dict] = {
+        col: {lvl: 1.0 for lvl in targets} for col, targets in margins.items()
+    }
+
+    for it in range(max_iter):
+        worst = 0.0
+        for col, targets in margins.items():
+            w = _weight_expr(d_col, factors)
+            rows = df.groupBy(col).agg(F.sum(w).alias("__s__")).collect()
+            for r in rows:
+                lvl, s = r[col], r["__s__"]
+                if lvl not in targets:
+                    raise RakingError(
+                        f"rake: margin {col!r} level {lvl!r} has no target"
+                    )
+                s = float(s or 0.0)
+                if s <= 0.0:
+                    raise RakingError(
+                        f"rake: margin {col!r} level {lvl!r} has non-positive "
+                        f"weight sum {s}"
+                    )
+                t = float(targets[lvl])
+                worst = max(worst, abs(t - s) / max(abs(t), 1e-300))
+                factors[col][lvl] *= t / s
+        # convergence is judged on the sums SEEN this sweep (pre-update
+        # for the first margin) — one extra sweep of slack, zero extra
+        # jobs; survey::rake uses the same criterion.
+        if tol is not None and it > 0 and worst < tol:
+            break
+    return df.withColumn(out_col, _weight_expr(d_col, factors))

@@ -39,8 +39,10 @@ from data_integration_est_spark.ops.dedup import line_dedup
 from data_integration_est_spark.ops.mixing import (
     cap_per_key, source_mixture, temperature_sample,
 )
+from data_integration_est_spark.estimators.domains import pc_by, regdi_by
+from data_integration_est_spark.kernels.rake import rake
 from data_integration_est_spark.ops.packing import (
-    chunk_documents, chunk_occupancy, pack_chunks,
+    bin_stats, chunk_documents, chunk_occupancy, pack_bins, pack_chunks,
 )
 from data_integration_est_spark.ops.pii import pii_scan
 from data_integration_est_spark.ops.quality_rep import repetition_stats
@@ -77,6 +79,11 @@ __all__ = [
     "pack_chunks",
     "chunk_occupancy",
     "chunk_documents",
+    "pack_bins",
+    "bin_stats",
+    "rake",
+    "regdi_by",
+    "pc_by",
     "pii_scan",
     "repetition_stats",
     "get_spark",

@@ -74,8 +74,10 @@ HEADLINE = [
     "embedding_gram",
     "unigram_quality",
     "pack_bins_stats",
-    # domain estimation (svyby-style grouped RegDI)
+    # domain estimation (svyby-style grouped RegDI), raking, bootstrap
     "regdi_by_priority",
+    "rake_margins",
+    "bootstrap_mean",
     # statistical estimators (GREG calibration / OLS / DR pipelines)
     "regdi_c0",
     "regdi_aux",

@@ -41,6 +41,7 @@ from data_integration_est_spark.ops.mixing import (
 )
 from data_integration_est_spark.estimators.domains import pc_by, regdi_by
 from data_integration_est_spark.kernels.rake import rake
+from data_integration_est_spark.kernels.replicate import jackknife_mean, poisson_bootstrap_mean
 from data_integration_est_spark.ops.packing import (
     bin_stats, chunk_documents, chunk_occupancy, pack_bins, pack_chunks,
 )
@@ -82,6 +83,8 @@ __all__ = [
     "pack_bins",
     "bin_stats",
     "rake",
+    "jackknife_mean",
+    "poisson_bootstrap_mean",
     "regdi_by",
     "pc_by",
     "pii_scan",

@@ -19,8 +19,24 @@ verification: ``id % G`` on a non-negative integer id column.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Poisson(1) inverse CDF over an integer uniform mod the prime P:
+# thresholds are round(P(X<=k) * P) — exact integer comparisons, so any
+# engine with 64-bit integer arithmetic reproduces the same counts.
+#
+# The uniform itself must NOT be affine in the id: sequential ids under
+# (id*a + r*b) % m form a lattice whose near-perfect equidistribution
+# DEFLATES the bootstrap variance ~3x (measured).  A quadratic
+# congruential mix breaks the lattice; the SE/sd-over-sqrt(n) ratio on
+# IID-shaped data lands at 0.96-1.13 across smooth/periodic/spiky
+# outcomes (pinned in tests).  All intermediates stay < 1e17 for ids up
+# to ~1e12 — no 64-bit overflow in any engine.
+_POIS1_P = 999983  # prime modulus
+_POIS1_CDF = (367873, 735746, 919683, 980995, 996323, 999389, 999900, 999973)
+_QH_A1, _QH_B1 = 48271, 7919
+_QH_A2, _QH_B2, _QH_C2 = 16807, 65537, 104729
 
 
 def jackknife_mean(
@@ -79,4 +95,90 @@ def jackknife_mean(
             6,
         ).alias("se_jk"),
         F.lit(n_groups).cast("long").alias("n_groups"),
+    )
+
+
+def _quad_hash(id_col: Column, r: int) -> Column:
+    """Quadratic congruential uniform in [0, P) from (id, replicate)."""
+    h1 = F.pmod(id_col * _QH_A1 + F.lit(r * _QH_B1), _POIS1_P)
+    return F.pmod(
+        F.pmod(h1 * h1, _POIS1_P) * _QH_A2 + h1 * _QH_B2 + F.lit(r * _QH_C2),
+        _POIS1_P,
+    )
+
+
+def _poisson1_count(h: Column) -> Column:
+    """Poisson(1) multiplicity from an integer uniform h in [0, P)."""
+    expr = F.lit(len(_POIS1_CDF))
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        expr = F.when(h < _POIS1_CDF[k], k).otherwise(expr)
+    return expr
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    y_col: str,
+    id_col: str,
+    weight_col: str | None = None,
+    n_replicates: int = 50,
+) -> DataFrame:
+    """Weighted-mean point estimate with Poisson-bootstrap SE.
+
+    The scale-friendly bootstrap (Chamandy et al.'s "Estimating
+    Uncertainty for Massive Data Streams" / the Kleiner et al. resampling
+    family): instead of resampling n rows WITH replacement (which needs
+    coordinated global draws), every row enters replicate r with an
+    independent Poisson(1) multiplicity — preserving E[count] = 1 and the
+    multinomial bootstrap's variance to O(1/n).  Replicate estimates are
+    ``theta_r = sum(m_ir w_i y_i) / sum(m_ir w_i)``; the SE is their
+    sample standard deviation.
+
+    Everything is DETERMINISTIC: multiplicities come from the engine's
+    Knuth-hash uniform of (id, replicate), so any engine with 64-bit
+    integers reproduces the exact result (the DuckDB gate oracle does).
+
+    Scale design: no explode, no per-replicate rescan — the 2R replicate
+    sums are ordinary agg expressions in ONE map-side-combined pass
+    (R <= a few hundred keeps the agg row narrow); the R-row unpivot that
+    follows is driver-tiny.  Returns one row (mean, se_boot, n_replicates).
+    """
+    if n_replicates < 2:
+        raise ValueError("bootstrap needs at least 2 replicates")
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    y = F.col(y_col).cast("double")
+    wy = w * y
+    base = df.select(
+        F.col(id_col).cast("long").alias("__id__"),
+        wy.alias("__wy__"),
+        F.when(wy.isNotNull(), w).alias("__w__"),
+    )
+    aggs = [
+        F.sum("__wy__").alias("Twy"),
+        F.sum("__w__").alias("Tw"),
+    ]
+    for r in range(n_replicates):
+        m = _poisson1_count(_quad_hash(F.col("__id__"), r)).cast("double")
+        aggs.append(F.sum(m * F.col("__wy__")).alias(f"bwy_{r}"))
+        aggs.append(F.sum(m * F.col("__w__")).alias(f"bw_{r}"))
+    row = base.agg(*aggs)  # ONE distributed pass; 1 x (2R+2) result
+
+    # unpivot the replicate sums (driver-tiny: R rows) and reduce
+    pairs = ", ".join(f"bwy_{r}, bw_{r}" for r in range(n_replicates))
+    reps = row.selectExpr(
+        "Twy", "Tw",
+        f"stack({n_replicates}, {pairs}) AS (bwy, bw)",
+    ).select(
+        # try_divide: a replicate whose Poisson counts are all zero (only
+        # possible on tiny inputs) has no estimate — NULL, skipped by the
+        # stddev, matching SQL divide-by-zero semantics in the oracle
+        "Twy", "Tw", F.try_divide(F.col("bwy"), F.col("bw")).alias("theta_r")
+    )
+    return reps.agg(
+        F.round(F.max("Twy") / F.max("Tw"), 6).alias("mean"),
+        F.round(F.stddev_samp("theta_r"), 6).alias("se_boot"),
+        F.lit(n_replicates).cast("long").alias("n_replicates"),
     )

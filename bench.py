@@ -78,6 +78,7 @@ HEADLINE = [
     "regdi_by_priority",
     "rake_margins",
     "bootstrap_mean",
+    "svyratio_events",
     # statistical estimators (GREG calibration / OLS / DR pipelines)
     "regdi_c0",
     "regdi_aux",

@@ -7,6 +7,7 @@ from data_integration_est_spark.kernels.linalg import (
 )
 from data_integration_est_spark.kernels.stats import (
     svymean,
+    svyratio,
     svytotal,
     weighted_mean,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "fit_logistic",
     "CalibrationError",
     "svymean",
+    "svyratio",
     "svytotal",
     "weighted_mean",
 ]

@@ -249,3 +249,58 @@ def svymean(
             v = float("nan") if n < 2 else n / (n - 1.0) * (s2 - s1 * s1 / n)
         out.append(EstimateRow(key=key, estimate=float(m), variance=float(v), n=n))
     return out
+
+
+def svyratio(
+    design: SurveyDesign,
+    num_col: str,
+    den_col: str,
+    group_cols: list[str] | None = None,
+) -> list[EstimateRow]:
+    """Ratio estimator R = sum(w*y) / sum(w*x) with linearization SE —
+    ``survey::svyratio`` for element-level with-replacement designs
+    (the same design family as ``svymean``/``svytotal`` above; the
+    reference's PC pipeline composes the identical influence algebra at
+    ``PC.R:245-247``).
+
+    Influence: u_i = w_i (y_i - R x_i) / sum(w x);
+    V = n/(n-1) * (sum u_i^2 - (sum u_i)^2 / n).  The u-moments are
+    quadratic forms in UNCENTERED (w, w^2)-weighted moments of (x, y),
+    so everything is ONE distributed pass per group; only O(groups)
+    scalars reach the driver."""
+    group_cols = list(group_cols or [])
+    df = design.df.na.drop(subset=[num_col, den_col, design.weight_col])
+    w = F.col(design.weight_col).cast("double")
+    y = F.col(num_col).cast("double")
+    x = F.col(den_col).cast("double")
+    res = _collect_keyed(
+        df,
+        group_cols,
+        [
+            F.sum(w * y).alias("swy"),
+            F.sum(w * x).alias("swx"),
+            F.sum(w * w * y * y).alias("qyy"),
+            F.sum(w * w * x * y).alias("qxy"),
+            F.sum(w * w * x * x).alias("qxx"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+    )
+    out: list[EstimateRow] = []
+    for k, r in res.items():
+        n = int(r["n"])
+        swy, swx = float(r["swy"] or 0.0), float(r["swx"] or 0.0)
+        if swx == 0.0:
+            out.append(EstimateRow(key=k, estimate=float("nan"),
+                                   variance=float("nan"), n=n))
+            continue
+        R = swy / swx
+        # sum w^2 (y - Rx)^2 and sum w (y - Rx) expanded in moments
+        q = float(r["qyy"] or 0.0) - 2.0 * R * float(r["qxy"] or 0.0) \
+            + R * R * float(r["qxx"] or 0.0)
+        s = swy - R * swx  # identically 0; kept for formula fidelity
+        if n < 2:
+            v = float("nan")
+        else:
+            v = n / (n - 1.0) * (q - s * s / n) / (swx * swx)
+        out.append(EstimateRow(key=k, estimate=float(R), variance=float(v), n=n))
+    return out

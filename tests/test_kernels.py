@@ -1,6 +1,7 @@
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from data_integration_est_spark.design import SurveyDesign
 from data_integration_est_spark.kernels import (
@@ -205,3 +206,38 @@ def test_weighted_mean_grouped_all_null_group_is_nan(spark):
     out = weighted_mean_grouped(df, "y", "s", "w", ["g"])
     assert out[("a",)][0] == pytest.approx(2.0)
     assert np.isnan(out[("b",)][0])
+
+
+def test_svyratio_formula_and_groups(small_df):
+    from data_integration_est_spark.kernels.stats import svyratio
+
+    df, pdf = small_df
+    des = SurveyDesign(df=df, weight_col="w")
+    # denominator: positive covariate x1 (+3 to keep it well away from 0)
+    df3 = df.withColumn("xden", F.col("x1") + 3.0)
+    des = SurveyDesign(df=df3, weight_col="w")
+    r = svyratio(des, "y", "xden")[0]
+    w, y, x = pdf.w.to_numpy(), pdf.y.to_numpy(), pdf.x1.to_numpy() + 3.0
+    R = (w * y).sum() / (w * x).sum()
+    u = w * (y - R * x) / (w * x).sum()
+    n = len(w)
+    v = n / (n - 1) * ((u - u.mean()) ** 2).sum()
+    np.testing.assert_allclose(r.estimate, R, rtol=1e-10)
+    np.testing.assert_allclose(r.variance, v, rtol=1e-9)
+
+    # grouped: each group independently equals the filtered scalar call
+    got = {e.key[0]: e for e in svyratio(des, "y", "xden", group_cols=["g"])}
+    for g in sorted(pdf.g.unique()):
+        m = pdf.g.to_numpy() == g
+        Rg = (w[m] * y[m]).sum() / (w[m] * x[m]).sum()
+        np.testing.assert_allclose(got[g].estimate, Rg, rtol=1e-10)
+
+
+def test_svyratio_zero_denominator_nan(small_df):
+    from data_integration_est_spark.kernels.stats import svyratio
+
+    df, _ = small_df
+    z = df.withColumn("zero", F.lit(0.0))
+    des = SurveyDesign(df=z, weight_col="w")
+    r = svyratio(des, "y", "zero")[0]
+    assert np.isnan(r.estimate)

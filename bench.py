@@ -79,6 +79,7 @@ HEADLINE = [
     "rake_margins",
     "bootstrap_mean",
     "svyratio_events",
+    "heavy_tokens",
     # statistical estimators (GREG calibration / OLS / DR pipelines)
     "regdi_c0",
     "regdi_aux",

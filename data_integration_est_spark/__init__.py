@@ -36,6 +36,7 @@ from data_integration_est_spark.ops.components import (
 )
 from data_integration_est_spark.ops.decontam import contamination_scan, decontaminate
 from data_integration_est_spark.ops.dedup import line_dedup
+from data_integration_est_spark.ops.heavy_hitters import heavy_hitters, misra_gries_candidates
 from data_integration_est_spark.ops.mixing import (
     cap_per_key, source_mixture, temperature_sample,
 )
@@ -74,6 +75,8 @@ __all__ = [
     "contamination_scan",
     "decontaminate",
     "line_dedup",
+    "heavy_hitters",
+    "misra_gries_candidates",
     "cap_per_key",
     "source_mixture",
     "temperature_sample",

@@ -1,0 +1,83 @@
+"""Exact distributed heavy hitters — frequent values without shuffling
+the long tail.
+
+The naive plan for "values with frequency >= phi*N" is a full
+groupBy-count: at 100 TB that shuffles EVERY distinct value (frequent
+n-grams over a web corpus: billions of keys, almost all of them seen
+once).  The classical two-pass fix (Misra-Gries 1982; mergeable-summary
+form per Agarwal et al., "Mergeable Summaries", PODS'12):
+
+1. CANDIDATES — each partition keeps a Misra-Gries summary of
+   ``k = ceil(1/phi)+1`` counters.  MG guarantees any value with local
+   frequency > n_p/(k+1) survives; by a weighted-average argument a
+   value with GLOBAL frequency >= phi*N exceeds that bound in at least
+   one partition, so the union of partition summaries is a SUPERSET of
+   the true heavy hitters (no false negatives; O(partitions/phi)
+   candidates total, independent of N and of the number of distincts).
+2. EXACT RECOUNT — broadcast the candidate set, semi-join the base (a
+   map-side hash filter: the long tail never enters a shuffle), exact
+   groupBy-count of candidates only, filter ``count >= phi*N``.
+
+The result is EXACT — the sketch only prunes, never decides.  The
+summaries are maintained per Arrow batch with the MERGE rule (add batch
+counts, subtract the (k+1)-th largest, drop non-positive), so the inner
+loop is pandas ``value_counts``/``nlargest`` — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def misra_gries_candidates(df: DataFrame, col: str, phi: float) -> DataFrame:
+    """Per-partition Misra-Gries candidate values for the phi threshold
+    (superset guarantee — see module docstring).  Returns a one-column
+    DataFrame of distinct candidate values, O(partitions/phi) rows."""
+    if not (0.0 < phi < 1.0):
+        raise ValueError("phi must be in (0, 1)")
+    k = int(math.ceil(1.0 / phi)) + 1
+    import pandas as pd
+
+    narrow = df.select(col).na.drop()
+    schema = narrow.schema
+
+    def mg(batches):
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            batch = pdf[col].value_counts()
+            counters = counters.add(batch, fill_value=0)
+            if len(counters) > k:
+                # mergeable-summary decrement: subtract the (k+1)-th
+                # largest count from EVERY counter, drop the non-positive.
+                # The subtraction is load-bearing: dropping without
+                # decrementing lets persistent-but-diffuse values be
+                # evicted repeatedly past the n/(k+1) error budget,
+                # breaking the no-false-negative guarantee.
+                cut = counters.nlargest(k + 1).iloc[-1]
+                counters = counters.sub(cut)
+                counters = counters[counters > 0]
+        yield pd.DataFrame({col: counters.index})
+
+    return narrow.mapInPandas(mg, schema=schema).distinct()
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, phi: float, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Exact (value, count) rows for every value with
+    ``count >= phi * N`` (N = non-null rows).  ``candidates`` defaults to
+    the Misra-Gries pass; inject a precomputed or known candidate set to
+    skip it (e.g. when re-thresholding)."""
+    narrow = df.select(col).na.drop()
+    if candidates is None:
+        candidates = misra_gries_candidates(df, col, phi)
+    total = narrow.count()
+    return (
+        narrow.join(F.broadcast(candidates), col)
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= math.ceil(phi * total))
+    )

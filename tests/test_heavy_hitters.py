@@ -1,0 +1,79 @@
+"""Exact heavy hitters (``ops/heavy_hitters``): the MG candidate pass
+must never lose a true heavy hitter (superset guarantee), and the final
+output must equal the plain count-and-filter."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_est_spark.ops.heavy_hitters import (
+    heavy_hitters, misra_gries_candidates,
+)
+
+
+def _exact(df, col, phi):
+    import math
+
+    total = df.select(col).na.drop().count()
+    return {
+        (r[col], r["n"])
+        for r in df.na.drop(subset=[col])
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= math.ceil(phi * total))
+        .collect()
+    }
+
+
+def test_heavy_hitters_equals_exact_on_zipf(spark):
+    # zipf-ish: value v appears ~N/v times
+    df = spark.range(200_000).select(
+        (F.floor(F.pow(F.lit(2.0), (F.col("id") % 17).cast("double") / 1.7)))
+        .cast("string").alias("v")
+    )
+    got = {(r["v"], r["count"]) for r in heavy_hitters(df, "v", 0.01).collect()}
+    assert got == _exact(df, "v", 0.01)
+    assert len(got) > 0
+
+
+def test_heavy_hitters_diffuse_value_survives(spark):
+    """The regression case for the subtract-on-evict rule: one value
+    ('needle') drips steadily among rotating noise values.  A summary
+    that drops without decrementing evicts it past the error budget."""
+    rows = []
+    for i in range(50_000):
+        rows.append(("needle",) if i % 40 == 0 else (f"noise_{i % 7000}",))
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    phi = 0.02  # needle freq = 2.5% > phi
+    got = {r["v"] for r in heavy_hitters(df, "v", phi).collect()}
+    assert "needle" in got
+    assert got == {v for v, _ in _exact(df, "v", phi)}
+
+
+def test_candidate_set_is_bounded_and_superset(spark):
+    import math
+
+    phi = 0.05
+    df = spark.range(100_000).select(
+        (F.col("id") % 1000).cast("string").alias("v")
+    ).repartition(16)
+    cand = misra_gries_candidates(df, "v", phi)
+    n_cand = cand.count()
+    k = math.ceil(1 / phi) + 1
+    assert n_cand <= 16 * (k + 1)
+    # uniform 1000 values at 0.1% each: none reach 5%, exact set empty
+    assert heavy_hitters(df, "v", phi, candidates=cand).count() == 0
+
+
+def test_injected_candidates_path(spark):
+    df = spark.createDataFrame([("a",)] * 60 + [("b",)] * 40, "v string")
+    cand = spark.createDataFrame([("a",), ("zzz",)], "v string")
+    got = {(r["v"], r["count"])
+           for r in heavy_hitters(df, "v", 0.5, candidates=cand).collect()}
+    # only candidates are counted; zzz has no rows, b was never offered
+    assert got == {("a", 60)}
+
+
+def test_phi_validation(spark):
+    df = spark.range(5).select(F.col("id").cast("string").alias("v"))
+    with pytest.raises(ValueError, match="phi"):
+        misra_gries_candidates(df, "v", 0.0)

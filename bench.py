@@ -80,6 +80,7 @@ HEADLINE = [
     "bootstrap_mean",
     "svyratio_events",
     "heavy_tokens",
+    "svyquantile_events",
     # statistical estimators (GREG calibration / OLS / DR pipelines)
     "regdi_c0",
     "regdi_aux",

@@ -41,6 +41,7 @@ from data_integration_est_spark.ops.mixing import (
     cap_per_key, source_mixture, temperature_sample,
 )
 from data_integration_est_spark.estimators.domains import pc_by, regdi_by
+from data_integration_est_spark.kernels.quantile import svyquantile
 from data_integration_est_spark.kernels.rake import rake
 from data_integration_est_spark.kernels.replicate import jackknife_mean, poisson_bootstrap_mean
 from data_integration_est_spark.ops.packing import (
@@ -86,6 +87,7 @@ __all__ = [
     "pack_bins",
     "bin_stats",
     "rake",
+    "svyquantile",
     "jackknife_mean",
     "poisson_bootstrap_mean",
     "regdi_by",

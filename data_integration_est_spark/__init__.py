@@ -38,7 +38,7 @@ from data_integration_est_spark.ops.decontam import contamination_scan, decontam
 from data_integration_est_spark.ops.dedup import line_dedup
 from data_integration_est_spark.ops.heavy_hitters import heavy_hitters, misra_gries_candidates
 from data_integration_est_spark.ops.mixing import (
-    cap_per_key, source_mixture, temperature_sample,
+    cap_per_key, hash_split, source_mixture, temperature_sample,
 )
 from data_integration_est_spark.estimators.domains import pc_by, regdi_by
 from data_integration_est_spark.kernels.quantile import svyquantile
@@ -79,6 +79,7 @@ __all__ = [
     "heavy_hitters",
     "misra_gries_candidates",
     "cap_per_key",
+    "hash_split",
     "source_mixture",
     "temperature_sample",
     "pack_chunks",

@@ -129,3 +129,48 @@ def cap_per_key(
         .filter(F.col("__rn__") <= n_max)
         .drop("__rn__")
     )
+
+
+def hash_split(
+    docs: DataFrame,
+    fractions: dict,
+    id_col: str = "doc_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the corpus-prep split
+    that must be STABLE under reprocessing (a doc must never migrate
+    between train and eval across pipeline runs, or contamination checks
+    are meaningless).  Each row's split comes from the engine's
+    hash-uniform of its id against cumulative fraction cuts, so the
+    assignment is a pure map (no shuffle, no sampling state) and any
+    engine with 64-bit integers reproduces it bit-for-bit.
+
+    ``fractions`` maps split name -> fraction; must sum to 1 (1e-9
+    tolerance).  Numeric ids only (same contract as temperature_sample —
+    map string ids through a numeric hash first)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if not fractions:
+        raise ValueError("need at least one split")
+    id_type = docs.schema[id_col].dataType.typeName()
+    if id_type not in (
+        "byte", "short", "integer", "long", "decimal", "float", "double"
+    ):
+        raise TypeError(
+            f"hash_split: id column {id_col!r} has type {id_type!r}; "
+            "the deterministic hash-uniform needs a numeric id"
+        )
+    u = (
+        (F.col(id_col) * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+    ).cast("double") / float(_HASH_MOD)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += float(fractions[name])
+        cond = u < F.lit(cum)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(names[-1])
+    return docs.withColumn(out_col, expr)

@@ -590,3 +590,34 @@ def test_unigram_logprob_known_values(spark):
     assert out[2]["avg_logprob"] == pytest.approx(want2, abs=1e-6)
     # rare-token docs score lower than common-token docs
     assert out[2]["avg_logprob"] < out[1]["avg_logprob"]
+
+
+# ------------------------------------------------------ deterministic splits
+def test_hash_split_partitions_and_is_stable(spark):
+    from data_integration_est_spark.ops.mixing import hash_split
+
+    docs = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    out = hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 10_000          # total partition
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 8_000                 # roughly proportional
+    # stability: identical assignment on a second run
+    again = hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    diff = (
+        out.alias("a").join(again.alias("b"), "doc_id")
+        .filter(F.col("a.split") != F.col("b.split")).count()
+    )
+    assert diff == 0
+
+
+def test_hash_split_validates_inputs(spark):
+    from data_integration_est_spark.ops.mixing import hash_split
+
+    docs = spark.range(5).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, {"train": 0.5, "val": 0.1})
+    sdocs = spark.createDataFrame([("a",)], "doc_id string")
+    with pytest.raises(TypeError, match="numeric id"):
+        hash_split(sdocs, {"train": 1.0})

@@ -119,6 +119,50 @@ def probe_docs(spark, sf_dir: str):
     }))
 
 
+def probe_r5_ops(spark, sf_dir: str):
+    """r5 additions at 1x and 10x: heavy hitters over exploded tokens
+    (candidate count must stay ~flat — it is O(partitions/phi), not
+    O(rows)), and no-split bin packing (per-stream sequential, stream
+    count fixed, so wall should track data near-linearly)."""
+    from data_integration_est_spark.ops.heavy_hitters import heavy_hitters
+    from data_integration_est_spark.ops.packing import bin_stats, pack_bins
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+
+    def corpus(mult: int):
+        parts = [
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * (max_id + 1)))
+            for i in range(mult)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def hh_at(mult: int):
+        toks = (
+            corpus(mult)
+            .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+            .filter(F.col("tok") != "")
+        )
+        return heavy_hitters(toks, "tok", phi=0.002).count()
+
+    def pack_at(mult: int):
+        plan = pack_bins(corpus(mult), "n_chars", budget=8192, by="source")
+        return bin_stats(plan, 8192).count()
+
+    h1 = _timed(f"heavy_tokens_x1_{n}docs", lambda: hh_at(1))
+    h10 = _timed(f"heavy_tokens_x10_{10 * n}docs", lambda: hh_at(10))
+    print(json.dumps({"probe": "heavy_tokens_scale_factor_10x",
+                      "factor": round(h10 / h1, 2)}))
+    p1 = _timed(f"pack_bins_x1_{n}docs", lambda: pack_at(1))
+    p10 = _timed(f"pack_bins_x10_{10 * n}docs", lambda: pack_at(10))
+    print(json.dumps({"probe": "pack_bins_scale_factor_10x",
+                      "factor": round(p10 / p1, 2)}))
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -130,6 +174,8 @@ def main() -> None:
         probe_mc(spark)
     if which in ("docs", "all"):
         probe_docs(spark, sf_dir)
+    if which in ("r5", "all"):
+        probe_r5_ops(spark, sf_dir)
 
 
 if __name__ == "__main__":

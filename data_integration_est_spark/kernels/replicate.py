@@ -19,7 +19,7 @@ verification: ``id % G`` on a non-negative integer id column.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Poisson(1) inverse CDF over an integer uniform mod the prime P:
@@ -98,23 +98,6 @@ def jackknife_mean(
     )
 
 
-def _quad_hash(id_col: Column, r: int) -> Column:
-    """Quadratic congruential uniform in [0, P) from (id, replicate)."""
-    h1 = F.pmod(id_col * _QH_A1 + F.lit(r * _QH_B1), _POIS1_P)
-    return F.pmod(
-        F.pmod(h1 * h1, _POIS1_P) * _QH_A2 + h1 * _QH_B2 + F.lit(r * _QH_C2),
-        _POIS1_P,
-    )
-
-
-def _poisson1_count(h: Column) -> Column:
-    """Poisson(1) multiplicity from an integer uniform h in [0, P)."""
-    expr = F.lit(len(_POIS1_CDF))
-    for k in range(len(_POIS1_CDF) - 1, -1, -1):
-        expr = F.when(h < _POIS1_CDF[k], k).otherwise(expr)
-    return expr
-
-
 def poisson_bootstrap_mean(
     df: DataFrame,
     y_col: str,
@@ -156,15 +139,45 @@ def poisson_bootstrap_mean(
         wy.alias("__wy__"),
         F.when(wy.isNotNull(), w).alias("__w__"),
     )
-    aggs = [
-        F.sum("__wy__").alias("Twy"),
-        F.sum("__w__").alias("Tw"),
+    # the replicate projection is ~R x 10 integer ops per row — CPU-bound,
+    # so it must not run at the SCAN's parallelism.  A small parquet file
+    # arrives as ONE partition (measured: 6 s single-task vs 0.4 s wide
+    # at sf0.1); a 100 TB input already has thousands of partitions and
+    # skips this branch.  The shuffled payload is the narrow 24-byte
+    # projection, not the source rows.  (Probe via the physical RDD —
+    # DataFrame.rdd builds the Python-conversion lineage, ~1 s of pure
+    # driver overhead.)
+    par = base.sparkSession.sparkContext.defaultParallelism
+    if base._jdf.queryExecution().toRdd().getNumPartitions() < par:
+        base = base.repartition(par)
+    # materialize each replicate's multiplicity ONCE in a projection —
+    # referencing the hash from both sum(m*wy) and sum(m*w) agg exprs
+    # would evaluate it 2R times per row.  All expressions are built as
+    # SQL strings parsed JVM-side in ONE shot: constructing ~R x 10
+    # Column objects through Py4J costs ~2 s of driver time per call.
+    h1 = [
+        f"pmod(__id__ * {_QH_A1} + {r * _QH_B1}, {_POIS1_P}) AS __h{r}__"
+        for r in range(n_replicates)
     ]
+    stage1 = base.selectExpr("__wy__", "__w__", *h1)
+    h2 = [
+        f"pmod(pmod(__h{r}__ * __h{r}__, {_POIS1_P}) * {_QH_A2} "
+        f"+ __h{r}__ * {_QH_B2} + {r * _QH_C2}, {_POIS1_P}) AS __g{r}__"
+        for r in range(n_replicates)
+    ]
+    stage1b = stage1.selectExpr("__wy__", "__w__", *h2)
+    ms = [
+        "("
+        + " + ".join(f"CAST(__g{r}__ >= {t} AS INT)" for t in _POIS1_CDF)
+        + f") AS __m{r}__"
+        for r in range(n_replicates)
+    ]
+    stage2 = stage1b.selectExpr("__wy__", "__w__", *ms)
+    aggs = ["sum(__wy__) AS Twy", "sum(__w__) AS Tw"]
     for r in range(n_replicates):
-        m = _poisson1_count(_quad_hash(F.col("__id__"), r)).cast("double")
-        aggs.append(F.sum(m * F.col("__wy__")).alias(f"bwy_{r}"))
-        aggs.append(F.sum(m * F.col("__w__")).alias(f"bw_{r}"))
-    row = base.agg(*aggs)  # ONE distributed pass; 1 x (2R+2) result
+        aggs.append(f"sum(__m{r}__ * __wy__) AS bwy_{r}")
+        aggs.append(f"sum(__m{r}__ * __w__) AS bw_{r}")
+    row = stage2.selectExpr(*aggs)  # ONE distributed pass; 1 x (2R+2) result
 
     # unpivot the replicate sums (driver-tiny: R rows) and reduce
     pairs = ", ".join(f"bwy_{r}, bw_{r}" for r in range(n_replicates))

@@ -81,6 +81,7 @@ HEADLINE = [
     "svyratio_events",
     "heavy_tokens",
     "svyquantile_events",
+    "svyglm_linear",
     # statistical estimators (GREG calibration / OLS / DR pipelines)
     "regdi_c0",
     "regdi_aux",

@@ -41,6 +41,7 @@ from data_integration_est_spark.ops.mixing import (
     cap_per_key, hash_split, source_mixture, temperature_sample,
 )
 from data_integration_est_spark.estimators.domains import pc_by, regdi_by
+from data_integration_est_spark.estimators.glm import svyglm
 from data_integration_est_spark.kernels.quantile import svyquantile
 from data_integration_est_spark.kernels.rake import rake
 from data_integration_est_spark.kernels.replicate import jackknife_mean, poisson_bootstrap_mean
@@ -93,6 +94,7 @@ __all__ = [
     "poisson_bootstrap_mean",
     "regdi_by",
     "pc_by",
+    "svyglm",
     "pii_scan",
     "repetition_stats",
     "get_spark",

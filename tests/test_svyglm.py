@@ -1,0 +1,81 @@
+"""Design-based regression (``estimators/glm.svyglm``) vs an independent
+numpy sandwich-variance oracle, for both model types."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_integration_est_spark.design import SurveyDesign
+from data_integration_est_spark.estimators.glm import svyglm
+
+
+def _sandwich(X, y, w, beta, kind):
+    eta = X @ beta
+    if kind == "normal":
+        resid = y - eta
+        A = (X * (w)[:, None]).T @ X
+    else:
+        p = 1 / (1 + np.exp(-eta))
+        resid = y - p
+        A = (X * (w * p * (1 - p))[:, None]).T @ X
+    S = X * (w * resid)[:, None]
+    M = S.T @ S / 1.0  # sum of w^2 e^2 x x' since S rows are w e x
+    n = len(y)
+    Ainv = np.linalg.inv(A)
+    V = n / (n - 1.0) * Ainv @ M @ Ainv
+    return np.sqrt(np.diag(V))
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    rng = np.random.default_rng(3)
+    n = 4000
+    x = rng.normal(1.0, 2.0, n)
+    w = rng.integers(1, 6, n).astype(float)
+    y = 2.0 + 0.7 * x + rng.normal(0, 1.5, n)
+    yb = (rng.uniform(size=n) < 1 / (1 + np.exp(-(0.4 + 0.9 * x)))).astype(float)
+    pdf = pd.DataFrame({"x": x, "w": w, "y": y, "yb": yb})
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_svyglm_linear_matches_numpy(data):
+    df, pdf = data
+    des = SurveyDesign(df=df, weight_col="w")
+    out = {r["term"]: (r["coef"], r["se"]) for r in svyglm(des, "y ~ x").collect()}
+    X = np.column_stack([np.ones(len(pdf)), pdf.x])
+    W = np.diag(pdf.w)
+    beta = np.linalg.solve(X.T @ W @ X, X.T @ (pdf.w * pdf.y))
+    se = _sandwich(X, pdf.y.to_numpy(), pdf.w.to_numpy(), beta, "normal")
+    assert out["(Intercept)"][0] == pytest.approx(beta[0], abs=1e-6)
+    assert out["x"][0] == pytest.approx(beta[1], abs=1e-6)
+    assert out["(Intercept)"][1] == pytest.approx(se[0], abs=1e-6)
+    assert out["x"][1] == pytest.approx(se[1], abs=1e-6)
+
+
+def test_svyglm_logistic_matches_numpy(data):
+    df, pdf = data
+    des = SurveyDesign(df=df, weight_col="w")
+    out = {r["term"]: (r["coef"], r["se"])
+           for r in svyglm(des, "yb ~ x", model_type="logistic").collect()}
+    # independent weighted IRLS
+    X = np.column_stack([np.ones(len(pdf)), pdf.x])
+    y, w = pdf.yb.to_numpy(), pdf.w.to_numpy()
+    beta = np.zeros(2)
+    for _ in range(60):
+        p = 1 / (1 + np.exp(-(X @ beta)))
+        Wd = w * p * (1 - p)
+        step = np.linalg.solve((X * Wd[:, None]).T @ X, X.T @ (w * (y - p)))
+        beta = beta + step
+        if np.abs(step).max() < 1e-12:
+            break
+    se = _sandwich(X, y, w, beta, "logistic")
+    assert out["(Intercept)"][0] == pytest.approx(beta[0], abs=1e-6)
+    assert out["x"][0] == pytest.approx(beta[1], abs=1e-6)
+    assert out["(Intercept)"][1] == pytest.approx(se[0], rel=1e-5)
+    assert out["x"][1] == pytest.approx(se[1], rel=1e-5)
+
+
+def test_svyglm_bad_model_type(data):
+    df, _ = data
+    with pytest.raises(ValueError, match="model_type"):
+        svyglm(SurveyDesign(df=df, weight_col="w"), "y ~ x", model_type="poisson")

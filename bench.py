@@ -82,6 +82,7 @@ HEADLINE = [
     "heavy_tokens",
     "svyquantile_events",
     "svyglm_linear",
+    "trim_weights_summary",
     # statistical estimators (GREG calibration / OLS / DR pipelines)
     "regdi_c0",
     "regdi_aux",

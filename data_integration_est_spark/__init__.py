@@ -42,7 +42,7 @@ from data_integration_est_spark.ops.mixing import (
 )
 from data_integration_est_spark.estimators.domains import pc_by, regdi_by
 from data_integration_est_spark.estimators.glm import svyglm
-from data_integration_est_spark.kernels.quantile import svyquantile
+from data_integration_est_spark.kernels.quantile import svyquantile, trim_weights
 from data_integration_est_spark.kernels.rake import rake
 from data_integration_est_spark.kernels.replicate import jackknife_mean, poisson_bootstrap_mean
 from data_integration_est_spark.ops.packing import (
@@ -90,6 +90,7 @@ __all__ = [
     "bin_stats",
     "rake",
     "svyquantile",
+    "trim_weights",
     "jackknife_mean",
     "poisson_bootstrap_mean",
     "regdi_by",

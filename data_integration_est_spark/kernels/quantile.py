@@ -172,3 +172,39 @@ def svyquantile(
         ]
     )
     return spark.createDataFrame(sorted(out_rows), out_schema)
+
+
+def trim_weights(
+    design: SurveyDesign,
+    upper_quantile: float = 0.99,
+    out_col: str = "w_trim",
+) -> DataFrame:
+    """Survey weight trimming: cap weights at their ``upper_quantile``
+    weighted quantile and scale the result so the total weight is
+    preserved — the standard variance-control step when a few extreme
+    weights dominate an estimate (the multiplicative analogue of
+    ``survey::trimWeights``'s redistribute-to-cap).
+
+    The cap is the UNWEIGHTED quantile of the weight distribution (each
+    row counts once): a self-weighted quantile would be useless here —
+    extreme weights carry their own mass, so they'd always sit below any
+    high weighted quantile and never get clipped.  Exact quantile from
+    ``svyquantile`` under a unit weight, then one agg for the rescale
+    factor and one map projection.  Returns the design's frame plus
+    ``out_col``."""
+    if not (0.0 < upper_quantile < 1.0):
+        raise ValueError("upper_quantile must be in (0, 1)")
+    df = design.df
+    unit = df.withColumn("__one__", F.lit(1.0))
+    wq = svyquantile(
+        SurveyDesign(df=unit, weight_col="__one__"),
+        design.weight_col, qs=(upper_quantile,),
+    )
+    cap = float(wq.collect()[0]["quantile"])
+    w = F.col(design.weight_col).cast("double")
+    capped = F.least(w, F.lit(cap))
+    sums = df.agg(
+        F.sum(w).alias("tw"), F.sum(capped).alias("tc")
+    ).collect()[0]
+    scale = float(sums["tw"]) / float(sums["tc"])
+    return df.withColumn(out_col, capped * F.lit(scale))

@@ -74,3 +74,36 @@ def test_svyquantile_bad_q(spark):
     df = spark.createDataFrame([(1.0, 1.0)], "y double, w double")
     with pytest.raises(ValueError, match="q must be"):
         svyquantile(SurveyDesign(df=df, weight_col="w"), "y", qs=(1.5,))
+
+
+def test_trim_weights_caps_and_preserves_total(spark):
+    from data_integration_est_spark.kernels.quantile import trim_weights
+
+    rows = [(i, 1.0 + (i % 5)) for i in range(1000)]
+    rows += [(1000 + i, 500.0) for i in range(5)]  # extreme weights
+    df = spark.createDataFrame(rows, "id long, w double")
+    des = SurveyDesign(df=df, weight_col="w")
+    out = trim_weights(des, upper_quantile=0.95)
+    agg = out.agg(
+        F.sum("w").alias("tw"), F.sum("w_trim").alias("tt"),
+        F.max("w").alias("mw"), F.max("w_trim").alias("mt"),
+    ).collect()[0]
+    assert agg["tt"] == pytest.approx(agg["tw"], rel=1e-12)  # total preserved
+    assert agg["mt"] < agg["mw"] / 10  # extremes actually clipped
+    assert out.filter(F.col("w_trim") <= 0).count() == 0
+
+
+def test_trim_weights_noop_when_uniform(spark):
+    from data_integration_est_spark.kernels.quantile import trim_weights
+
+    df = spark.createDataFrame([(i, 2.0) for i in range(100)], "id long, w double")
+    out = trim_weights(SurveyDesign(df=df, weight_col="w"), 0.9)
+    assert out.filter(F.col("w_trim") != 2.0).count() == 0
+
+
+def test_trim_weights_bad_quantile(spark):
+    from data_integration_est_spark.kernels.quantile import trim_weights
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, w double")
+    with pytest.raises(ValueError, match="upper_quantile"):
+        trim_weights(SurveyDesign(df=df, weight_col="w"), 1.0)

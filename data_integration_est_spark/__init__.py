@@ -36,7 +36,9 @@ from data_integration_est_spark.ops.components import (
 )
 from data_integration_est_spark.ops.decontam import contamination_scan, decontaminate
 from data_integration_est_spark.ops.dedup import line_dedup
-from data_integration_est_spark.ops.heavy_hitters import heavy_hitters, misra_gries_candidates
+from data_integration_est_spark.ops.heavy_hitters import (
+    heavy_hitters, heavy_hitters_by, misra_gries_candidates,
+)
 from data_integration_est_spark.ops.mixing import (
     cap_per_key, hash_split, source_mixture, temperature_sample,
 )
@@ -78,6 +80,7 @@ __all__ = [
     "decontaminate",
     "line_dedup",
     "heavy_hitters",
+    "heavy_hitters_by",
     "misra_gries_candidates",
     "cap_per_key",
     "hash_split",

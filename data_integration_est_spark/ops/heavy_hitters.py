@@ -64,6 +64,61 @@ def misra_gries_candidates(df: DataFrame, col: str, phi: float) -> DataFrame:
     return narrow.mapInPandas(mg, schema=schema).distinct()
 
 
+def misra_gries_candidates_by(
+    df: DataFrame, col: str, by: str, phi: float
+) -> DataFrame:
+    """Per-GROUP Misra-Gries candidates: one independent summary per
+    group per partition (the no-false-negative pigeonhole argument is
+    per-group, so a shared summary would not guarantee per-group
+    thresholds).  Returns distinct (by, col) candidate pairs,
+    O(partitions x groups / phi) rows — sized for modest group counts
+    (languages, sources), not high-cardinality keys."""
+    if not (0.0 < phi < 1.0):
+        raise ValueError("phi must be in (0, 1)")
+    k = int(math.ceil(1.0 / phi)) + 1
+    import pandas as pd
+
+    narrow = df.select(by, col).na.drop()
+    schema = narrow.schema
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            batch = pdf.groupby([by, col]).size()
+            for g, sub in batch.groupby(level=0):
+                cur = counters.get(g, pd.Series(dtype="int64"))
+                cur = cur.add(sub.droplevel(0), fill_value=0)
+                if len(cur) > k:
+                    cut = cur.nlargest(k + 1).iloc[-1]
+                    cur = cur.sub(cut)
+                    cur = cur[cur > 0]
+                counters[g] = cur
+        rows = [(g, v) for g, cur in counters.items() for v in cur.index]
+        yield pd.DataFrame(rows, columns=[by, col])
+
+    return narrow.mapInPandas(mg, schema=schema).distinct()
+
+
+def heavy_hitters_by(
+    df: DataFrame, col: str, by: str, phi: float
+) -> DataFrame:
+    """Exact per-group heavy hitters: every (group, value) whose count
+    is >= ``phi`` x the group's non-null rows.  Same two-pass shape as
+    ``heavy_hitters`` with per-group thresholds resolved by a broadcast
+    join of the tiny group-total table."""
+    narrow = df.select(by, col).na.drop()
+    cand = misra_gries_candidates_by(df, col, by, phi)
+    totals = narrow.groupBy(by).agg(F.count(F.lit(1)).alias("__N__"))
+    return (
+        narrow.join(F.broadcast(cand), [by, col])
+        .groupBy(by, col)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .join(F.broadcast(totals), by)
+        .filter(F.col("count") >= F.ceil(F.lit(phi) * F.col("__N__")))
+        .drop("__N__")
+    )
+
+
 def heavy_hitters(
     df: DataFrame, col: str, phi: float, candidates: DataFrame | None = None
 ) -> DataFrame:

@@ -77,3 +77,40 @@ def test_phi_validation(spark):
     df = spark.range(5).select(F.col("id").cast("string").alias("v"))
     with pytest.raises(ValueError, match="phi"):
         misra_gries_candidates(df, "v", 0.0)
+
+
+def test_heavy_hitters_by_equals_exact_per_group(spark):
+    import math
+
+    from data_integration_est_spark.ops.heavy_hitters import heavy_hitters_by
+
+    # group 'a': skewed; group 'b': uniform; group 'c': one diffuse needle
+    rows = []
+    for i in range(30_000):
+        g = ("a", "b", "c")[i % 3]
+        if g == "a":
+            v = f"v{(i * i) % 37 % 6}"       # skewed few values
+        elif g == "b":
+            v = f"u{i % 500}"                # uniform many values
+        else:
+            v = "needle" if i % 90 == 2 else f"n{i % 800}"  # i%3==2 lands in c
+        rows.append((g, v))
+    df = spark.createDataFrame(rows, "g string, v string").repartition(8)
+    phi = 0.02
+    got = {(r["g"], r["v"], r["n"]) for r in
+           heavy_hitters_by(df, "v", "g", phi)
+           .withColumnRenamed("count", "n").collect()}
+    # exact reference per group
+    want = set()
+    from collections import Counter
+    per_g: dict = {}
+    for g, v in rows:
+        per_g.setdefault(g, Counter())[v] += 1
+    for g, c in per_g.items():
+        n_g = sum(c.values())
+        for v, n in c.items():
+            if n >= math.ceil(phi * n_g):
+                want.add((g, v, n))
+    assert got == want
+    assert any(t[0] == "c" and t[1] == "needle" for t in got)
+    assert not any(t[0] == "b" for t in got)  # uniform group has no hitters

@@ -8,6 +8,8 @@ from data_integration_est_spark.kernels.linalg import (
 from data_integration_est_spark.kernels.stats import (
     svymean,
     svyratio,
+    svytable,
+    svychisq_pearson,
     svytotal,
     weighted_mean,
 )
@@ -21,6 +23,8 @@ __all__ = [
     "CalibrationError",
     "svymean",
     "svyratio",
+    "svytable",
+    "svychisq_pearson",
     "svytotal",
     "weighted_mean",
 ]

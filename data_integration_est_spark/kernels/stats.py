@@ -304,3 +304,53 @@ def svyratio(
             v = n / (n - 1.0) * (q - s * s / n) / (swx * swx)
         out.append(EstimateRow(key=k, estimate=float(R), variance=float(v), n=n))
     return out
+
+
+def svytable(
+    design: SurveyDesign, row_col: str, col_col: str
+) -> DataFrame:
+    """Design-weighted two-way contingency table — ``survey::svytable``:
+    one grouped pass, (row, col, n, wsum) long-form output."""
+    w = F.col(design.weight_col).cast("double")
+    return (
+        design.df.na.drop(subset=[row_col, col_col, design.weight_col])
+        .groupBy(row_col, col_col)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(w).alias("wsum"))
+    )
+
+
+def svychisq_pearson(
+    design: SurveyDesign, row_col: str, col_col: str
+) -> tuple:
+    """Weighted Pearson chi-square for independence on the
+    design-weighted table, rescaled to the observed sample size n
+    (the first-order part of ``survey::svychisq``'s Rao-Scott statistic;
+    the design-effect denominator correction needs replicate variance —
+    pair with ``poisson_bootstrap_mean`` style replication if the full
+    Rao-Scott p-value is required).  Returns (X2, df, n).
+
+    Cost: the svytable pass + O(cells) driver arithmetic."""
+    cells = svytable(design, row_col, col_col).collect()
+    W = sum(c["wsum"] for c in cells)
+    n = sum(c["n"] for c in cells)
+    if W <= 0:
+        raise ValueError("svychisq: non-positive total weight")
+    rows: dict = {}
+    cols: dict = {}
+    for c in cells:
+        rows[c[row_col]] = rows.get(c[row_col], 0.0) + c["wsum"]
+        cols[c[col_col]] = cols.get(c[col_col], 0.0) + c["wsum"]
+    x2 = 0.0
+    for c in cells:
+        p = c["wsum"] / W
+        e = (rows[c[row_col]] / W) * (cols[c[col_col]] / W)
+        x2 += (p - e) ** 2 / e
+    # cells absent from the table contribute (0 - e)^2 / e = e
+    present = {(c[row_col], c[col_col]) for c in cells}
+    for rv, rw in rows.items():
+        for cv, cw in cols.items():
+            if (rv, cv) not in present:
+                x2 += (rw / W) * (cw / W)
+    x2 *= n
+    dof = (len(rows) - 1) * (len(cols) - 1)
+    return float(x2), int(dof), int(n)

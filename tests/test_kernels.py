@@ -241,3 +241,56 @@ def test_svyratio_zero_denominator_nan(small_df):
     des = SurveyDesign(df=z, weight_col="w")
     r = svyratio(des, "y", "zero")[0]
     assert np.isnan(r.estimate)
+
+
+def test_svychisq_matches_numpy(small_df):
+    from data_integration_est_spark.kernels.stats import svychisq_pearson, svytable
+
+    df, pdf = small_df
+    df2 = df.withColumn("r", (F.col("g") % 2).cast("string")).withColumn(
+        "c", F.col("x2").cast("int").cast("string")
+    )
+    des = SurveyDesign(df=df2, weight_col="w")
+    x2, dof, n = svychisq_pearson(des, "r", "c")
+    # independent numpy reference
+    import numpy as _np
+
+    pr = pdf.assign(r=(pdf.g % 2).astype(str), c=pdf.x2.astype(int).astype(str))
+    W = pr.w.sum()
+    tab = pr.groupby(["r", "c"]).w.sum()
+    rw = pr.groupby("r").w.sum()
+    cw = pr.groupby("c").w.sum()
+    want = 0.0
+    for (r, c), ws in tab.items():
+        p, e = ws / W, (rw[r] / W) * (cw[c] / W)
+        want += (p - e) ** 2 / e
+    want *= len(pr)
+    assert x2 == pytest.approx(want, rel=1e-9)
+    assert dof == (len(rw) - 1) * (len(cw) - 1)
+    assert n == len(pr)
+    # svytable totals agree with pandas
+    tt = {(r0["r"], r0["c"]): r0["wsum"] for r0 in svytable(des, "r", "c").collect()}
+    for k, v in tab.items():
+        assert tt[k] == pytest.approx(v, rel=1e-9)
+
+
+def test_svychisq_absent_cell_term(spark):
+    from data_integration_est_spark.kernels.stats import svychisq_pearson
+
+    # 2x2 with one structurally empty cell
+    rows = [("a", "x", 2.0)] * 10 + [("a", "y", 1.0)] * 10 + [("b", "x", 1.0)] * 10
+    df = spark.createDataFrame(rows, "r string, c string, w double")
+    des = SurveyDesign(df=df, weight_col="w")
+    x2, dof, n = svychisq_pearson(des, "r", "c")
+    W = 40.0
+    rw = {"a": 30.0, "b": 10.0}; cw = {"x": 30.0, "y": 10.0}
+    cellws = {("a","x"):20.0, ("a","y"):10.0, ("b","x"):10.0}
+    want = 0.0
+    for r in rw:
+        for c in cw:
+            p = cellws.get((r, c), 0.0) / W
+            e = (rw[r]/W)*(cw[c]/W)
+            want += (p-e)**2/e
+    want *= 30
+    assert x2 == pytest.approx(want, rel=1e-12)
+    assert dof == 1 and n == 30

@@ -83,6 +83,8 @@ HEADLINE = [
     "svyquantile_events",
     "svyglm_linear",
     "trim_weights_summary",
+    "heavy_tokens_by_lang",
+    "svychisq_events",
     # statistical estimators (GREG calibration / OLS / DR pipelines)
     "regdi_c0",
     "regdi_aux",

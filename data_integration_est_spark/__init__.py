@@ -35,7 +35,7 @@ from data_integration_est_spark.ops.components import (
     connected_components, dedup_keep_representative,
 )
 from data_integration_est_spark.ops.decontam import contamination_scan, decontaminate
-from data_integration_est_spark.ops.dedup import line_dedup
+from data_integration_est_spark.ops.dedup import dedup_corpus, line_dedup
 from data_integration_est_spark.ops.heavy_hitters import (
     heavy_hitters, heavy_hitters_by, misra_gries_candidates,
 )
@@ -79,6 +79,7 @@ __all__ = [
     "contamination_scan",
     "decontaminate",
     "line_dedup",
+    "dedup_corpus",
     "heavy_hitters",
     "heavy_hitters_by",
     "misra_gries_candidates",

@@ -267,15 +267,20 @@ def svyratio(
     V = n/(n-1) * (sum u_i^2 - (sum u_i)^2 / n).  The u-moments are
     quadratic forms in UNCENTERED (w, w^2)-weighted moments of (x, y),
     so everything is ONE distributed pass per group; only O(groups)
-    scalars reach the driver."""
+    scalars reach the driver.  Stratified designs (``strata_col`` set)
+    collect the same moments one level finer and sum the df-corrected
+    per-stratum variance pieces — the svymean/svytotal pattern."""
     group_cols = list(group_cols or [])
-    df = design.df.na.drop(subset=[num_col, den_col, design.weight_col])
+    strat = design.strata_col
+    df = design.df.na.drop(
+        subset=[num_col, den_col, design.weight_col] + ([strat] if strat else [])
+    )
     w = F.col(design.weight_col).cast("double")
     y = F.col(num_col).cast("double")
     x = F.col(den_col).cast("double")
     res = _collect_keyed(
         df,
-        group_cols,
+        group_cols + ([strat] if strat else []),
         [
             F.sum(w * y).alias("swy"),
             F.sum(w * x).alias("swx"),
@@ -285,23 +290,40 @@ def svyratio(
             F.count(F.lit(1)).alias("n"),
         ],
     )
+    if strat:
+        grouped: dict[tuple, list] = {}
+        for k, r in res.items():
+            grouped.setdefault(k[:-1], []).append(r)
+        items = [(k, rows) for k, rows in grouped.items()]
+    else:
+        items = [(k, [r]) for k, r in res.items()]
+
+    def _f(r, name):
+        return float(r[name] or 0.0)
+
     out: list[EstimateRow] = []
-    for k, r in res.items():
-        n = int(r["n"])
-        swy, swx = float(r["swy"] or 0.0), float(r["swx"] or 0.0)
+    for k, rows in items:
+        n = sum(int(r["n"]) for r in rows)
+        swy = sum(_f(r, "swy") for r in rows)
+        swx = sum(_f(r, "swx") for r in rows)
         if swx == 0.0:
             out.append(EstimateRow(key=k, estimate=float("nan"),
                                    variance=float("nan"), n=n))
             continue
         R = swy / swx
-        # sum w^2 (y - Rx)^2 and sum w (y - Rx) expanded in moments
-        q = float(r["qyy"] or 0.0) - 2.0 * R * float(r["qxy"] or 0.0) \
-            + R * R * float(r["qxx"] or 0.0)
-        s = swy - R * swx  # identically 0; kept for formula fidelity
-        if n < 2:
-            v = float("nan")
-        else:
-            v = n / (n - 1.0) * (q - s * s / n) / (swx * swx)
+        # per piece: sum_h w(y-Rx) and sum_h w^2 (y-Rx)^2 in moments,
+        # scaled by the GROUP-level denominator sum(w x)
+        pieces = []
+        for r in rows:
+            s_h = (_f(r, "swy") - R * _f(r, "swx")) / swx
+            q_h = (
+                _f(r, "qyy") - 2.0 * R * _f(r, "qxy") + R * R * _f(r, "qxx")
+            ) / (swx * swx)
+            pieces.append((int(r["n"]), s_h, q_h))
+        v = _strat_var(pieces) if (strat or len(pieces) > 1) else (
+            float("nan") if n < 2
+            else n / (n - 1.0) * (pieces[0][2] - pieces[0][1] ** 2 / n)
+        )
         out.append(EstimateRow(key=k, estimate=float(R), variance=float(v), n=n))
     return out
 

@@ -372,3 +372,53 @@ def line_dedup(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.when(F.col("__boiler__").isNull(), 1).otherwise(0)).alias("n_kept"),
     )
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    exact_first: bool = True,
+) -> DataFrame:
+    """One-call corpus near-dedup — the composition every pipeline runs:
+
+    1. exact dedup (md5-fingerprint keep-min-id) to collapse verbatim
+       copies before the similarity machinery sees them,
+    2. MinHash signatures -> banded LSH candidate pairs,
+    3. exact n-gram Jaccard verify of candidates at ``threshold``,
+    4. connected components over surviving pairs -> keep the minimum-id
+       representative of each near-dup cluster.
+
+    Every stage is one of this module's / ``ops.components``'s certified
+    primitives (each with its own gate row and tests); this function only
+    wires them, so the scale posture is the stages' own: bucketed
+    candidate generation, candidate-restricted verify, O(diameter)
+    label-propagation rounds.  Returns the surviving rows of ``docs``."""
+    from data_integration_est_spark.ops.components import dedup_keep_representative
+
+    work = docs
+    if exact_first:
+        # exact_dedup returns the fingerprint summary; keep the surviving
+        # ROWS of docs (semi-join on the kept ids — id-only shuffle)
+        kept = exact_dedup(work, text_col=text_col, id_col=id_col).select(id_col)
+        work = docs.join(kept, id_col, "left_semi")
+    sigs = minhash_signatures(
+        work, text_col=text_col, num_hashes=num_hashes,
+        shingle_n=shingle_n, id_col=id_col,
+    )
+    rows_per_band = max(1, num_hashes // bands)
+    cand = lsh_candidate_pairs(
+        sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band
+    )
+    pairs = ngram_jaccard_pairs(
+        work, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+        threshold=threshold, candidates=cand,
+    )
+    return dedup_keep_representative(
+        work, pairs.select("id_a", "id_b"), id_col=id_col,
+        left_col="id_a", right_col="id_b",
+    )

@@ -294,3 +294,23 @@ def test_svychisq_absent_cell_term(spark):
     want *= 30
     assert x2 == pytest.approx(want, rel=1e-12)
     assert dof == 1 and n == 30
+
+
+def test_svyratio_stratified_matches_numpy(small_df):
+    from data_integration_est_spark.kernels.stats import svyratio
+
+    df, pdf = small_df
+    df3 = df.withColumn("xden", F.col("x1") + 3.0)
+    des = SurveyDesign(df=df3, weight_col="w", strata_col="g")
+    r = svyratio(des, "y", "xden")[0]
+    w, y, x = pdf.w.to_numpy(), pdf.y.to_numpy(), pdf.x1.to_numpy() + 3.0
+    g = pdf.g.to_numpy()
+    R = (w * y).sum() / (w * x).sum()
+    u = w * (y - R * x) / (w * x).sum()
+    v = 0.0
+    for h in np.unique(g):
+        m = g == h
+        n_h = int(m.sum())
+        v += n_h / (n_h - 1) * ((u[m] ** 2).sum() - u[m].sum() ** 2 / n_h)
+    np.testing.assert_allclose(r.estimate, R, rtol=1e-10)
+    np.testing.assert_allclose(r.variance, v, rtol=1e-9)

@@ -621,3 +621,31 @@ def test_hash_split_validates_inputs(spark):
     sdocs = spark.createDataFrame([("a",)], "doc_id string")
     with pytest.raises(TypeError, match="numeric id"):
         hash_split(sdocs, {"train": 1.0})
+
+
+# --------------------------------------------------- end-to-end corpus dedup
+def test_dedup_corpus_end_to_end(spark):
+    from data_integration_est_spark.ops.dedup import dedup_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("lazy", "sleepy")          # near-dup of base
+    rows = [
+        (1, base),
+        (2, base),                                  # exact dup of 1
+        (3, near),                                  # near-dup cluster with 1
+        (4, "completely different text about spark shuffles and partitions"),
+        (5, "another unrelated document with its own distinct content here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dedup_corpus(docs, threshold=0.5).collect())
+    # 2 collapses into 1 (exact); 3 collapses into 1 (near); 4, 5 survive
+    assert kept == [1, 4, 5]
+
+
+def test_dedup_corpus_no_false_merges(spark):
+    from data_integration_est_spark.ops.dedup import dedup_corpus
+
+    rows = [(i, f"document number {i} with unique words token{i} alpha{i} "
+                f"beta{i} gamma{i} delta{i} epsilon{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup_corpus(docs, threshold=0.5).count() == 40

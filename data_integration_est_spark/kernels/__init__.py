@@ -2,6 +2,7 @@ from data_integration_est_spark.kernels.gram import gram_aggregate, GramResult
 from data_integration_est_spark.kernels.linalg import (
     CalibrationError,
     calibrate,
+    calibrate_bounded,
     fit_logistic,
     fit_ols,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "gram_aggregate",
     "GramResult",
     "calibrate",
+    "calibrate_bounded",
     "fit_ols",
     "fit_logistic",
     "CalibrationError",

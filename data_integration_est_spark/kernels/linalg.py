@@ -420,3 +420,117 @@ def fit_logistic(
         converged=converged, n_obs=n_min,
         degenerate_keys=tuple(key for i, key in enumerate(keys) if bad[i]),
     )
+
+
+def calibrate_bounded(
+    df: DataFrame,
+    x_cols: list[str],
+    totals: dict | np.ndarray | list,
+    d_col: str,
+    bounds: tuple,
+    out_col: str = "w_cal",
+    max_iter: int = 10,
+    state_col: str | None = None,
+) -> CalibrationResult:
+    """Range-restricted linear calibration — ``survey::calibrate`` with
+    ``bounds=c(L, U)``: weight ratios g_i = w_i/d_i are constrained to
+    [L, U] by iterative truncation (clip violators to the bound, re-solve
+    the GREG system on the free units against the residual totals, repeat
+    until the clip set is stable).  Raises if the totals are infeasible
+    within the bounds or the free-unit Gram goes singular.
+
+    Scale shape: per iteration ONE aggregation pass (free-unit Gram +
+    clipped-mass totals as CASE-weighted sums) and a k x k driver solve;
+    the clip state is never materialized per row — it is a column
+    expression derived from the lambda history, so the final weights are
+    a single projection.  Iterations needed = number of distinct clip
+    "waves", 2-3 in practice.
+    """
+    L, U = float(bounds[0]), float(bounds[1])
+    if not (L < 1.0 < U):
+        raise CalibrationError(
+            f"bounds must straddle 1 (got L={L}, U={U}): g=1 is the "
+            "uncalibrated ratio"
+        )
+    k = len(x_cols)
+    if isinstance(totals, dict):
+        T = np.array([float(totals[c]) for c in x_cols])
+    else:
+        T = np.asarray(totals, dtype=float).ravel()
+        if T.size != k:
+            raise CalibrationError(f"expected {k} totals, got {T.size}")
+
+    d = F.col(d_col).cast("double")
+    xs = [F.col(c).cast("double") for c in x_cols]
+
+    def g_expr(lam: np.ndarray):
+        e = F.lit(1.0)
+        for b, xc in zip(lam, xs):
+            e = e + xc * float(b)
+        return e
+
+    # state: None until first solve; afterwards a Column in {-1, 0, 1}
+    # rebuilt each iteration from the lambda history (clips are sticky)
+    state = F.lit(0)
+    lam = np.zeros(k)
+    n_clipped_prev = -1
+    for it in range(max_iter):
+        free = state == 0
+        w_clip = F.when(state == 1, U * d).when(state == -1, L * d)
+        aggs = [F.sum(F.when(free, d).otherwise(0.0)).alias("n_free_mass")]
+        for i in range(k):
+            for j in range(i, k):
+                aggs.append(
+                    F.sum(F.when(free, d * xs[i] * xs[j]).otherwise(0.0))
+                    .alias(f"g_{i}_{j}")
+                )
+            aggs.append(F.sum(F.when(free, d * xs[i]).otherwise(0.0)).alias(f"h_{i}"))
+            aggs.append(F.sum(F.when(~free, w_clip * xs[i]).otherwise(0.0)).alias(f"c_{i}"))
+        aggs.append(F.sum(F.when(~free, F.lit(1)).otherwise(0)).alias("n_clipped"))
+        r = df.agg(*aggs).collect()[0]
+        n_clipped = int(r["n_clipped"] or 0)
+        G = np.zeros((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                G[i, j] = G[j, i] = float(r[f"g_{i}_{j}"] or 0.0)
+        h = np.array([float(r[f"h_{i}"] or 0.0) for i in range(k)])
+        c = np.array([float(r[f"c_{i}"] or 0.0) for i in range(k)])
+        try:
+            lam = np.linalg.solve(G, T - c - h)
+        except np.linalg.LinAlgError as e:
+            raise CalibrationError(
+                f"calibrate_bounded: free-unit Gram singular at iteration "
+                f"{it} ({n_clipped} clipped) — totals infeasible in bounds?"
+            ) from e
+        # new state from this lambda: previously-clipped stay clipped
+        ge = g_expr(lam)
+        state = (
+            F.when(state == 1, 1)
+            .when(state == -1, -1)
+            .when(ge > U, 1)
+            .when(ge < L, -1)
+            .otherwise(0)
+        )
+        if n_clipped == n_clipped_prev:
+            break
+        n_clipped_prev = n_clipped
+    else:
+        raise CalibrationError(
+            f"calibrate_bounded: clip set not stable after {max_iter} "
+            "iterations"
+        )
+
+    w = (
+        F.when(state == 1, U * d)
+        .when(state == -1, L * d)
+        .otherwise(d * g_expr(lam))
+    )
+    out = df.withColumn(out_col, w)
+    if state_col is not None:
+        # -1 / 0 / 1 clip state (exactly the iteration's classification —
+        # a FREE unit whose ratio lands numerically ON a bound is 0)
+        out = out.withColumn(state_col, state)
+    return CalibrationResult(
+        df=out, weight_col=out_col, x_cols=list(x_cols),
+        lambdas=lam.reshape(1, k), keys=[()], group_cols=[],
+    )

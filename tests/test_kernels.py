@@ -314,3 +314,73 @@ def test_svyratio_stratified_matches_numpy(small_df):
         v += n_h / (n_h - 1) * ((u[m] ** 2).sum() - u[m].sum() ** 2 / n_h)
     np.testing.assert_allclose(r.estimate, R, rtol=1e-10)
     np.testing.assert_allclose(r.variance, v, rtol=1e-9)
+
+
+def test_calibrate_bounded_matches_numpy_and_bounds(small_df):
+    from data_integration_est_spark.kernels.linalg import calibrate_bounded
+
+    df, pdf = small_df
+    X = np.column_stack([np.ones(len(pdf)), pdf.x1.to_numpy()])
+    d = pdf.w.to_numpy()
+    # totals pushed away from the HT estimate so some units must clip
+    T = np.array([(d * X[:, 0]).sum() * 1.15, (d * X[:, 1]).sum() * 1.25])
+    L, U = 0.7, 1.4
+
+    res = calibrate_bounded(
+        df.withColumn("one", F.lit(1.0)), ["one", "x1"], T, d_col="w",
+        bounds=(L, U),
+    )
+    out = res.df.select("one", "x1", "w", "w_cal").toPandas()
+    g = out.w_cal.to_numpy() / out.w.to_numpy()
+    assert g.min() >= L - 1e-12 and g.max() <= U + 1e-12
+    # calibration equations hold exactly
+    Xo = np.column_stack([out.one.to_numpy(), out.x1.to_numpy()])
+    np.testing.assert_allclose(Xo.T @ out.w_cal.to_numpy(), T, rtol=1e-10)
+
+    # independent numpy replay of the sticky truncated-GREG iteration
+    state = np.zeros(len(d))
+    lam = np.zeros(2)
+    prev = -1
+    for _ in range(10):
+        free = state == 0
+        wc = np.where(state == 1, U * d, np.where(state == -1, L * d, 0.0))
+        G = (X[free] * d[free, None]).T @ X[free]
+        h = (d[free, None] * X[free]).sum(0)
+        c = (wc[~free, None] * X[~free]).sum(0) if (~free).any() else np.zeros(2)
+        lam = np.linalg.solve(G, T - c - h)
+        gg = 1 + X @ lam
+        state = np.where(state != 0, state, np.where(gg > U, 1, np.where(gg < L, -1, 0)))
+        n_clip = int((state != 0).sum())
+        if n_clip == prev:
+            break
+        prev = n_clip
+    w_np = np.where(state == 1, U * d, np.where(state == -1, L * d, d * (1 + X @ lam)))
+    # align by row (toPandas preserves order of the small collected frame)
+    np.testing.assert_allclose(np.sort(out.w_cal.to_numpy()), np.sort(w_np), rtol=1e-9)
+
+
+def test_calibrate_bounded_validates_bounds(small_df):
+    from data_integration_est_spark.kernels.linalg import calibrate_bounded
+
+    df, _ = small_df
+    with pytest.raises(CalibrationError, match="straddle"):
+        calibrate_bounded(df, ["x1"], [1.0], d_col="w", bounds=(1.1, 2.0))
+
+
+def test_calibrate_bounded_unbounded_case_matches_plain(small_df):
+    from data_integration_est_spark.kernels.linalg import calibrate_bounded
+
+    df, pdf = small_df
+    d = pdf.w.to_numpy()
+    X = np.column_stack([np.ones(len(pdf)), pdf.x1.to_numpy()])
+    T = np.array([(d * X[:, 0]).sum() * 1.01, (d * X[:, 1]).sum() * 1.01])
+    wide = calibrate_bounded(
+        df.withColumn("one", F.lit(1.0)), ["one", "x1"], T, d_col="w",
+        bounds=(0.01, 100.0),
+    )
+    plain = calibrate(
+        df.withColumn("one", F.lit(1.0)), ["one", "x1"], T, d_col="w",
+    )
+    a = sorted(r["w_cal"] for r in wide.df.select("w_cal").collect())
+    b = sorted(r["w_cal"] for r in plain.df.select("w_cal").collect())
+    np.testing.assert_allclose(a, b, rtol=1e-10)

@@ -13,8 +13,24 @@ bracket to the bin containing its target mass.  After ``n_narrow``
 rounds the bracket has shrunk by bins^n (1024^3 ~ 1e9): a final pass
 aggregates weight per DISTINCT y inside the bracket (tiny by then —
 either few values remain or they are ties, which collapse) and the
-driver reads off the exact order statistic.  Total cost: n_narrow + 2
-scan-shaped passes, no sort, no shuffle wider than the groupBy.
+driver reads off the exact order statistic.  The final pass ALSO
+recomputes the weight strictly left of each bracket exactly (rows with
+y < lo collapse into one null-keyed partial-aggregated cell), so the
+read-off never trusts the histogram-derived running total — a 1-ulp
+bin-boundary disagreement between Spark's floor() and the Python
+bracket arithmetic cannot double-count or drop a boundary row's weight.
+Total cost: n_narrow + 2 scan-shaped passes over a PERSISTED two-column
+projection (at 100 TB the projection is read from the source once, not
+n_narrow + 2 times), no sort, no shuffle wider than the groupBy.
+
+``alpha`` adds Woodruff (1952) confidence intervals: the design-based
+linearization SE of the estimated distribution function at the quantile
+(the weighted mean of the indicator 1{y <= q_hat} under the same
+with-replacement element design ``kernels.stats.svymean`` uses) gives a
+symmetric interval on the PROBABILITY scale, which is inverted through
+the weighted quantile function — one extra aggregation pass for the
+indicator moments plus one more bisection solve for the two inverted
+endpoints, all riding the same persisted projection.
 
 Weighted cumulative sums are floating-point order-sensitive in general;
 with integer-valued weights (the common design case) every partial sum
@@ -24,6 +40,9 @@ oracle exploits this.
 
 from __future__ import annotations
 
+import math
+from statistics import NormalDist
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
@@ -31,48 +50,21 @@ from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 from data_integration_est_spark.design import SurveyDesign
 
 
-def svyquantile(
-    design: SurveyDesign,
-    y_col: str,
-    qs: tuple = (0.5,),
-    group_cols: list[str] | None = None,
-    bins: int = 1024,
-    n_narrow: int = 3,
-) -> DataFrame:
-    """Exact lower weighted quantiles, all groups and all ``qs`` in the
-    same passes.  Returns a DataFrame (group_cols..., q, quantile)."""
-    if not qs or any(not (0.0 < q < 1.0) for q in qs):
-        raise ValueError("each q must be in (0, 1)")
-    group_cols = list(group_cols or [])
-    spark = design.df.sparkSession
-    w = F.col(design.weight_col).cast("double")
-    y = F.col(y_col).cast("double")
-    base = design.df.na.drop(subset=[y_col, design.weight_col] + group_cols).select(
-        *group_cols, y.alias("__y__"), w.alias("__w__")
-    )
-
-    stats = (
-        base.groupBy(*group_cols)
-        .agg(
-            F.min("__y__").alias("lo"),
-            F.max("__y__").alias("hi"),
-            F.sum("__w__").alias("W"),
-        )
-        .collect()
-    )
-    # state per (group key, q): current bracket + weight strictly left of it
-    state: dict[tuple, dict] = {}
-    for r in stats:
-        key = tuple(r[c] for c in group_cols)
-        for qi, q in enumerate(qs):
-            state[key + (qi,)] = {
-                "lo": float(r["lo"]), "hi": float(r["hi"]),
-                "left": 0.0, "target": float(q) * float(r["W"]),
-            }
-
-    key_fields = list(base.select(*group_cols).schema.fields)
+def _solve_exact(
+    spark,
+    base: DataFrame,
+    group_cols: list[str],
+    key_fields: list,
+    state: dict,
+    bins: int,
+    n_narrow: int,
+) -> dict:
+    """Histogram-bisection solver: ``state`` maps (group key..., slot) ->
+    {lo, hi, target} (target on the cumulative-weight scale); returns
+    key -> exact lower weighted quantile.  ``base`` must expose
+    group_cols + __y__ + __w__ and should be persisted by the caller."""
     bounds_schema = StructType(
-        key_fields
+        list(key_fields)
         + [
             StructField("__qi__", LongType(), False),
             StructField("__lo__", DoubleType(), False),
@@ -80,22 +72,30 @@ def svyquantile(
         ]
     )
 
-    def _bounds_df(active: dict) -> DataFrame:
-        rows = [k[:-1] + (k[-1], s["lo"], s["hi"]) for k, s in active.items()]
+    def _bounds_df(entries: dict) -> DataFrame:
+        rows = [k[:-1] + (k[-1], s["lo"], s["hi"]) for k, s in entries.items()]
         return spark.createDataFrame(rows, bounds_schema)
 
     join_on = group_cols if group_cols else None
+
+    def _joined(entries: dict) -> DataFrame:
+        b = _bounds_df(entries)
+        return (
+            base.join(F.broadcast(b), on=join_on, how="inner")
+            if join_on
+            else base.crossJoin(F.broadcast(b))
+        )
+
+    # steering state: histogram-derived left mass (approximate is fine —
+    # the final pass recomputes it exactly)
+    for s in state.values():
+        s["left"] = 0.0
 
     for _ in range(n_narrow):
         active = {k: s for k, s in state.items() if s["lo"] < s["hi"]}
         if not active:
             break
-        b = _bounds_df(active)
-        joined = (
-            base.join(F.broadcast(b), on=join_on, how="inner")
-            if join_on
-            else base.crossJoin(F.broadcast(b))
-        )
+        joined = _joined(active)
         width = F.col("__hi__") - F.col("__lo__")
         binc = F.least(
             F.floor((F.col("__y__") - F.col("__lo__")) / width * bins),
@@ -133,28 +133,31 @@ def svyquantile(
             if not (s["lo"] < s["hi"]):
                 s["lo"] = s["hi"] = max(lo, min(new_lo, hi))
 
-    # final exact pass: weight per distinct y inside each bracket
-    b = _bounds_df(state)
-    joined = (
-        base.join(F.broadcast(b), on=join_on, how="inner")
-        if join_on
-        else base.crossJoin(F.broadcast(b))
-    )
+    # final exact pass: weight per distinct y inside each bracket, PLUS
+    # the exact left-of-bracket mass — rows with y < lo share a single
+    # null group key, so they partial-aggregate map-side into one cell
+    # per (group, slot) instead of shuffling individually
+    joined = _joined(state)
+    fin_key = F.when(
+        F.col("__y__") < F.col("__lo__"), F.lit(None).cast("double")
+    ).otherwise(F.col("__y__"))
     fin = (
-        joined.filter(
-            (F.col("__y__") >= F.col("__lo__")) & (F.col("__y__") <= F.col("__hi__"))
-        )
-        .groupBy(*group_cols, "__qi__", "__y__")
+        joined.filter(F.col("__y__") <= F.col("__hi__"))
+        .groupBy(*group_cols, "__qi__", fin_key.alias("__y__"))
         .agg(F.sum("__w__").alias("__sw__"))
         .collect()
     )
     vals: dict[tuple, list] = {}
+    left_exact: dict[tuple, float] = {}
     for r in fin:
         k = tuple(r[c] for c in group_cols) + (int(r["__qi__"]),)
-        vals.setdefault(k, []).append((float(r["__y__"]), float(r["__sw__"])))
-    out_rows = []
+        if r["__y__"] is None:
+            left_exact[k] = float(r["__sw__"])
+        else:
+            vals.setdefault(k, []).append((float(r["__y__"]), float(r["__sw__"])))
+    out: dict[tuple, float] = {}
     for k, s in state.items():
-        cum = s["left"]
+        cum = left_exact.get(k, 0.0)
         ans = None
         for yv, sw in sorted(vals.get(k, [])):
             cum += sw
@@ -163,15 +166,159 @@ def svyquantile(
                 break
         if ans is None:  # numeric guard: target beyond bracket mass
             ans = s["hi"]
-        out_rows.append(k[:-1] + (float(qs[k[-1]]), ans))
-    out_schema = StructType(
-        key_fields
-        + [
-            StructField("q", DoubleType(), False),
-            StructField("quantile", DoubleType(), True),
-        ]
+        out[k] = ans
+    return out
+
+
+def svyquantile(
+    design: SurveyDesign,
+    y_col: str,
+    qs: tuple = (0.5,),
+    group_cols: list[str] | None = None,
+    bins: int = 1024,
+    n_narrow: int = 3,
+    alpha: float | None = None,
+) -> DataFrame:
+    """Exact lower weighted quantiles, all groups and all ``qs`` in the
+    same passes.  Returns a DataFrame (group_cols..., q, quantile); with
+    ``alpha`` set, (group_cols..., q, quantile, ci_l, ci_u) where the
+    CI is the Woodruff (1 - alpha) interval (NULL when the group has
+    fewer than 2 rows, matching the NaN variance convention)."""
+    if not qs or any(not (0.0 < q < 1.0) for q in qs):
+        raise ValueError("each q must be in (0, 1)")
+    if alpha is not None and not (0.0 < alpha < 1.0):
+        raise ValueError("alpha must be in (0, 1)")
+    group_cols = list(group_cols or [])
+    spark = design.df.sparkSession
+    w = F.col(design.weight_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = design.df.na.drop(subset=[y_col, design.weight_col] + group_cols).select(
+        *group_cols, y.alias("__y__"), w.alias("__w__")
     )
-    return spark.createDataFrame(sorted(out_rows), out_schema)
+    base = base.persist()
+    try:
+        stats = (
+            base.groupBy(*group_cols)
+            .agg(
+                F.min("__y__").alias("lo"),
+                F.max("__y__").alias("hi"),
+                F.sum("__w__").alias("W"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        group_info = {
+            tuple(r[c] for c in group_cols): (
+                float(r["lo"]), float(r["hi"]), float(r["W"]), int(r["n"])
+            )
+            for r in stats
+        }
+        key_fields = list(base.select(*group_cols).schema.fields)
+
+        state: dict[tuple, dict] = {}
+        for key, (lo, hi, W, _n) in group_info.items():
+            for qi, q in enumerate(qs):
+                state[key + (qi,)] = {"lo": lo, "hi": hi, "target": float(q) * W}
+        point = _solve_exact(spark, base, group_cols, key_fields, state,
+                             bins, n_narrow)
+
+        if alpha is None:
+            out_rows = [
+                k[:-1] + (float(qs[k[-1]]), point[k]) for k in state
+            ]
+            out_schema = StructType(
+                key_fields
+                + [
+                    StructField("q", DoubleType(), False),
+                    StructField("quantile", DoubleType(), True),
+                ]
+            )
+            return spark.createDataFrame(sorted(out_rows), out_schema)
+
+        # --- Woodruff CI -------------------------------------------------
+        # one pass for the indicator moments at each point quantile:
+        # z = 1{y <= q_hat};  p_hat = sum(w z)/W;  the linearized
+        # variance of the weighted indicator mean needs sum(w^2 z) and
+        # sum(w^2) (z^2 = z, and sum of the influence values is exactly 0)
+        q_schema = StructType(
+            list(key_fields)
+            + [
+                StructField("__qi__", LongType(), False),
+                StructField("__qhat__", DoubleType(), False),
+            ]
+        )
+        q_rows = [k[:-1] + (k[-1], point[k]) for k in state]
+        qdf = spark.createDataFrame(q_rows, q_schema)
+        join_on = group_cols if group_cols else None
+        joined = (
+            base.join(F.broadcast(qdf), on=join_on, how="inner")
+            if join_on
+            else base.crossJoin(F.broadcast(qdf))
+        )
+        z = F.when(F.col("__y__") <= F.col("__qhat__"), 1.0).otherwise(0.0)
+        w_ = F.col("__w__")
+        mom = (
+            joined.groupBy(*group_cols, "__qi__")
+            .agg(
+                F.sum(w_ * z).alias("swz"),
+                F.sum(w_ * w_ * z).alias("sw2z"),
+                F.sum(w_ * w_).alias("sw2"),
+            )
+            .collect()
+        )
+        zcrit = NormalDist().inv_cdf(1.0 - alpha / 2.0)
+        ci_state: dict[tuple, dict] = {}
+        se_by_key: dict[tuple, float] = {}
+        for r in mom:
+            k = tuple(r[c] for c in group_cols) + (int(r["__qi__"]),)
+            lo, hi, W, n = group_info[k[:-1]]
+            p_hat = float(r["swz"]) / W
+            # sum(w^2 (z - p)^2) = (1 - 2p) sum(w^2 z) + p^2 sum(w^2)
+            sum_w2e2 = (1.0 - 2.0 * p_hat) * float(r["sw2z"]) + (
+                p_hat * p_hat
+            ) * float(r["sw2"])
+            if n < 2:
+                se_by_key[k] = float("nan")
+                continue
+            v_p = n / (n - 1.0) * sum_w2e2 / (W * W)
+            se_p = math.sqrt(max(v_p, 0.0))
+            se_by_key[k] = se_p
+            q = float(qs[k[-1]])
+            t_lo = max(q - zcrit * se_p, 0.0) * W
+            t_hi = min(q + zcrit * se_p, 1.0) * W
+            ci_state[k + (0,)] = {"lo": lo, "hi": hi, "target": t_lo}
+            ci_state[k + (1,)] = {"lo": lo, "hi": hi, "target": t_hi}
+
+        # solve both inverted endpoints together; the slot key is
+        # (..., qi*2 + side) flattened so one bisection handles all
+        flat_state = {
+            k[:-2] + (k[-2] * 2 + k[-1],): dict(s) for k, s in ci_state.items()
+        }
+        ci_vals = _solve_exact(spark, base, group_cols, key_fields,
+                               flat_state, bins, n_narrow)
+        out_rows = []
+        for k in state:
+            se = se_by_key.get(k, float("nan"))
+            if math.isnan(se):
+                ci_l = ci_u = None
+            else:
+                ci_l = ci_vals[k[:-1] + (k[-1] * 2,)]
+                ci_u = ci_vals[k[:-1] + (k[-1] * 2 + 1,)]
+            out_rows.append(
+                k[:-1] + (float(qs[k[-1]]), point[k], ci_l, ci_u)
+            )
+        out_schema = StructType(
+            key_fields
+            + [
+                StructField("q", DoubleType(), False),
+                StructField("quantile", DoubleType(), True),
+                StructField("ci_l", DoubleType(), True),
+                StructField("ci_u", DoubleType(), True),
+            ]
+        )
+        return spark.createDataFrame(sorted(out_rows), out_schema)
+    finally:
+        base.unpersist()
 
 
 def trim_weights(
@@ -189,22 +336,32 @@ def trim_weights(
     row counts once): a self-weighted quantile would be useless here —
     extreme weights carry their own mass, so they'd always sit below any
     high weighted quantile and never get clipped.  Exact quantile from
-    ``svyquantile`` under a unit weight, then one agg for the rescale
-    factor and one map projection.  Returns the design's frame plus
-    ``out_col``."""
+    ``svyquantile`` under a unit weight over a PERSISTED one-column
+    projection (shared by the rescale aggregation, so the source is
+    scanned once for all quantile + rescale passes), then one map
+    projection.  Returns the design's frame plus ``out_col``."""
     if not (0.0 < upper_quantile < 1.0):
         raise ValueError("upper_quantile must be in (0, 1)")
     df = design.df
-    unit = df.withColumn("__one__", F.lit(1.0))
-    wq = svyquantile(
-        SurveyDesign(df=unit, weight_col="__one__"),
-        design.weight_col, qs=(upper_quantile,),
+    narrow = (
+        df.na.drop(subset=[design.weight_col])
+        .select(F.col(design.weight_col).cast("double").alias("__wv__"))
+        .withColumn("__one__", F.lit(1.0))
+        .persist()
     )
-    cap = float(wq.collect()[0]["quantile"])
-    w = F.col(design.weight_col).cast("double")
-    capped = F.least(w, F.lit(cap))
-    sums = df.agg(
-        F.sum(w).alias("tw"), F.sum(capped).alias("tc")
-    ).collect()[0]
+    try:
+        wq = svyquantile(
+            SurveyDesign(df=narrow, weight_col="__one__"),
+            "__wv__", qs=(upper_quantile,),
+        )
+        cap = float(wq.collect()[0]["quantile"])
+        wv = F.col("__wv__")
+        sums = narrow.agg(
+            F.sum(wv).alias("tw"),
+            F.sum(F.least(wv, F.lit(cap))).alias("tc"),
+        ).collect()[0]
+    finally:
+        narrow.unpersist()
     scale = float(sums["tw"]) / float(sums["tc"])
-    return df.withColumn(out_col, capped * F.lit(scale))
+    w = F.col(design.weight_col).cast("double")
+    return df.withColumn(out_col, F.least(w, F.lit(cap)) * F.lit(scale))

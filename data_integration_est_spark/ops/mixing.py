@@ -61,6 +61,32 @@ def source_mixture(
     )
 
 
+_INTEGRAL_TYPES = ("byte", "short", "integer", "long")
+
+
+def _hash_uniform(id_col: str, fn_name: str, id_type: str):
+    """Deterministic hash-uniform u(id) in [0, 1) from an INTEGRAL id.
+
+    The id is reduced mod ``_HASH_MOD`` BEFORE the Knuth multiply so the
+    intermediate stays <= 1e6 * 2654435761 ~ 2.7e15, far inside int64 —
+    a raw ``id * mult`` overflows (and silently wraps under non-ANSI
+    Spark while DuckDB promotes to HUGEINT) for ids >= ~3.47e9, breaking
+    the bit-for-bit cross-engine claim at scale.  Mathematically
+    identical to the unreduced form: (id*M) mod m == ((id mod m)*M) mod m.
+    Float/double ids are refused too: ``%`` on them is floating modulo,
+    not the documented integer-exact hash."""
+    if id_type not in _INTEGRAL_TYPES:
+        raise TypeError(
+            f"{fn_name}: id column {id_col!r} has type {id_type!r}; the "
+            "deterministic hash-uniform needs an INTEGRAL id (map string "
+            "or fractional ids to an integer hash first)"
+        )
+    reduced = F.col(id_col).cast("long") % F.lit(_HASH_MOD)
+    return ((reduced * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)).cast(
+        "double"
+    ) / float(_HASH_MOD)
+
+
 def temperature_sample(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -71,27 +97,18 @@ def temperature_sample(
     """Deterministic temperature-weighted corpus sample: keep a row iff
     its hash-uniform ``u(id) < rate(source)``.  Same rows on every run
     and every engine; expected composition follows ``p^alpha``."""
-    id_type = docs.schema[id_col].dataType.typeName()
-    if id_type not in (
-        "byte", "short", "integer", "long", "decimal", "float", "double"
-    ):
-        # a string id would make the multiplicative hash NULL and the
-        # filter silently drop EVERY row — refuse loudly instead.  The
-        # hash must stay SQL-replicable (cross-engine oracle), so we
-        # don't fall back to an engine-specific hash of strings here;
-        # callers with string ids should pre-map them to a numeric id
-        # (e.g. xxhash64) and accept engine-specific sampling.
-        raise TypeError(
-            f"temperature_sample: id column {id_col!r} has type "
-            f"{id_type!r}; the deterministic hash-uniform needs a "
-            "numeric id (map string ids to a numeric hash first)"
-        )
+    # a string id would make the multiplicative hash NULL and the
+    # filter silently drop EVERY row — refuse loudly instead.  The
+    # hash must stay SQL-replicable (cross-engine oracle), so we
+    # don't fall back to an engine-specific hash of strings here;
+    # callers with string ids should pre-map them to a numeric id
+    # (e.g. xxhash64) and accept engine-specific sampling.
+    u = _hash_uniform(
+        id_col, "temperature_sample", docs.schema[id_col].dataType.typeName()
+    )
     mix = source_mixture(docs, source_col, alpha, target_frac).select(
         source_col, "rate"
     )
-    u = (
-        (F.col(id_col) * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
-    ).cast("double") / float(_HASH_MOD)
     return (
         docs.join(F.broadcast(mix), source_col)
         .filter(u < F.col("rate"))
@@ -146,24 +163,16 @@ def hash_split(
     engine with 64-bit integers reproduces it bit-for-bit.
 
     ``fractions`` maps split name -> fraction; must sum to 1 (1e-9
-    tolerance).  Numeric ids only (same contract as temperature_sample —
-    map string ids through a numeric hash first)."""
+    tolerance).  Integral ids only (same contract as temperature_sample —
+    map string ids through an integer hash first)."""
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
     if not fractions:
         raise ValueError("need at least one split")
-    id_type = docs.schema[id_col].dataType.typeName()
-    if id_type not in (
-        "byte", "short", "integer", "long", "decimal", "float", "double"
-    ):
-        raise TypeError(
-            f"hash_split: id column {id_col!r} has type {id_type!r}; "
-            "the deterministic hash-uniform needs a numeric id"
-        )
-    u = (
-        (F.col(id_col) * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
-    ).cast("double") / float(_HASH_MOD)
+    u = _hash_uniform(
+        id_col, "hash_split", docs.schema[id_col].dataType.typeName()
+    )
     expr = None
     cum = 0.0
     names = list(fractions)

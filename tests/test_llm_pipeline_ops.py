@@ -350,7 +350,7 @@ def test_temperature_sample_rejects_string_ids(spark):
     docs = spark.createDataFrame(
         [(f"d{i}", "web") for i in range(10)], "doc_id string, source string"
     )
-    with pytest.raises(TypeError, match="numeric id"):
+    with pytest.raises(TypeError, match="INTEGRAL id"):
         temperature_sample(docs)
 
 
@@ -619,8 +619,27 @@ def test_hash_split_validates_inputs(spark):
     with pytest.raises(ValueError, match="sum to 1"):
         hash_split(docs, {"train": 0.5, "val": 0.1})
     sdocs = spark.createDataFrame([("a",)], "doc_id string")
-    with pytest.raises(TypeError, match="numeric id"):
+    with pytest.raises(TypeError, match="INTEGRAL id"):
         hash_split(sdocs, {"train": 1.0})
+    # float ids would turn % into floating modulo — refuse those too
+    fdocs = spark.createDataFrame([(1.5,)], "doc_id double")
+    with pytest.raises(TypeError, match="INTEGRAL id"):
+        hash_split(fdocs, {"train": 1.0})
+
+
+def test_hash_split_no_int64_overflow(spark):
+    """ids >= ~3.47e9 overflowed the raw Knuth multiply (silent int64
+    wrap under non-ANSI Spark vs HUGEINT promotion in DuckDB); the
+    mod-before-multiply form must agree with exact Python arithmetic."""
+    from data_integration_est_spark.ops.mixing import hash_split
+
+    big = [2**62 + 12345, 2**48 + 7, 3_470_000_000, 17]
+    docs = spark.createDataFrame([(i,) for i in big], "doc_id long")
+    out = {r["doc_id"]: r["split"]
+           for r in hash_split(docs, {"a": 0.5, "b": 0.5}).collect()}
+    for i in big:
+        u = ((i % 1_000_000) * 2654435761 % 1_000_000) / 1_000_000.0
+        assert out[i] == ("a" if u < 0.5 else "b"), i
 
 
 # --------------------------------------------------- end-to-end corpus dedup

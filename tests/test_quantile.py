@@ -107,3 +107,96 @@ def test_trim_weights_bad_quantile(spark):
     df = spark.createDataFrame([(1, 1.0)], "id long, w double")
     with pytest.raises(ValueError, match="upper_quantile"):
         trim_weights(SurveyDesign(df=df, weight_col="w"), 1.0)
+
+
+def _np_woodruff_ci(y, w, q, alpha=0.05):
+    """Independent numpy Woodruff CI: linearization SE of the indicator
+    mean at the point quantile, inverted through the weighted quantile
+    function (the module docstring's formula, recomputed from scratch)."""
+    from statistics import NormalDist
+
+    qhat = _np_wquantile(y, w, q)
+    W, n = w.sum(), len(y)
+    z = (y <= qhat).astype(float)
+    p = float((w * z).sum() / W)
+    sum_w2e2 = float((w * w * (z - p) ** 2).sum())
+    se = np.sqrt(n / (n - 1.0) * sum_w2e2 / (W * W))
+    zc = NormalDist().inv_cdf(1.0 - alpha / 2.0)
+    lo = _np_wquantile(y, w, max(q - zc * se, 0.0)) if q - zc * se > 0 else y.min()
+    hi = _np_wquantile(y, w, min(q + zc * se, 1.0))
+    return qhat, lo, hi
+
+
+def test_svyquantile_woodruff_ci_matches_numpy(data):
+    df, pdf = data
+    des = SurveyDesign(df=df, weight_col="w")
+    out = svyquantile(des, "y", qs=(0.25, 0.5), group_cols=["g"], alpha=0.05)
+    got = {(r["g"], r["q"]): (r["quantile"], r["ci_l"], r["ci_u"])
+           for r in out.collect()}
+    for g in sorted(pdf.g.unique()):
+        m = pdf.g == g
+        yv, wv = pdf.y[m].to_numpy(), pdf.w[m].to_numpy()
+        for q in (0.25, 0.5):
+            want = _np_woodruff_ci(yv, wv, q)
+            gq, gl, gu = got[(g, q)]
+            assert (gq, gl, gu) == want, (g, q)
+            assert gl <= gq <= gu
+
+
+def test_svyquantile_ci_null_for_singleton_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("b", 2.0, 1.0), ("b", 3.0, 1.0), ("b", 4.0, 1.0)],
+        "g string, y double, w double",
+    )
+    out = svyquantile(SurveyDesign(df=df, weight_col="w"), "y",
+                      qs=(0.5,), group_cols=["g"], alpha=0.05)
+    rows = {r["g"]: r for r in out.collect()}
+    assert rows["a"]["ci_l"] is None and rows["a"]["ci_u"] is None
+    assert rows["b"]["ci_l"] is not None
+
+
+def test_svyquantile_persists_and_releases_base(data, monkeypatch):
+    """The n_narrow+2 passes must ride a persisted projection (scan the
+    source once at scale) and release it on exit."""
+    df, _ = data
+    cls = type(df)  # the concrete DataFrame class (classic vs connect)
+    calls = {"persist": 0, "unpersist": 0}
+    orig_p, orig_u = cls.persist, cls.unpersist
+
+    def spy_p(self, *a, **k):
+        calls["persist"] += 1
+        return orig_p(self, *a, **k)
+
+    def spy_u(self, *a, **k):
+        calls["unpersist"] += 1
+        return orig_u(self, *a, **k)
+
+    monkeypatch.setattr(cls, "persist", spy_p)
+    monkeypatch.setattr(cls, "unpersist", spy_u)
+    svyquantile(SurveyDesign(df=df, weight_col="w"), "y", qs=(0.5,)).collect()
+    assert calls["persist"] >= 1
+    assert calls["unpersist"] == calls["persist"]
+
+
+def test_svyquantile_pass_count(data, monkeypatch):
+    """Pass-count guard: the point solve is exactly 1 (stats) + n_narrow
+    (histograms) + 1 (final) aggregation passes on continuous data; the
+    CI variant adds 1 moment pass + one more bisection solve (its
+    brackets may collapse early).  Counted as collect() calls — Spark
+    job counts are inflated by AQE/broadcast sub-jobs."""
+    df, _ = data
+    cls = type(df)
+    calls = {"collect": 0}
+    orig = cls.collect
+
+    def spy(self, *a, **k):
+        calls["collect"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(cls, "collect", spy)
+    des = SurveyDesign(df=df, weight_col="w")
+    svyquantile(des, "y", qs=(0.5,), n_narrow=3)
+    assert calls["collect"] == 5    # stats + 3 hists + final
+    calls["collect"] = 0
+    svyquantile(des, "y", qs=(0.5,), n_narrow=3, alpha=0.05)
+    assert 7 <= calls["collect"] <= 10  # + moments + (<=3 hists + final)

@@ -85,6 +85,10 @@ HEADLINE = [
     "trim_weights_summary",
     "heavy_tokens_by_lang",
     "svychisq_events",
+    # round-6: end-to-end corpus dedup + bounded calibration join the
+    # headline so every oracle row is latency-tracked (r5 VERDICT #10)
+    "dedup_corpus_stats",
+    "calibrate_bounded_summary",
     # statistical estimators (GREG calibration / OLS / DR pipelines)
     "regdi_c0",
     "regdi_aux",

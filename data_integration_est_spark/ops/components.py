@@ -31,12 +31,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_union_find(rows, vertex_type):
+    """Exact union-find (path compression + union by size) over a
+    collected edge list; components relabelled by their minimum member —
+    identical output to the distributed fixpoint."""
+    parent: dict = {}
+    size: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+                size[v] = 1
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if size[ra] < size[rb]:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            size[ra] += size[rb]
+    min_label: dict = {}
+    for v in parent:
+        r = find(v)
+        if r not in min_label or v < min_label[r]:
+            min_label[r] = v
+    return [(v, min_label[find(v)]) for v in parent]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
     edges_per_partition: int = 100_000,
+    driver_max_edges: int = 200_000,
 ) -> DataFrame:
     """Component labels for every vertex appearing in ``edges``
     (undirected; self-loops and duplicate pairs are fine).  Vertex ids
@@ -47,7 +82,15 @@ def connected_components(
     ``edges_per_partition`` sizes the per-round shuffles to the graph
     (see below); lower it for wide rows or memory-tight executors, raise
     it when the scheduler overhead of many small tasks dominates.
-    """
+
+    When the deduplicated edge list fits ``driver_max_edges`` (after the
+    count the loop needs anyway), the closure is solved by an exact
+    driver-side union-find instead: one collect replaces O(diameter)
+    shuffle rounds + per-round convergence jobs.  Verified near-dup pair
+    lists are SPARSE relative to the corpus (the candidate join already
+    pruned), so this is the common case even at large corpus scale; the
+    distributed fixpoint remains the path for genuinely huge edge lists.
+    Pass 0 to force the distributed path."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -61,6 +104,19 @@ def connected_components(
     # graphs (measured 4-7 s for a 1k-edge graph).  ~edges_per_partition
     # edge rows per partition; large graphs keep the session parallelism.
     n_edges = sym.count()
+    if n_edges <= driver_max_edges:
+        from pyspark.sql.types import StructField, StructType
+
+        vtype = sym.schema["a"].dataType
+        labels_rows = _driver_union_find(
+            [(r["a"], r["b"]) for r in sym.collect()], vtype
+        )
+        sym.unpersist()
+        schema = StructType([
+            StructField("vertex", vtype, False),
+            StructField("component", vtype, False),
+        ])
+        return edges.sparkSession.createDataFrame(sorted(labels_rows), schema)
     default_parts = sym.rdd.getNumPartitions()
     parts = max(1, min(default_parts, n_edges // edges_per_partition + 1))
     if parts < default_parts:
@@ -68,12 +124,18 @@ def connected_components(
         resized.count()  # materialize before dropping the source cache
         sym.unpersist()
         sym = resized
+    # localCheckpoint (not plain persist): each round's plan nests the
+    # previous round's ENTIRE logical plan — caching stores the data but
+    # not a truncated plan, so 10+ rounds (a diameter-10 chain) explode
+    # the analyzer exponentially (measured: OOM at ~12 rounds).
+    # Checkpointing truncates lineage to the materialized partitions,
+    # keeping every round's plan O(1).
     labels = (
         sym.select(F.col("a").alias("vertex"))
         .distinct()
         .withColumn("component", F.col("vertex"))
         .repartition(parts, "vertex")  # co-partition with every later round
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     # fixpoint signal, two exact variants by vertex type:
@@ -101,7 +163,7 @@ def connected_components(
             .repartition(parts, "vertex")
             .groupBy("vertex")
             .agg(F.min("component").alias("component"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         if numeric_ids:
             new_sum = new_labels.agg(sum_expr).collect()[0][0]
@@ -114,13 +176,19 @@ def connected_components(
                 .filter(F.col("n.component") != F.col("o.component"))
                 .isEmpty()
             )
-        labels.unpersist()
+        try:  # release the previous round's checkpointed partitions
+            labels.rdd.unpersist(False)
+        except Exception:
+            pass
         labels = new_labels
         if converged:
             sym.unpersist()
             return labels
     sym.unpersist()
-    labels.unpersist()
+    try:
+        labels.rdd.unpersist(False)
+    except Exception:
+        pass
     raise RuntimeError(
         f"connected_components: no fixpoint after {max_iter} rounds — "
         "component diameter exceeds the bound (likely a degenerate "

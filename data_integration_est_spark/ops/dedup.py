@@ -396,16 +396,34 @@ def dedup_corpus(
     Every stage is one of this module's / ``ops.components``'s certified
     primitives (each with its own gate row and tests); this function only
     wires them, so the scale posture is the stages' own: bucketed
-    candidate generation, candidate-restricted verify, O(diameter)
-    label-propagation rounds.  Returns the surviving rows of ``docs``."""
+    candidate generation, candidate-restricted verify, and a component
+    resolution that is a single driver union-find for the (typical)
+    sparse verified-pair list, falling back to O(diameter)
+    label-propagation rounds.  Returns the surviving rows of ``docs``.
+
+    Plumbing (round-6 trim — this composition launches ~7 Spark stages,
+    so per-stage waste compounds): the exact-dedup step keeps surviving
+    ROWS via ONE fingerprint-keyed window (row_number = 1 on min id)
+    instead of the summary-groupBy + id semi-join (two shuffles), and the
+    survivors are PERSISTED — three downstream consumers (signatures,
+    Jaccard verify, final anti-join) would otherwise each recompute the
+    scan + window.  At 100 TB scale, substitute a parquet checkpoint for
+    the persist; the stage structure is unchanged."""
+    from pyspark.sql import Window
+
     from data_integration_est_spark.ops.components import dedup_keep_representative
+    from data_integration_est_spark.ops.text import fingerprint
 
     work = docs
     if exact_first:
-        # exact_dedup returns the fingerprint summary; keep the surviving
-        # ROWS of docs (semi-join on the kept ids — id-only shuffle)
-        kept = exact_dedup(work, text_col=text_col, id_col=id_col).select(id_col)
-        work = docs.join(kept, id_col, "left_semi")
+        win = Window.partitionBy("__fp__").orderBy(id_col)
+        work = (
+            docs.withColumn("__fp__", fingerprint(F.col(text_col)))
+            .withColumn("__rn__", F.row_number().over(win))
+            .filter(F.col("__rn__") == 1)
+            .drop("__fp__", "__rn__")
+        )
+    work = work.persist()
     sigs = minhash_signatures(
         work, text_col=text_col, num_hashes=num_hashes,
         shingle_n=shingle_n, id_col=id_col,

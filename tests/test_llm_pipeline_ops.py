@@ -312,7 +312,21 @@ def test_connected_components_max_iter_guard(spark):
         [(i, i + 1) for i in range(30)], "src long, dst long"
     )
     with pytest.raises(RuntimeError, match="fixpoint"):
-        connected_components(edges, max_iter=2)
+        connected_components(edges, max_iter=2, driver_max_edges=0)
+
+
+def test_connected_components_driver_path_matches_distributed(spark):
+    # the small-edge-list union-find fast path must produce byte-identical
+    # labels to the distributed fixpoint (chain + star + isolated pair)
+    from data_integration_est_spark.ops.components import connected_components
+
+    rows = [(i, i + 1) for i in range(10)] + [(100, x) for x in (101, 102, 103)]
+    rows += [(200, 201)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    fast = sorted(map(tuple, connected_components(edges).collect()))
+    slow = sorted(map(tuple,
+                      connected_components(edges, driver_max_edges=0).collect()))
+    assert fast == slow
 
 
 def test_connected_components_string_ids(spark):
@@ -668,3 +682,58 @@ def test_dedup_corpus_no_false_merges(spark):
                 f"beta{i} gamma{i} delta{i} epsilon{i}") for i in range(40)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     assert dedup_corpus(docs, threshold=0.5).count() == 40
+
+
+def test_dedup_corpus_lsh_misses_no_true_pair_on_gate_corpus(spark, sf_dir):
+    """ADVICE r5: the dedup_corpus gate row's all-pairs oracle is only
+    valid if banded LSH (16 bands x 2 rows) misses no true pair at
+    threshold 0.5 ON THIS CORPUS (a pair at s=0.5 is missed w.p. ~1%).
+    Pin that corpus-dependent assumption: ground-truth pairs from a
+    first-principles python shingle scan vs the engine's candidates."""
+    import itertools
+    import re as _re
+
+    from data_integration_est_spark.ops.dedup import (
+        lsh_candidate_pairs, minhash_signatures)
+
+    sf01 = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf01}/documents.parquet")
+    rows = docs.select("doc_id", "text").collect()
+
+    def norm_fp(t):
+        return _re.sub(r"\s+", " ", _re.sub(r"[^a-z0-9\s]", "", t.lower())).strip()
+
+    # exact-dedup survivors (min id per normalized fingerprint)
+    by_fp = {}
+    for r in rows:
+        fp = norm_fp(r["text"])
+        if fp not in by_fp or r["doc_id"] < by_fp[fp]["doc_id"]:
+            by_fp[fp] = r
+
+    def shingles(t):
+        toks = _re.split(r"\s+", t.strip())
+        if len(toks) < 3:
+            return {t.strip()}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    sh = {r["doc_id"]: shingles(r["text"]) for r in by_fp.values()}
+    true_pairs = set()
+    for (a, sa), (b, sb) in itertools.combinations(sorted(sh.items()), 2):
+        inter = len(sa & sb)
+        if inter and inter / len(sa | sb) >= 0.5:
+            true_pairs.add((a, b))
+
+    work = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in by_fp.values()],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(work, text_col="text", num_hashes=32,
+                              shingle_n=3, id_col="doc_id")
+    cand = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in lsh_candidate_pairs(sigs, id_col="doc_id", bands=16,
+                                     rows_per_band=2).collect()
+    }
+    missed = true_pairs - cand
+    assert not missed, f"LSH missed true pairs on the gate corpus: {missed}"
+    assert true_pairs, "gate corpus has no true near-dup pairs — oracle vacuous"

@@ -425,12 +425,14 @@ def fit_logistic(
 def calibrate_bounded(
     df: DataFrame,
     x_cols: list[str],
-    totals: dict | np.ndarray | list,
+    totals: dict | np.ndarray | list | None,
     d_col: str,
     bounds: tuple,
     out_col: str = "w_cal",
     max_iter: int = 10,
     state_col: str | None = None,
+    group_cols: list[str] | None = None,
+    totals_by_group: dict[tuple, np.ndarray] | None = None,
 ) -> CalibrationResult:
     """Range-restricted linear calibration — ``survey::calibrate`` with
     ``bounds=c(L, U)``: weight ratios g_i = w_i/d_i are constrained to
@@ -445,20 +447,40 @@ def calibrate_bounded(
     expression derived from the lambda history, so the final weights are
     a single projection.  Iterations needed = number of distinct clip
     "waves", 2-3 in practice.
-    """
+
+    With ``group_cols`` (domains / Monte Carlo cells — the
+    ``survey::calibrate(bounds=)`` + ``svyby`` composition a stratified
+    user makes inside nb[23]-style studies) every group runs its OWN
+    truncation sequence in the SAME passes: per iteration one
+    groupBy-aggregation and one stacked k x k solve; per-group lambda
+    vectors rejoin as a broadcast O(groups)-row table, so the per-group
+    sticky clip state is still a pure column expression and the shuffle
+    count is independent of the group count.  Iterations run until EVERY
+    group's clip set is stable.  Per-group totals via ``totals_by_group``
+    (key tuple -> k-vector) or one shared ``totals``."""
     L, U = float(bounds[0]), float(bounds[1])
     if not (L < 1.0 < U):
         raise CalibrationError(
             f"bounds must straddle 1 (got L={L}, U={U}): g=1 is the "
             "uncalibrated ratio"
         )
+    group_cols = list(group_cols or [])
     k = len(x_cols)
     if isinstance(totals, dict):
         T = np.array([float(totals[c]) for c in x_cols])
-    else:
+    elif totals is not None:
         T = np.asarray(totals, dtype=float).ravel()
         if T.size != k:
             raise CalibrationError(f"expected {k} totals, got {T.size}")
+    elif totals_by_group is None:
+        raise ValueError("must provide `totals` or `totals_by_group`")
+    else:
+        T = None
+    if group_cols:
+        return _calibrate_bounded_grouped(
+            df, x_cols, T, d_col, L, U, out_col, max_iter, state_col,
+            group_cols, totals_by_group,
+        )
 
     d = F.col(d_col).cast("double")
     xs = [F.col(c).cast("double") for c in x_cols]
@@ -533,4 +555,136 @@ def calibrate_bounded(
     return CalibrationResult(
         df=out, weight_col=out_col, x_cols=list(x_cols),
         lambdas=lam.reshape(1, k), keys=[()], group_cols=[],
+    )
+
+
+def _calibrate_bounded_grouped(
+    df: DataFrame,
+    x_cols: list[str],
+    T_shared,
+    d_col: str,
+    L: float,
+    U: float,
+    out_col: str,
+    max_iter: int,
+    state_col: str | None,
+    group_cols: list[str],
+    totals_by_group,
+) -> CalibrationResult:
+    """Grouped body of ``calibrate_bounded`` (see its docstring): every
+    group's truncation sequence advances in the same groupBy pass; the
+    per-group lambdas of each wave rejoin as broadcast columns so the
+    sticky clip state stays a column expression."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = df.sparkSession
+    k = len(x_cols)
+    d = F.col(d_col).cast("double")
+    xs = [F.col(c).cast("double") for c in x_cols]
+    key_schema = df.select(*group_cols).schema
+
+    def g_expr_cols(lam_cols: list[str]):
+        e = F.lit(1.0)
+        for lc, xc in zip(lam_cols, xs):
+            e = e + xc * F.col(lc)
+        return e
+
+    work = df
+    state = F.lit(0)
+    keys: list[tuple] | None = None
+    T = None
+    lam = None
+    last_lam_cols: list[str] = []
+    joined_lam_cols: list[str] = []
+    n_clipped_prev: np.ndarray | None = None
+    for it in range(max_iter):
+        free = state == 0
+        w_clip = F.when(state == 1, U * d).when(state == -1, L * d)
+        aggs = []
+        for i in range(k):
+            for j in range(i, k):
+                aggs.append(
+                    F.sum(F.when(free, d * xs[i] * xs[j]).otherwise(0.0))
+                    .alias(f"g_{i}_{j}")
+                )
+            aggs.append(F.sum(F.when(free, d * xs[i]).otherwise(0.0)).alias(f"h_{i}"))
+            aggs.append(F.sum(F.when(~free, w_clip * xs[i]).otherwise(0.0)).alias(f"c_{i}"))
+        aggs.append(F.sum(F.when(~free, F.lit(1)).otherwise(0)).alias("n_clipped"))
+        rows = work.groupBy(*group_cols).agg(*aggs).collect()
+        by_key = {tuple(r[c] for c in group_cols): r for r in rows}
+        if keys is None:
+            keys = sorted(by_key)
+            ng = len(keys)
+            T = np.zeros((ng, k))
+            for gi, key in enumerate(keys):
+                if totals_by_group is not None:
+                    T[gi] = np.asarray(totals_by_group[key], dtype=float).ravel()
+                else:
+                    T[gi] = T_shared
+        ng = len(keys)
+        G = np.zeros((ng, k, k))
+        h = np.zeros((ng, k))
+        c = np.zeros((ng, k))
+        n_clipped = np.zeros(ng, dtype=int)
+        for gi, key in enumerate(keys):
+            r = by_key[key]
+            for i in range(k):
+                for j in range(i, k):
+                    G[gi, i, j] = G[gi, j, i] = float(r[f"g_{i}_{j}"] or 0.0)
+                h[gi, i] = float(r[f"h_{i}"] or 0.0)
+                c[gi, i] = float(r[f"c_{i}"] or 0.0)
+            n_clipped[gi] = int(r["n_clipped"] or 0)
+        try:
+            lam = np.linalg.solve(G, (T - c - h)[..., None]).squeeze(-1).reshape(ng, k)
+        except np.linalg.LinAlgError as e:
+            raise CalibrationError(
+                f"calibrate_bounded: a group's free-unit Gram is singular "
+                f"at iteration {it} — totals infeasible in bounds for some "
+                "group?"
+            ) from e
+        # broadcast-join this wave's per-group lambdas
+        lam_cols = [f"__cbw{it}_{j}__" for j in range(k)]
+        lam_rows = [
+            tuple(key) + tuple(float(v) for v in lam[gi])
+            for gi, key in enumerate(keys)
+        ]
+        lam_schema = StructType(
+            list(key_schema.fields)
+            + [StructField(cn, DoubleType(), False) for cn in lam_cols]
+        )
+        work = work.join(
+            F.broadcast(spark.createDataFrame(lam_rows, lam_schema)),
+            on=group_cols, how="left",
+        )
+        joined_lam_cols += lam_cols
+        last_lam_cols = lam_cols
+        ge = g_expr_cols(lam_cols)
+        state = (
+            F.when(state == 1, 1)
+            .when(state == -1, -1)
+            .when(ge > U, 1)
+            .when(ge < L, -1)
+            .otherwise(0)
+        )
+        if n_clipped_prev is not None and np.array_equal(n_clipped, n_clipped_prev):
+            break
+        n_clipped_prev = n_clipped
+    else:
+        raise CalibrationError(
+            f"calibrate_bounded: clip set not stable after {max_iter} "
+            "iterations in at least one group"
+        )
+
+    w = (
+        F.when(state == 1, U * d)
+        .when(state == -1, L * d)
+        .otherwise(d * g_expr_cols(last_lam_cols))
+    )
+    out = work.withColumn(out_col, w)
+    if state_col is not None:
+        out = out.withColumn(state_col, state)
+    out = out.drop(*joined_lam_cols)
+    return CalibrationResult(
+        df=out, weight_col=out_col, x_cols=list(x_cols),
+        lambdas=lam, keys=keys, group_cols=group_cols,
     )

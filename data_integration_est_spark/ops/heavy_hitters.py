@@ -65,16 +65,24 @@ def misra_gries_candidates(df: DataFrame, col: str, phi: float) -> DataFrame:
 
 
 def misra_gries_candidates_by(
-    df: DataFrame, col: str, by: str, phi: float
+    df: DataFrame, col: str, by: str, phi: float, max_groups: int = 10_000
 ) -> DataFrame:
     """Per-GROUP Misra-Gries candidates: one independent summary per
     group per partition (the no-false-negative pigeonhole argument is
     per-group, so a shared summary would not guarantee per-group
     thresholds).  Returns distinct (by, col) candidate pairs,
     O(partitions x groups / phi) rows — sized for modest group counts
-    (languages, sources), not high-cardinality keys."""
+    (languages, sources), not high-cardinality keys.
+
+    ``max_groups`` guards that sizing: once a partition's summary dict
+    exceeds it, the task fails loudly instead of silently degrading into
+    per-group pandas overhead with an O(groups/phi) candidate blow-up —
+    at that cardinality a plain groupBy-count IS the right plan, so the
+    error says to use it (or raise the bound deliberately)."""
     if not (0.0 < phi < 1.0):
         raise ValueError("phi must be in (0, 1)")
+    if max_groups < 1:
+        raise ValueError("max_groups must be >= 1")
     k = int(math.ceil(1.0 / phi)) + 1
     import pandas as pd
 
@@ -93,6 +101,14 @@ def misra_gries_candidates_by(
                     cur = cur.sub(cut)
                     cur = cur[cur > 0]
                 counters[g] = cur
+            if len(counters) > max_groups:
+                raise ValueError(
+                    f"misra_gries_candidates_by: more than {max_groups} "
+                    f"distinct {by!r} groups observed in one partition — "
+                    "per-group MG summaries are sized for modest group "
+                    "counts; use a plain groupBy-count for high-"
+                    "cardinality keys, or raise max_groups deliberately"
+                )
         rows = [(g, v) for g, cur in counters.items() for v in cur.index]
         yield pd.DataFrame(rows, columns=[by, col])
 
@@ -126,13 +142,30 @@ def heavy_hitters(
     ``count >= phi * N`` (N = non-null rows).  ``candidates`` defaults to
     the Misra-Gries pass; inject a precomputed or known candidate set to
     skip it (e.g. when re-thresholding)."""
+    from pyspark.sql import Window
+
     narrow = df.select(col).na.drop()
     if candidates is None:
         candidates = misra_gries_candidates(df, col, phi)
-    total = narrow.count()
+    # ONE pass over the base for recount AND total N: non-candidate rows
+    # collapse into a single null-keyed group (map-side combined — the
+    # long tail still never shuffles individually), so N = sum of all
+    # group counts; the threshold resolves via an empty-frame window over
+    # the O(candidates)-row aggregate, keeping the whole plan lazy and
+    # saving the separate narrow.count() job.
+    flagged = narrow.join(
+        F.broadcast(candidates.withColumn("__c__", F.lit(1))), col, "left"
+    )
+    key = F.when(F.col("__c__") == 1, F.col(col))
+    counts = flagged.groupBy(key.alias(col)).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    total = F.sum("count").over(Window.partitionBy())
     return (
-        narrow.join(F.broadcast(candidates), col)
-        .groupBy(col)
-        .agg(F.count(F.lit(1)).alias("count"))
-        .filter(F.col("count") >= math.ceil(phi * total))
+        counts.withColumn("__N__", total)
+        .filter(
+            F.col(col).isNotNull()
+            & (F.col("count") >= F.ceil(F.lit(phi) * F.col("__N__")))
+        )
+        .drop("__N__")
     )

@@ -114,3 +114,61 @@ def test_heavy_hitters_by_equals_exact_per_group(spark):
     assert got == want
     assert any(t[0] == "c" and t[1] == "needle" for t in got)
     assert not any(t[0] == "b" for t in got)  # uniform group has no hitters
+
+
+def test_heavy_hitters_single_job_recount(spark, monkeypatch):
+    """r6: total N folds into the recount pass (null-keyed tail group +
+    empty-frame window) — no separate count() job on the base."""
+    from data_integration_est_spark.ops.heavy_hitters import heavy_hitters
+
+    df = spark.range(1000).selectExpr("CAST(id % 7 AS STRING) AS tok")
+    cls = type(df)
+    calls = {"count": 0}
+    orig = cls.count
+
+    def spy(self, *a, **k):
+        calls["count"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(cls, "count", spy)
+    out = heavy_hitters(df, "tok", phi=0.1)
+    assert calls["count"] == 0  # fully lazy: no eager count during build
+    rows = {r["tok"]: r["count"] for r in out.collect()}
+    # 7 values x ~143 each, N=1000, threshold ceil(100) -> all 7 survive
+    assert len(rows) == 7 and sum(rows.values()) == 1000
+
+
+def test_heavy_hitters_threshold_edge_lazy_plan(spark):
+    from data_integration_est_spark.ops.heavy_hitters import heavy_hitters
+
+    # 90 'a' + 10 'b': phi=0.1 -> ceil(0.1*100)=10, both survive;
+    # phi=0.11 -> ceil(11) -> only 'a'
+    df = spark.createDataFrame(
+        [("a",)] * 90 + [("b",)] * 10, "tok string"
+    )
+    both = {r["tok"] for r in heavy_hitters(df, "tok", 0.1).collect()}
+    only = {r["tok"] for r in heavy_hitters(df, "tok", 0.11).collect()}
+    assert both == {"a", "b"} and only == {"a"}
+
+
+def test_grouped_mg_high_cardinality_guard(spark):
+    """r6: a high-cardinality `by` must fail loudly, not silently degrade
+    into per-group pandas overhead."""
+    import pytest as _pytest
+
+    from data_integration_est_spark.ops.heavy_hitters import (
+        heavy_hitters_by, misra_gries_candidates_by)
+
+    df = spark.range(5000).selectExpr(
+        "CAST(id AS STRING) AS grp", "CAST(id % 3 AS STRING) AS tok"
+    ).coalesce(1)
+    with _pytest.raises(Exception, match="distinct 'grp' groups"):
+        misra_gries_candidates_by(df, "tok", "grp", 0.2, max_groups=100).collect()
+    # and the documented modest-cardinality path still works
+    ok = heavy_hitters_by(
+        spark.range(300).selectExpr(
+            "CAST(id % 3 AS STRING) AS grp", "CAST(id % 5 AS STRING) AS tok"
+        ),
+        "tok", "grp", 0.15,
+    )
+    assert ok.count() > 0

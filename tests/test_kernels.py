@@ -384,3 +384,67 @@ def test_calibrate_bounded_unbounded_case_matches_plain(small_df):
     a = sorted(r["w_cal"] for r in wide.df.select("w_cal").collect())
     b = sorted(r["w_cal"] for r in plain.df.select("w_cal").collect())
     np.testing.assert_allclose(a, b, rtol=1e-10)
+
+
+def test_calibrate_bounded_grouped_matches_per_group_runs(small_df):
+    """r6: grouped bounded calibration (one groupBy pass + stacked solve
+    per wave) must reproduce the per-group ungrouped runs exactly."""
+    from data_integration_est_spark.kernels.linalg import calibrate_bounded
+
+    df, pdf = small_df
+    dfx = df.withColumn("one", F.lit(1.0))
+    # per-group totals pushed off the HT estimate so clip waves differ
+    # between groups
+    totals_by_group = {}
+    for gval, sub in pdf.groupby("g"):
+        d = sub.w.to_numpy()
+        x = sub.x1.to_numpy()
+        totals_by_group[(gval,)] = np.array(
+            [d.sum() * 1.1, (d * x).sum() * 1.2]
+        )
+    res = calibrate_bounded(
+        dfx, ["one", "x1"], None, d_col="w", bounds=(0.7, 1.4),
+        group_cols=["g"], totals_by_group=totals_by_group,
+        state_col="st",
+    )
+    got = res.df.select("g", "x1", "w", "w_cal", "st").toPandas()
+    assert res.keys == sorted(totals_by_group)
+    for gval in sorted(pdf.g.unique()):
+        single = calibrate_bounded(
+            dfx.filter(F.col("g") == gval), ["one", "x1"],
+            totals_by_group[(gval,)], d_col="w", bounds=(0.7, 1.4),
+            state_col="st",
+        )
+        want = single.df.select("x1", "w", "w_cal", "st").toPandas()
+        sub = got[got.g == gval]
+        np.testing.assert_allclose(
+            np.sort(sub.w_cal.to_numpy()), np.sort(want.w_cal.to_numpy()),
+            rtol=1e-9,
+        )
+        assert sorted(sub.st) == sorted(want.st)
+        # calibration equations hold per group on the free+clipped mix
+        T = totals_by_group[(gval,)]
+        X = np.column_stack([np.ones(len(sub)), sub.x1.to_numpy()])
+        np.testing.assert_allclose(X.T @ sub.w_cal.to_numpy(), T, rtol=1e-9)
+
+
+def test_calibrate_bounded_grouped_shared_totals_and_bounds(small_df):
+    from data_integration_est_spark.kernels.linalg import calibrate_bounded
+
+    df, pdf = small_df
+    dfx = df.withColumn("one", F.lit(1.0))
+    d = pdf.w.to_numpy()
+    # shared totals: scaled GLOBAL sums split per group is wrong — use a
+    # mild inflation each group can absorb within wide bounds
+    per_g = {
+        (g,): np.array([sub.w.sum() * 1.05,
+                        (sub.w * sub.x1).sum() * 1.05])
+        for g, sub in pdf.groupby("g")
+    }
+    res = calibrate_bounded(
+        dfx, ["one", "x1"], None, d_col="w", bounds=(0.5, 2.0),
+        group_cols=["g"], totals_by_group=per_g,
+    )
+    out = res.df.select("g", "w", "w_cal").toPandas()
+    g_ratio = out.w_cal / out.w
+    assert g_ratio.min() >= 0.5 - 1e-12 and g_ratio.max() <= 2.0 + 1e-12

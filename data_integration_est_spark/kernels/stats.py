@@ -376,3 +376,141 @@ def svychisq_pearson(
     x2 *= n
     dof = (len(rows) - 1) * (len(cols) - 1)
     return float(x2), int(dof), int(n)
+
+
+@dataclass
+class SvyChisqResult:
+    """Second-order Rao-Scott test of independence (``survey::svychisq``)."""
+
+    x2: float            # sample-scaled weighted Pearson X^2
+    df: int              # (R-1)(C-1)
+    deltas: tuple        # estimated generalized design effects (d of them)
+    delta_bar: float     # mean delta (first-order correction divisor)
+    a2: float            # squared CV of the deltas
+    x2_rs: float         # X^2 / (delta_bar * (1 + a2)) ~ chi2(df_rs)
+    df_rs: float         # df / (1 + a2) — Satterthwaite df
+    n: int
+    n_replicates: int
+
+
+def svychisq_rao_scott(
+    design: SurveyDesign,
+    row_col: str,
+    col_col: str,
+    id_col: str,
+    n_replicates: int = 100,
+) -> SvyChisqResult:
+    """FULL Rao-Scott (1984) second-order corrected chi-square for
+    independence — the design-effect correction ``survey::svychisq``
+    applies (reference inference surface, ``PC.R:216-237``-family).
+
+    The weighted Pearson statistic X^2 = n * sum_rc (p_rc - e_rc)^2/e_rc
+    is asymptotically sum_i delta_i Z_i^2 where the delta_i are the
+    nonzero eigenvalues of n * D^{-1/2} V_u D^{-1/2} (D = diag of the
+    independence-expected proportions, V_u = design covariance of the
+    residual contrasts u_rc = p_rc - p_r. p_.c).  V_u comes from the
+    engine's DETERMINISTIC Poisson bootstrap (``kernels.replicate``):
+    each row enters replicate b with a hash-derived Poisson(1)
+    multiplicity, so the whole test is engine-reproducible (for a 2x2
+    table the correction collapses to the scalar Wald form
+    u^2 / V(u), which the DuckDB gate oracle replays exactly).
+
+    Cost: ONE distributed pass — a (row, col) groupBy whose agg list
+    carries the B replicate-weighted cell sums next to the point sums
+    (B <= a few hundred keeps the row narrow); the eigenproblem is
+    O((RC)^3) on the driver over the tiny cell table.
+    """
+    from data_integration_est_spark.kernels.replicate import (
+        _POIS1_CDF, _POIS1_P, _QH_A1, _QH_A2, _QH_B1, _QH_B2, _QH_C2)
+
+    if n_replicates < 2:
+        raise ValueError("need at least 2 replicates")
+    df = design.df.na.drop(
+        subset=[row_col, col_col, design.weight_col, id_col]
+    )
+    w = F.col(design.weight_col).cast("double")
+    base = df.select(
+        F.col(row_col).alias("__r__"),
+        F.col(col_col).alias("__c__"),
+        w.alias("__w__"),
+        F.col(id_col).cast("long").alias("__id__"),
+    )
+    # CPU-bound replicate projection must not run at a small scan's
+    # parallelism (same guard as poisson_bootstrap_mean)
+    par = base.sparkSession.sparkContext.defaultParallelism
+    if base._jdf.queryExecution().toRdd().getNumPartitions() < par:
+        base = base.repartition(par)
+    B = n_replicates
+    h1 = [
+        f"pmod(__id__ * {_QH_A1} + {b * _QH_B1}, {_POIS1_P}) AS __h{b}__"
+        for b in range(B)
+    ]
+    s1 = base.selectExpr("__r__", "__c__", "__w__", *h1)
+    h2 = [
+        f"pmod(pmod(__h{b}__ * __h{b}__, {_POIS1_P}) * {_QH_A2} "
+        f"+ __h{b}__ * {_QH_B2} + {b * _QH_C2}, {_POIS1_P}) AS __g{b}__"
+        for b in range(B)
+    ]
+    s2 = s1.selectExpr("__r__", "__c__", "__w__", *h2)
+    ms = [
+        "("
+        + " + ".join(f"CAST(__g{b}__ >= {t} AS INT)" for t in _POIS1_CDF)
+        + f") AS __m{b}__"
+        for b in range(B)
+    ]
+    s3 = s2.selectExpr("__r__", "__c__", "__w__", *ms)
+    aggs = [F.expr("count(*)").alias("n"), F.expr("sum(__w__)").alias("sw")]
+    aggs += [
+        F.expr(f"sum(__m{b}__ * __w__)").alias(f"b_{b}") for b in range(B)
+    ]
+    cells = s3.groupBy("__r__", "__c__").agg(*aggs).collect()
+    if not cells:
+        raise ValueError("svychisq: empty table")
+
+    rlabels = sorted({c["__r__"] for c in cells})
+    clabels = sorted({c["__c__"] for c in cells})
+    R, C = len(rlabels), len(clabels)
+    if R < 2 or C < 2:
+        raise ValueError("svychisq: need at least a 2x2 table")
+    ri = {v: i for i, v in enumerate(rlabels)}
+    ci = {v: i for i, v in enumerate(clabels)}
+    sw = np.zeros((R, C))
+    boot = np.zeros((B, R, C))
+    n = 0
+    for cell in cells:
+        i, j = ri[cell["__r__"]], ci[cell["__c__"]]
+        sw[i, j] = float(cell["sw"] or 0.0)
+        n += int(cell["n"])
+        for b in range(B):
+            boot[b, i, j] = float(cell[f"b_{b}"] or 0.0)
+    W = sw.sum()
+    p = sw / W
+    e = np.outer(p.sum(1), p.sum(0))
+    x2 = float(n * ((p - e) ** 2 / e).sum())
+    d = (R - 1) * (C - 1)
+
+    us = []
+    for b in range(B):
+        Wb = boot[b].sum()
+        if Wb <= 0:
+            continue
+        pb = boot[b] / Wb
+        us.append((pb - np.outer(pb.sum(1), pb.sum(0))).ravel())
+    U = np.asarray(us)
+    if U.shape[0] < 2:
+        raise ValueError("svychisq: all bootstrap replicates degenerate")
+    Vu = np.cov(U, rowvar=False, ddof=1).reshape(R * C, R * C)
+    Dm = e.ravel()
+    M = n * (Vu / np.sqrt(np.outer(Dm, Dm)))
+    eig = np.clip(np.linalg.eigvalsh((M + M.T) / 2.0), 0.0, None)
+    deltas = np.sort(eig)[::-1][:d]
+    delta_bar = float(deltas.mean())
+    if delta_bar <= 0:
+        raise ValueError("svychisq: degenerate design-effect estimate")
+    a2 = float(((deltas - delta_bar) ** 2).sum() / (d * delta_bar**2))
+    return SvyChisqResult(
+        x2=x2, df=d, deltas=tuple(float(v) for v in deltas),
+        delta_bar=delta_bar, a2=a2,
+        x2_rs=float(x2 / (delta_bar * (1.0 + a2))),
+        df_rs=float(d / (1.0 + a2)), n=int(n), n_replicates=B,
+    )

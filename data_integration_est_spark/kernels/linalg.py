@@ -491,9 +491,15 @@ def calibrate_bounded(
             e = e + xc * float(b)
         return e
 
-    # state: None until first solve; afterwards a Column in {-1, 0, 1}
-    # rebuilt each iteration from the lambda history (clips are sticky)
+    # state: a {-1, 0, 1} clip-state Column, sticky across iterations.
+    # Each wave BINDS the new state into a named projection column
+    # (lazy withColumn on the working frame) instead of composing raw
+    # expressions: the sticky CASE references the previous state twice,
+    # so raw composition doubles the expression tree per wave — 2^waves
+    # codegen blowup (measured ~12 s at 6 waves; ~2 s bound).
+    work = df
     state = F.lit(0)
+    helper_cols: list[str] = []
     lam = np.zeros(k)
     n_clipped_prev = -1
     for it in range(max_iter):
@@ -509,7 +515,7 @@ def calibrate_bounded(
             aggs.append(F.sum(F.when(free, d * xs[i]).otherwise(0.0)).alias(f"h_{i}"))
             aggs.append(F.sum(F.when(~free, w_clip * xs[i]).otherwise(0.0)).alias(f"c_{i}"))
         aggs.append(F.sum(F.when(~free, F.lit(1)).otherwise(0)).alias("n_clipped"))
-        r = df.agg(*aggs).collect()[0]
+        r = work.agg(*aggs).collect()[0]
         n_clipped = int(r["n_clipped"] or 0)
         G = np.zeros((k, k))
         for i in range(k):
@@ -526,13 +532,17 @@ def calibrate_bounded(
             ) from e
         # new state from this lambda: previously-clipped stay clipped
         ge = g_expr(lam)
-        state = (
+        new_state = (
             F.when(state == 1, 1)
             .when(state == -1, -1)
             .when(ge > U, 1)
             .when(ge < L, -1)
             .otherwise(0)
         )
+        st_col = f"__cbst{it}__"
+        work = work.withColumn(st_col, new_state)
+        helper_cols.append(st_col)
+        state = F.col(st_col)
         if n_clipped == n_clipped_prev:
             break
         n_clipped_prev = n_clipped
@@ -547,11 +557,12 @@ def calibrate_bounded(
         .when(state == -1, L * d)
         .otherwise(d * g_expr(lam))
     )
-    out = df.withColumn(out_col, w)
+    out = work.withColumn(out_col, w)
     if state_col is not None:
         # -1 / 0 / 1 clip state (exactly the iteration's classification —
         # a FREE unit whose ratio lands numerically ON a bound is 0)
         out = out.withColumn(state_col, state)
+    out = out.drop(*helper_cols)
     return CalibrationResult(
         df=out, weight_col=out_col, x_cols=list(x_cols),
         lambdas=lam.reshape(1, k), keys=[()], group_cols=[],
@@ -659,13 +670,21 @@ def _calibrate_bounded_grouped(
         joined_lam_cols += lam_cols
         last_lam_cols = lam_cols
         ge = g_expr_cols(lam_cols)
-        state = (
+        # bind the sticky state into a named projection column — the CASE
+        # references the previous state twice, so raw expression
+        # composition doubles the tree per wave (2^waves codegen blowup;
+        # see the ungrouped path's comment)
+        new_state = (
             F.when(state == 1, 1)
             .when(state == -1, -1)
             .when(ge > U, 1)
             .when(ge < L, -1)
             .otherwise(0)
         )
+        st_col = f"__cbwst{it}__"
+        work = work.withColumn(st_col, new_state)
+        joined_lam_cols.append(st_col)
+        state = F.col(st_col)
         if n_clipped_prev is not None and np.array_equal(n_clipped, n_clipped_prev):
             break
         n_clipped_prev = n_clipped

@@ -163,6 +163,82 @@ def probe_r5_ops(spark, sf_dir: str):
                       "factor": round(p10 / p1, 2)}))
 
 
+def probe_stats(spark, sf_dir: str):
+    """r5/r6 statistical kernels at 1x and 10x events (r5 VERDICT #9):
+    svyquantile (+Woodruff CI), rake/IPF, Poisson bootstrap, and svyglm.
+    Every kernel is scan-shaped (fixed pass count, O(groups x k^2) driver
+    scalars), so wall time should track data sub-linearly at this size
+    (fixed job overhead amortizes) and the shuffle structure is
+    unchanged by construction — the factor printed is the wall ratio."""
+    from data_integration_est_spark.design import SurveyDesign
+    from data_integration_est_spark.estimators.glm import svyglm
+    from data_integration_est_spark.kernels.quantile import svyquantile
+    from data_integration_est_spark.kernels.rake import rake
+    from data_integration_est_spark.kernels.replicate import poisson_bootstrap_mean
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.count()
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+
+    def events(mult: int):
+        parts = [
+            ev.withColumn("event_id", F.col("event_id") + F.lit(i * (max_id + 1)))
+            for i in range(mult)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.withColumn(
+            "w", 1.0 + (F.col("event_id") % 10).cast("double")
+        )
+
+    def quant_at(mult: int):
+        des = SurveyDesign(df=events(mult), weight_col="w")
+        return len(
+            svyquantile(des, "value", qs=(0.25, 0.5, 0.9),
+                        group_cols=["event_type"], alpha=0.05).collect()
+        )
+
+    def rake_at(mult: int):
+        e = events(mult).withColumn(
+            "bucket", (F.col("user_id") % 5).cast("string")
+        ).na.drop(subset=["value"])
+        m_type = {
+            r["event_type"]: float(r["n"]) for r in
+            e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        m_bucket = {
+            r["bucket"]: float(r["n"]) for r in
+            e.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        out = rake(e, {"event_type": m_type, "bucket": m_bucket},
+                   d_col="w", max_iter=3, tol=None)
+        return out.agg(F.sum("w_rake")).count()
+
+    def boot_at(mult: int):
+        return poisson_bootstrap_mean(
+            events(mult), "value", "event_id", weight_col="w",
+            n_replicates=64,
+        ).count()
+
+    def glm_at(mult: int):
+        e = events(mult).na.drop(subset=["value"]).withColumn(
+            "x", (F.col("user_id") % 100).cast("double")
+        )
+        des = SurveyDesign(df=e, weight_col="w")
+        return svyglm(des, "value ~ x").count()
+
+    for label, fn in [
+        ("svyquantile_ci", quant_at), ("rake", rake_at),
+        ("bootstrap64", boot_at), ("svyglm", glm_at),
+    ]:
+        t1 = _timed(f"{label}_x1_{n}rows", lambda m=1, f=fn: f(m))
+        t10 = _timed(f"{label}_x10_{10 * n}rows", lambda m=10, f=fn: f(m))
+        print(json.dumps({
+            "probe": f"{label}_scale_factor_10x", "factor": round(t10 / t1, 2)
+        }))
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -176,6 +252,8 @@ def main() -> None:
         probe_docs(spark, sf_dir)
     if which in ("r5", "all"):
         probe_r5_ops(spark, sf_dir)
+    if which in ("stats", "all"):
+        probe_stats(spark, sf_dir)
 
 
 if __name__ == "__main__":

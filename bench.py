@@ -86,9 +86,14 @@ HEADLINE = [
     "heavy_tokens_by_lang",
     "svychisq_events",
     # round-6: end-to-end corpus dedup + bounded calibration join the
-    # headline so every oracle row is latency-tracked (r5 VERDICT #10)
+    # headline so every oracle row is latency-tracked (r5 VERDICT #10),
+    # plus the new r6 operator families
     "dedup_corpus_stats",
     "calibrate_bounded_summary",
+    "calibrate_bounded_by",
+    "svychisq_rs_events",
+    "svyquantile_ci_events",
+    "poststratify_events",
     # statistical estimators (GREG calibration / OLS / DR pipelines)
     "regdi_c0",
     "regdi_aux",

@@ -45,7 +45,7 @@ from data_integration_est_spark.ops.mixing import (
 from data_integration_est_spark.estimators.domains import pc_by, regdi_by
 from data_integration_est_spark.estimators.glm import svyglm
 from data_integration_est_spark.kernels.quantile import svyquantile, trim_weights
-from data_integration_est_spark.kernels.rake import rake
+from data_integration_est_spark.kernels.rake import poststratify, rake
 from data_integration_est_spark.kernels.replicate import jackknife_mean, poisson_bootstrap_mean
 from data_integration_est_spark.ops.packing import (
     bin_stats, chunk_documents, chunk_occupancy, pack_bins, pack_chunks,
@@ -92,6 +92,7 @@ __all__ = [
     "chunk_documents",
     "pack_bins",
     "bin_stats",
+    "poststratify",
     "rake",
     "svyquantile",
     "trim_weights",

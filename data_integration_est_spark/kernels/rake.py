@@ -96,3 +96,50 @@ def rake(
         if tol is not None and it > 0 and worst < tol:
             break
     return df.withColumn(out_col, _weight_expr(d_col, factors))
+
+
+def poststratify(
+    df: DataFrame,
+    strata_col: str,
+    pop_counts: dict,
+    d_col: str,
+    out_col: str = "w_ps",
+) -> DataFrame:
+    """Post-stratification — ``survey::postStratify`` parity: rescale the
+    design weights so each stratum's weight total equals its known
+    population count, ``w_i = d_i * N_g / sum_{j in g} d_j``.  The exact
+    one-step special case of :func:`rake` with a single margin (IPF on
+    one margin converges in one sweep).
+
+    ``pop_counts`` maps stratum level -> population count; every level
+    present in ``df`` must have a count (unknown levels raise — silent
+    zero-weighting loses rows).  ONE flat groupBy collects the O(levels)
+    stratum weight totals; the adjustment applies as a map-literal
+    column expression (no join), so the output is a single projection —
+    the same scale shape as ``rake``.
+
+    Reference anchor: the survey-package weighting surface the thesis
+    composes throughout (``RegDI2.R:188-193`` is the linear-calibration
+    sibling; post-stratification is its exact one-margin multiplicative
+    case)."""
+    if not pop_counts:
+        raise RakingError("poststratify: empty pop_counts")
+    got = df.groupBy(strata_col).agg(
+        F.sum(F.col(d_col).cast("double")).alias("__sw__")
+    ).collect()
+    factors: dict = {}
+    for r in got:
+        lvl = r[strata_col]
+        if lvl not in pop_counts:
+            raise RakingError(
+                f"poststratify: stratum {lvl!r} has no population count"
+            )
+        sw = float(r["__sw__"] or 0.0)
+        if sw <= 0.0:
+            raise RakingError(
+                f"poststratify: non-positive weight mass in stratum {lvl!r}"
+            )
+        factors[lvl] = float(pop_counts[lvl]) / sw
+    return df.withColumn(
+        out_col, _weight_expr(d_col, {strata_col: factors})
+    )

@@ -81,3 +81,36 @@ def test_rake_plan_is_single_projection(sample):
     out = rake(sample, MARGINS, d_col="d", max_iter=5, tol=None)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan
+
+
+def test_poststratify_hits_targets_and_matches_numpy(spark):
+    """r6: postStratify — each stratum's weight total must equal its
+    population count exactly; equals rake with one margin."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_integration_est_spark.kernels.rake import poststratify, rake
+
+    rows = [(i, ["a", "b", "c"][i % 3], 1.0 + (i % 4)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, g string, d double")
+    pop = {"a": 500.0, "b": 800.0, "c": 250.0}
+    out = poststratify(df, "g", pop, d_col="d")
+    got = {r["g"]: r["t"] for r in
+           out.groupBy("g").agg(F.sum("w_ps").alias("t")).collect()}
+    for g, target in pop.items():
+        assert got[g] == pytest.approx(target, rel=1e-12)
+    # one-margin rake converges to the same weights in one sweep
+    raked = rake(df, {"g": pop}, d_col="d", max_iter=1, tol=None)
+    a = sorted(r["w_ps"] for r in out.select("w_ps").collect())
+    b = sorted(r["w_rake"] for r in raked.select("w_rake").collect())
+    np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+def test_poststratify_validates(spark):
+    from data_integration_est_spark.kernels.rake import RakingError, poststratify
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "id long, g string, d double")
+    with pytest.raises(RakingError, match="empty"):
+        poststratify(df, "g", {}, d_col="d")
+    with pytest.raises(RakingError, match="no population count"):
+        poststratify(df, "g", {"zzz": 10.0}, d_col="d")

@@ -73,6 +73,7 @@ HEADLINE = [
     "chunk_documents",
     "embedding_gram",
     "unigram_quality",
+    "bigram_quality",
     "pack_bins_stats",
     # domain estimation (svyby-style grouped RegDI), raking, bootstrap
     "regdi_by_priority",

@@ -218,3 +218,63 @@ def unigram_logprob_scores(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    interpolated bigram LM — one model-quality notch above
+    :func:`unigram_logprob_scores` toward the KenLM-style perplexity
+    filter: P(w|v) = lam * c(v,w)/c(v) + (1-lam) * c(w)/T (Jelinek-
+    Mercer interpolation with the unigram as the backoff, so unseen
+    CONTEXT never zeroes a self-scored corpus).  Repetitive/boilerplate
+    text scores HIGH, incoherent token soup scores LOW — the useful
+    ranking signal is the band in between.  Returns
+    (id_col, n_bigrams, avg_logprob2); documents with < 2 tokens carry
+    no bigram and are absent.
+
+    Physical shape: bigrams explode from two array slices zipped (no
+    Python, no per-row UDF); three keyed count joins (bigram, context,
+    unigram — vocabulary-sized, so shuffle joins, NOT broadcast at
+    100 TB) + the 1-row total; one per-doc aggregation.  Keep ``lam`` a
+    dyadic float (0.75 default) so 1-lam is exact cross-engine."""
+    toks_arr = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks_arr.alias("__toks__")).filter(
+        F.size("__toks__") >= 2
+    )
+    zipped = F.arrays_zip(
+        F.expr("slice(__toks__, 1, size(__toks__) - 1)"),
+        F.expr("slice(__toks__, 2, size(__toks__) - 1)"),
+    )
+    pairs = base.select(
+        id_col, F.explode(zipped).alias("__bg__")
+    ).select(
+        id_col,
+        F.col("__bg__")["0"].alias("__v__"),
+        F.col("__bg__")["1"].alias("__w__"),
+    )
+    bg = pairs.groupBy("__v__", "__w__").agg(F.count(F.lit(1)).alias("__cb__"))
+    vc = pairs.groupBy("__v__").agg(F.count(F.lit(1)).alias("__cv__"))
+    wc = pairs.groupBy("__w__").agg(F.count(F.lit(1)).alias("__cw__"))
+    tot = wc.agg(F.sum("__cw__").cast("double").alias("__T__"))
+    lp = (
+        pairs.join(bg, ["__v__", "__w__"])
+        .join(vc, "__v__")
+        .join(wc, "__w__")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            F.log(
+                F.lit(lam) * F.col("__cb__") / F.col("__cv__")
+                + F.lit(1.0 - lam) * F.col("__cw__") / F.col("__T__")
+            ).alias("__lp__"),
+        )
+    )
+    return lp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("__lp__"), 6).alias("avg_logprob2"),
+    )

@@ -737,3 +737,45 @@ def test_dedup_corpus_lsh_misses_no_true_pair_on_gate_corpus(spark, sf_dir):
     missed = true_pairs - cand
     assert not missed, f"LSH missed true pairs on the gate corpus: {missed}"
     assert true_pairs, "gate corpus has no true near-dup pairs — oracle vacuous"
+
+
+def test_bigram_logprob_scores_matches_python(spark):
+    """r6: interpolated bigram LM vs a from-scratch python replay."""
+    import math
+    from collections import Counter
+
+    from data_integration_est_spark.ops.text import bigram_logprob_scores
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat"),
+        (3, "dog"),                      # < 2 tokens: absent from output
+        (4, "on the mat the cat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob_scores(df).collect()}
+
+    pairs_by_doc = {}
+    allp = []
+    for i, t in rows:
+        toks = t.split()
+        ps = list(zip(toks, toks[1:]))
+        if ps:
+            pairs_by_doc[i] = ps
+            allp.extend(ps)
+    cb = Counter(allp)
+    cv = Counter(v for v, _ in allp)
+    cw = Counter(w for _, w in allp)
+    T = sum(cw.values())
+    lam = 0.75
+    for i, ps in pairs_by_doc.items():
+        lps = [
+            math.log(lam * cb[p] / cv[p[0]] + (1 - lam) * cw[p[1]] / T)
+            for p in ps
+        ]
+        assert got[i]["n_bigrams"] == len(ps)
+        assert got[i]["avg_logprob2"] == pytest.approx(
+            round(sum(lps) / len(lps), 6), abs=2e-6)
+    assert 3 not in got
+    # repeated bigram ("the cat") scores above a one-off ("sat on")
+    assert got[2]["avg_logprob2"] > got[1]["avg_logprob2"]

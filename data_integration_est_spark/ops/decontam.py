@@ -137,3 +137,90 @@ def decontaminate(
         frac_threshold=frac_threshold,
     ).filter(F.col("contaminated") == 0).select(id_col)
     return docs.join(clean, id_col, "left_semi")
+
+
+def neardup_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """NEAR-duplicate decontamination (r6) — the fuzzy sibling of the
+    exact n-gram ``contamination_scan``: a training document is flagged
+    when its shingle-set Jaccard against ANY benchmark document reaches
+    ``threshold``, even if no long n-gram survives verbatim (light
+    paraphrase / whitespace mangling defeats exact-gram scans; this is
+    the Llama-3-style fuzzy decontamination layer).
+
+    Physical shape — no corpus x benchmark pair ever materializes:
+    MinHash signatures for both sides (same deterministic hash family,
+    so buckets are join-compatible), banded LSH bucket keys for both,
+    then a bucket EQUI-JOIN of the corpus buckets against the BROADCAST
+    benchmark buckets (benchmarks are MBs; the 100 TB side never
+    shuffles for the join), and an exact shingle-Jaccard verify of the
+    surviving candidates only.  Returns verified
+    (id_col, bench_id, jaccard) pairs at >= threshold; compose with an
+    anti-join (``decontaminate_neardup``) to drop flagged docs."""
+    from data_integration_est_spark.ops.dedup import (
+        band_buckets, minhash_signatures, word_shingles)
+
+    rows_per_band = max(1, num_hashes // bands)
+    sig_c = minhash_signatures(
+        corpus, text_col=text_col, num_hashes=num_hashes,
+        shingle_n=shingle_n, id_col=id_col,
+    )
+    sig_b = minhash_signatures(
+        benchmark, text_col=text_col, num_hashes=num_hashes,
+        shingle_n=shingle_n, id_col=bench_id_col,
+    )
+    bk_c = band_buckets(sig_c, id_col=id_col, bands=bands,
+                        rows_per_band=rows_per_band)
+    bk_b = band_buckets(sig_b, id_col=bench_id_col, bands=bands,
+                        rows_per_band=rows_per_band).withColumnRenamed(
+        bench_id_col, "__bench_id__"
+    )
+    cand = (
+        bk_c.join(F.broadcast(bk_b), ["band", "bucket"])
+        .select(id_col, "__bench_id__")
+        .distinct()
+    )
+    sh_c = spread(corpus.select(id_col, text_col)).select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh_c__")
+    )
+    sh_b = benchmark.select(
+        F.col(bench_id_col).alias("__bench_id__"),
+        word_shingles(F.col(text_col), shingle_n).alias("__sh_b__"),
+    )
+    inter = F.size(F.array_intersect("__sh_c__", "__sh_b__")).cast("double")
+    union = F.size(F.array_union("__sh_c__", "__sh_b__")).cast("double")
+    return (
+        cand.join(sh_c, id_col)
+        .join(F.broadcast(sh_b), "__bench_id__")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col(id_col), F.col("__bench_id__").alias("bench_id"), "jaccard")
+    )
+
+
+def decontaminate_neardup(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    threshold: float = 0.5,
+    **kwargs,
+) -> DataFrame:
+    """Drop every corpus doc with a verified near-dup benchmark match at
+    >= ``threshold`` (anti-join on the flagged id set — id-only
+    shuffle)."""
+    flagged = neardup_contamination(
+        corpus, benchmark, text_col=text_col, id_col=id_col,
+        bench_id_col=bench_id_col, threshold=threshold, **kwargs,
+    ).select(id_col).distinct()
+    return corpus.join(flagged, id_col, "left_anti")

@@ -96,6 +96,37 @@ def minhash_signatures(
     )
 
 
+def band_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(id, band, bucket) rows — one per band per doc; the LSH bucket key
+    is a deterministic function of the signature values only, so buckets
+    from SEPARATE calls (e.g. a training corpus and a benchmark corpus)
+    are join-compatible.  Shared by the within-corpus self-join
+    (``lsh_candidate_pairs``) and the cross-corpus decontamination join
+    (``ops.decontam.neardup_contamination``)."""
+    sig = F.col(sig_col)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(",", F.transform(
+                    F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                )),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    return df.select(F.col(id_col), band_hashes.alias("bh")).select(
+        F.col(id_col), F.posexplode("bh").alias("band", "bucket")
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -112,26 +143,12 @@ def lsh_candidate_pairs(
     The bucket table (docs x bands tiny rows) is persisted so the
     signature pipeline upstream of the self-join runs ONCE, not twice —
     at scale the signature computation dominates."""
-    sig = F.col(sig_col)
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(",", F.transform(
-                    F.slice(sig, b * rows_per_band + 1, rows_per_band),
-                    lambda x: x.cast("string"),
-                )),
-                F.lit(b),
-            )
-            for b in range(bands)
-        ]
-    )
     from pyspark import StorageLevel
 
-    buckets = (
-        df.select(F.col(id_col), band_hashes.alias("bh"))
-        .select(F.col(id_col), F.posexplode("bh").alias("band", "bucket"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    buckets = band_buckets(
+        df, id_col=id_col, sig_col=sig_col, bands=bands,
+        rows_per_band=rows_per_band,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (

@@ -779,3 +779,43 @@ def test_bigram_logprob_scores_matches_python(spark):
     assert 3 not in got
     # repeated bigram ("the cat") scores above a one-off ("sat on")
     assert got[2]["avg_logprob2"] > got[1]["avg_logprob2"]
+
+
+def test_neardup_decontam_catches_paraphrase_missed_by_exact(spark):
+    """r6: the fuzzy layer must flag a lightly-edited copy that shares
+    no verbatim 5-gram with the benchmark (exact scan misses it), and
+    must NOT flag unrelated text."""
+    from data_integration_est_spark.ops.decontam import (
+        contamination_scan, decontaminate_neardup, neardup_contamination)
+
+    words = [f"w{i:02d}" for i in range(1, 21)]
+    bench_text = " ".join(words)
+    para = list(words)
+    for pos in (5, 10, 15, 20):       # swap every 5th word: runs of 4
+        para[pos - 1] = f"X{pos}"     # -> no shared 5-gram anywhere,
+    para_text = " ".join(para)        # bigram-shingle Jaccard ~0.46
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, para_text),
+            (2, "completely different text about spark adaptive execution"),
+            (3, bench_text),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {r["doc_id"]: r["contaminated"]
+             for r in contamination_scan(corpus, bench, n=5).collect()}
+    assert exact[1] == 0          # exact 5-gram scan misses the paraphrase
+    # bands=32 x 1 row: candidate prob per band = s, miss prob (1-s)^32
+    # ~ 5e-8 at s=0.46 — deterministic for test purposes
+    kw = dict(threshold=0.3, bands=32, num_hashes=32, shingle_n=2)
+    flagged = {r["doc_id"]: r["jaccard"] for r in
+               neardup_contamination(corpus, bench, **kw).collect()}
+    assert 1 in flagged and flagged[1] == pytest.approx(12 / 26, abs=1e-6)
+    assert flagged[3] == 1.0
+    assert 2 not in flagged
+    kept = sorted(r["doc_id"] for r in
+                  decontaminate_neardup(corpus, bench, **kw).collect())
+    assert kept == [2]

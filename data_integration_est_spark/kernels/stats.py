@@ -391,6 +391,8 @@ class SvyChisqResult:
     df_rs: float         # df / (1 + a2) — Satterthwaite df
     n: int
     n_replicates: int
+    p_first: float = float("nan")   # P(chi2_df > X^2/delta_bar) — 1st-order
+    p_rs: float = float("nan")      # P(chi2_df_rs > x2_rs) — 2nd-order
 
 
 def svychisq_rao_scott(
@@ -508,9 +510,74 @@ def svychisq_rao_scott(
     if delta_bar <= 0:
         raise ValueError("svychisq: degenerate design-effect estimate")
     a2 = float(((deltas - delta_bar) ** 2).sum() / (d * delta_bar**2))
+    from data_integration_est_spark.kernels.special import chi2_sf
+
+    x2_rs = float(x2 / (delta_bar * (1.0 + a2)))
+    df_rs = float(d / (1.0 + a2))
     return SvyChisqResult(
         x2=x2, df=d, deltas=tuple(float(v) for v in deltas),
-        delta_bar=delta_bar, a2=a2,
-        x2_rs=float(x2 / (delta_bar * (1.0 + a2))),
-        df_rs=float(d / (1.0 + a2)), n=int(n), n_replicates=B,
+        delta_bar=delta_bar, a2=a2, x2_rs=x2_rs, df_rs=df_rs,
+        n=int(n), n_replicates=B,
+        p_first=chi2_sf(x2 / delta_bar, float(d)),
+        p_rs=chi2_sf(x2_rs, df_rs),
     )
+
+
+def svyciprop(
+    design: SurveyDesign,
+    indicator_col: str,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.05,
+    method: str = "logit",
+) -> DataFrame:
+    """Design-based proportion with confidence interval —
+    ``survey::svyciprop``.  The point estimate and linearization SE are
+    exactly ``svymean`` on the 0/1 indicator (one distributed pass);
+    the interval is built on the driver:
+
+    - ``method="logit"`` (survey's default): symmetric interval on the
+      logit scale, ci = expit(logit(p) +- z * se / (p(1-p))) — respects
+      (0, 1) and is asymmetric near the edges;
+    - ``method="mean"``: the Wald interval p +- z * se.
+
+    Degenerate groups (p in {0, 1}, where the linearized se is 0 and the
+    logit is infinite, or n < 2) report NULL bounds.  Returns a
+    DataFrame (group_cols..., p, se, ci_l, ci_u)."""
+    from statistics import NormalDist
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if method not in ("logit", "mean"):
+        raise ValueError(f"unknown method {method!r}")
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("alpha must be in (0, 1)")
+    group_cols = list(group_cols or [])
+    rows = svymean(design, indicator_col, group_cols=group_cols)
+    zc = NormalDist().inv_cdf(1.0 - alpha / 2.0)
+    out = []
+    for r in rows:
+        p, se = r.estimate, r.se
+        if not np.isfinite(se) or p <= 0.0 or p >= 1.0:
+            ci = (None, None)
+        elif method == "mean":
+            ci = (p - zc * se, p + zc * se)
+        else:
+            logit = np.log(p / (1.0 - p))
+            se_l = se / (p * (1.0 - p))
+            lo, hi = logit - zc * se_l, logit + zc * se_l
+            ci = (float(1.0 / (1.0 + np.exp(-lo))),
+                  float(1.0 / (1.0 + np.exp(-hi))))
+        out.append(tuple(r.key) + (float(p), float(se) if np.isfinite(se) else None,
+                                   ci[0], ci[1]))
+    key_fields = list(design.df.select(*group_cols).schema.fields)
+    schema = StructType(
+        key_fields
+        + [
+            StructField("p", DoubleType(), True),
+            StructField("se", DoubleType(), True),
+            StructField("ci_l", DoubleType(), True),
+            StructField("ci_u", DoubleType(), True),
+        ]
+    )
+    spark = design.df.sparkSession
+    return spark.createDataFrame(sorted(out, key=lambda t: tuple(map(str, t[:len(group_cols)]))), schema)

@@ -119,3 +119,43 @@ def test_rao_scott_validates(spark):
         svychisq_rao_scott(des, "r", "c", "id", n_replicates=1)
     with pytest.raises(ValueError, match="2x2"):
         svychisq_rao_scott(des, "r", "c", "id", n_replicates=8)
+
+
+def test_chi2_sf_matches_closed_forms():
+    import math
+
+    from data_integration_est_spark.kernels.special import chi2_sf
+
+    for x in (0.5, 1.0, 3.84, 7.5, 20.0):
+        # df=2: sf = exp(-x/2) exactly
+        assert chi2_sf(x, 2.0) == pytest.approx(math.exp(-x / 2), rel=1e-11)
+        # df=1: sf = erfc(sqrt(x/2))
+        assert chi2_sf(x, 1.0) == pytest.approx(
+            math.erfc(math.sqrt(x / 2.0)), rel=1e-10)
+        # df=4: sf = exp(-x/2) (1 + x/2)
+        assert chi2_sf(x, 4.0) == pytest.approx(
+            math.exp(-x / 2) * (1 + x / 2), rel=1e-11)
+    # non-integer df: continuity between the series and contfrac branches
+    for df in (1.7, 3.3):
+        s = df / 2.0
+        xb = 2.0 * (s + 1.0)
+        lo = chi2_sf(xb - 1e-9, df)
+        hi = chi2_sf(xb + 1e-9, df)
+        assert lo == pytest.approx(hi, rel=1e-8)
+    # monotone decreasing in x
+    vals = [chi2_sf(x, 2.5) for x in (0.1, 1.0, 5.0, 10.0, 30.0)]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_rao_scott_reports_p_values(table_df):
+    df, ids, ws, rs, cs = table_df
+    res = svychisq_rao_scott(
+        SurveyDesign(df=df, weight_col="w"), "r", "c", "id", n_replicates=24
+    )
+    from data_integration_est_spark.kernels.special import chi2_sf
+
+    assert res.p_rs == pytest.approx(chi2_sf(res.x2_rs, res.df_rs))
+    assert res.p_first == pytest.approx(chi2_sf(res.x2 / res.delta_bar, res.df))
+    assert 0.0 <= res.p_rs <= 1.0
+    # the table was built with real dependence: both tests should reject
+    assert res.p_rs < 0.01 and res.p_first < 0.01

@@ -74,6 +74,9 @@ HEADLINE = [
     "embedding_gram",
     "unigram_quality",
     "bigram_quality",
+    "clean_text_stats",
+    "neardup_decontam",
+    "svyciprop_events",
     "pack_bins_stats",
     # domain estimation (svyby-style grouped RegDI), raking, bootstrap
     "regdi_by_priority",

@@ -278,3 +278,47 @@ def bigram_logprob_scores(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("__lp__"), 6).alias("avg_logprob2"),
     )
+
+
+def clean_text_expr(text: Column) -> Column:
+    """Corpus text normalization as a PURE column-expression chain
+    (JVM-side regex, zero Python, zero shuffle) — the C4/RefinedWeb-style
+    cleanup pass:
+
+    1. drop zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) and soft hyphens,
+    2. drop C0/C1 control characters except tab/newline,
+    3. normalize unicode spaces (NBSP, en/em/thin/ideographic) to ASCII,
+    4. normalize curly quotes, en/em dashes, and the ellipsis to ASCII,
+    5. collapse runs of spaces/tabs and trim.
+
+    Newlines are PRESERVED (document structure feeds line-level dedup
+    downstream).  Full NFKC folding needs ICU, which neither engine
+    exposes as a builtin — this chain is the deterministic, SQL-portable
+    subset that covers the overwhelming bulk of web-corpus dirt."""
+    t = F.regexp_replace(text, "[\u200b\u200c\u200d\ufeff\u00ad]", "")
+    t = F.regexp_replace(
+        t, "[\u0000-\u0008\u000b\u000c\u000e-\u001f\u007f-\u009f]", ""
+    )
+    t = F.regexp_replace(
+        t,
+        "[\u00a0\u1680\u2000-\u200a\u202f\u205f\u3000]",
+        " ",
+    )
+    t = F.regexp_replace(t, "[\u2018\u2019\u201a]", "'")
+    t = F.regexp_replace(t, "[\u201c\u201d\u201e]", "\"")
+    t = F.regexp_replace(t, "[\u2013\u2014]", "-")
+    t = F.regexp_replace(t, "\u2026", "...")
+    t = F.regexp_replace(t, "[ \t]{2,}", " ")
+    return F.trim(t)
+
+
+def clean_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_clean"
+) -> DataFrame:
+    """Apply :func:`clean_text_expr`; adds ``out_col`` plus
+    ``n_chars_removed`` (original minus cleaned length — the per-doc
+    dirt measure quality dashboards track)."""
+    cleaned = clean_text_expr(F.col(text_col))
+    return df.withColumn(out_col, cleaned).withColumn(
+        "n_chars_removed", F.length(text_col) - F.length(out_col)
+    )

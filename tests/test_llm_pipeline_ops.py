@@ -819,3 +819,23 @@ def test_neardup_decontam_catches_paraphrase_missed_by_exact(spark):
     kept = sorted(r["doc_id"] for r in
                   decontaminate_neardup(corpus, bench, **kw).collect())
     assert kept == [2]
+
+
+def test_clean_text_normalizations(spark):
+    from data_integration_est_spark.ops.text import clean_text
+
+    dirty = (
+        "​zero‌width­ gone  "        # zw chars + soft hyphen
+        "“quoted” ‘single’ "     # curly quotes
+        "a—b – c … "                  # dashes + ellipsis
+        "nb sp　wide\x07bell\ttab\nline"    # spaces, control, keep \t\n
+    )
+    df = spark.createDataFrame([(1, dirty)], "doc_id long, text string")
+    r = clean_text(df).collect()[0]
+    out = r["text_clean"]
+    assert out == (
+        'zerowidth gone "quoted" \'single\' a-b - c ... nb sp wide'
+        "bell\ttab\nline"
+    )
+    assert r["n_chars_removed"] == len(dirty) - len(out)
+    assert "\n" in out and "\t" in out      # structure preserved

@@ -75,6 +75,7 @@ HEADLINE = [
     "unigram_quality",
     "bigram_quality",
     "clean_text_stats",
+    "bpe_learn_merges",
     "neardup_decontam",
     "svyciprop_events",
     "pack_bins_stats",

@@ -76,6 +76,7 @@ HEADLINE = [
     "bigram_quality",
     "clean_text_stats",
     "bpe_learn_merges",
+    "svyglm_by",
     "neardup_decontam",
     "svyciprop_events",
     "pack_bins_stats",

@@ -4,6 +4,7 @@ numpy sandwich-variance oracle, for both model types."""
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from data_integration_est_spark.design import SurveyDesign
 from data_integration_est_spark.estimators.glm import svyglm
@@ -79,3 +80,31 @@ def test_svyglm_bad_model_type(data):
     df, _ = data
     with pytest.raises(ValueError, match="model_type"):
         svyglm(SurveyDesign(df=df, weight_col="w"), "y ~ x", model_type="poisson")
+
+
+def test_svyglm_grouped_matches_per_group_runs(spark):
+    """r6: grouped svyglm (one stacked fit + one grouped score pass)
+    must equal independent per-group runs, incl. the degenerate-group
+    NULL convention."""
+    import numpy as np
+
+    rows = []
+    rng = np.random.default_rng(5)
+    for g in ("a", "b"):
+        for i in range(200):
+            x = rng.normal(2, 1)
+            yv = (1.0 if g == "a" else -2.0) + 0.5 * x + rng.normal(0, 0.3)
+            rows.append((g, float(x), float(yv), 1.0 + i % 4))
+    rows.append(("tiny", 1.0, 1.0, 1.0))   # 1 row < 2 design cols
+    df = spark.createDataFrame(rows, "g string, x double, y double, w double")
+    des = SurveyDesign(df=df, weight_col="w")
+    got = svyglm(des, "y ~ x", group_cols=["g"]).collect()
+    by = {(r["g"], r["term"]): (r["coef"], r["se"]) for r in got}
+    for g in ("a", "b"):
+        single = svyglm(
+            SurveyDesign(df=df.filter(F.col("g") == g), weight_col="w"),
+            "y ~ x",
+        ).collect()
+        for r in single:
+            assert by[(g, r["term"])] == (r["coef"], r["se"]), (g, r["term"])
+    assert by[("tiny", "x")] == (None, None)

@@ -77,6 +77,8 @@ HEADLINE = [
     "clean_text_stats",
     "bpe_learn_merges",
     "svyglm_by",
+    "trimmed_mean_events",
+    "pq_knn_recall",
     "neardup_decontam",
     "svyciprop_events",
     "pack_bins_stats",

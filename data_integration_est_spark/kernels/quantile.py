@@ -365,3 +365,64 @@ def trim_weights(
     scale = float(sums["tw"]) / float(sums["tc"])
     w = F.col(design.weight_col).cast("double")
     return df.withColumn(out_col, F.least(w, F.lit(cap)) * F.lit(scale))
+
+
+def trimmed_mean(
+    design: SurveyDesign,
+    y_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    winsorize: bool = False,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Robust design-weighted means — the outlier-control estimators
+    survey practice pairs with weight trimming:
+
+    - trimmed (default): drop rows with y outside the [lower, upper]
+      exact weighted quantiles, weighted mean of the rest;
+    - ``winsorize=True``: CLIP y into the quantile bracket instead of
+      dropping (mass is preserved; extreme values contribute at the
+      fence).
+
+    Exact per-group fences come from :func:`svyquantile` (histogram
+    bisection — no sort); the estimate is then ONE more aggregation with
+    the fences applied as a broadcast-joined CASE expression.  Returns
+    (group_cols..., q_lo, q_hi, mean, w_used, n_used)."""
+    if not (0.0 < lower < upper < 1.0):
+        raise ValueError("need 0 < lower < upper < 1")
+    group_cols = list(group_cols or [])
+    qdf = svyquantile(design, y_col, qs=(lower, upper), group_cols=group_cols)
+    fences = (
+        qdf.groupBy(*group_cols).agg(
+            F.min(F.when(F.col("q") == lower, F.col("quantile"))).alias("q_lo"),
+            F.min(F.when(F.col("q") == upper, F.col("quantile"))).alias("q_hi"),
+        )
+        if group_cols
+        else qdf.groupBy().agg(
+            F.min(F.when(F.col("q") == lower, F.col("quantile"))).alias("q_lo"),
+            F.min(F.when(F.col("q") == upper, F.col("quantile"))).alias("q_hi"),
+        )
+    )
+    df = design.df.na.drop(subset=[y_col, design.weight_col] + group_cols)
+    joined = (
+        df.join(F.broadcast(fences), on=group_cols)
+        if group_cols
+        else df.crossJoin(F.broadcast(fences))
+    )
+    w = F.col(design.weight_col).cast("double")
+    y = F.col(y_col).cast("double")
+    if winsorize:
+        y_eff = F.least(F.greatest(y, F.col("q_lo")), F.col("q_hi"))
+        keep = F.lit(True)
+    else:
+        y_eff = y
+        keep = (y >= F.col("q_lo")) & (y <= F.col("q_hi"))
+    aggs = [
+        F.min("q_lo").alias("q_lo"),
+        F.min("q_hi").alias("q_hi"),
+        (F.sum(F.when(keep, w * y_eff)) / F.sum(F.when(keep, w))).alias("mean"),
+        F.sum(F.when(keep, w)).alias("w_used"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_used"),
+    ]
+    out = joined.groupBy(*group_cols).agg(*aggs) if group_cols else joined.agg(*aggs)
+    return out

@@ -1,0 +1,225 @@
+"""Product quantization (PQ) for embedding search — Jegou et al. 2011.
+
+The compression half of a billion-scale ANN index (FAISS's ``IVFxx,PQyy``
+family): each d-dim vector splits into ``m`` contiguous subvectors; each
+subvector is quantized to its nearest centroid among a per-subspace
+codebook of ``k`` centroids, so the vector stores as ``m`` small codes
+(m bytes at k<=256) instead of 4d bytes — a 100 TB embedding corpus
+becomes sub-TB, and queries score against codes without touching the
+raw vectors (asymmetric distance computation, ADC).
+
+Spark-first shapes:
+
+- ``pq_train``: per-subspace k-means rides the existing distributed
+  Lloyd machinery (``ops.similarity.kmeans_centroids``'s aggregation
+  pattern) with an L2 assignment — one groupBy pass per (subspace,
+  iteration), only k x (d/m + 1) scalars to the driver each.
+- ``pq_encode``: pure column expressions — the m nearest-centroid
+  argmins compile into whole-stage codegen (folded literal centroid
+  matrices; no Python, no shuffle).
+- ``pq_score``/``pq_knn`` (ADC): each QUERY precomputes m lookup arrays
+  (its subvector's dot product with every centroid — m x k doubles as
+  column expressions); a corpus code row scores as the sum of m
+  ``element_at`` probes — never touching raw corpus vectors.  The scorer
+  is candidate-agnostic: feed it an IVF/LSH-restricted candidate join at
+  scale, or the full cross join for small query sets / recall checks.
+
+Codes are deterministic given (corpus, seed): k-means init is the
+engine's hash-based ``kmeans||``; ties in assignment break toward the
+lower centroid index on both train and encode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_integration_est_spark.util import spread
+
+
+def _l2_score_sql(vec_name: str, centroids: list[list[float]]) -> str:
+    """Array of per-centroid L2 ORDER scores: x.c - ||c||^2/2 (argmax of
+    this == argmin of squared L2; the row's own norm cancels).  Flat
+    codegen arithmetic — same rationale as similarity._centroid_sims_sql."""
+    C = np.asarray(centroids, dtype=float)
+    offs = 0.5 * (C * C).sum(axis=1)
+    dots = [
+        " + ".join(
+            f"{float(cv)!r}D * CAST(element_at(`{vec_name}`, {j + 1}) AS DOUBLE)"
+            for j, cv in enumerate(c)
+        )
+        + f" - {float(o)!r}D"
+        for c, o in zip(C.tolist(), offs.tolist())
+    ]
+    return "array(" + ", ".join(f"({d})" for d in dots) + ")"
+
+
+def _argmax_expr(arr_sql: str, k: int) -> Column:
+    """0-based argmax over a k-element SQL array (first max wins)."""
+    return F.expr(
+        f"aggregate(zip_with({arr_sql}, sequence(0, {k - 1}), "
+        "(s, i) -> struct(s AS s, i AS i)), "
+        "struct(CAST(-1E300 AS DOUBLE) AS s, -1 AS i), "
+        "(acc, x) -> IF(x.s > acc.s, x, acc)).i"
+    )
+
+
+def _subvec(vec_col: str, s: int, d_sub: int) -> Column:
+    return F.slice(F.col(vec_col), s * d_sub + 1, d_sub)
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 5,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train the m per-subspace codebooks (list of m k x d/m centroid
+    lists).  Dimension must divide evenly by ``m``."""
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_train: empty corpus")
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sub = spread(corpus.select(
+            F.col(id_col), _subvec(vec_col, s, d_sub).alias("__sv__")
+        ))
+        # hash-seeded init (distance-blind but deterministic), then L2
+        # Lloyd rounds: one groupBy pass each, k x (d_sub+1) scalars back
+        rows = (
+            sub.withColumn("__h__", F.xxhash64(F.col(id_col), F.lit(seed + s)))
+            .orderBy("__h__").limit(k).collect()
+        )
+        cents = [[float(v) for v in r["__sv__"]] for r in rows]
+        for _ in range(n_iter):
+            arr = _l2_score_sql("__sv__", cents)
+            agg_rows = (
+                sub.select(
+                    _argmax_expr(arr, len(cents)).alias("__c__"),
+                    F.col("__sv__"),
+                )
+                .groupBy("__c__")
+                .agg(
+                    F.count(F.lit(1)).alias("__n__"),
+                    *[
+                        F.sum(F.element_at("__sv__", j + 1).cast("double"))
+                        .alias(f"__s_{j}__")
+                        for j in range(d_sub)
+                    ],
+                )
+                .collect()
+            )
+            by_c = {r["__c__"]: r for r in agg_rows}
+            cents = [
+                [float(by_c[c][f"__s_{j}__"]) / by_c[c]["__n__"]
+                 for j in range(d_sub)]
+                if c in by_c and by_c[c]["__n__"] else cents[c]
+                for c in range(len(cents))
+            ]
+        books.append(cents)
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Add the m-element code array (0-based centroid indices) — pure
+    codegen'd column expressions, no shuffle."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    work = spread(df)
+    code_cols = []
+    for s in range(m):
+        sv = f"__pqsv{s}__"
+        work = work.withColumn(sv, _subvec(vec_col, s, d_sub))
+        code_cols.append(_argmax_expr(_l2_score_sql(sv, codebooks[s]),
+                                      len(codebooks[s])))
+    return work.withColumn(out_col, F.array(*code_cols)).drop(
+        *[f"__pqsv{s}__" for s in range(m)]
+    )
+
+
+def pq_score_expr(
+    query_vec_col: str,
+    code_col: str,
+    codebooks: list[list[list[float]]],
+    work: DataFrame,
+) -> tuple[DataFrame, Column]:
+    """ADC score: augment ``work`` (must carry the query vector column)
+    with per-subspace lookup arrays, return (df, score column) where
+    score approximates dot(query, corpus_vec) from codes alone."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    luts = []
+    for s in range(m):
+        sv = f"__pqq{s}__"
+        lut = f"__pqlut{s}__"
+        work = work.withColumn(sv, _subvec(query_vec_col, s, d_sub))
+        # dot-only array (no -||c||^2/2 offset): ADC approximates the dot
+        C = np.asarray(codebooks[s], dtype=float)
+        dots = [
+            " + ".join(
+                f"{float(cv)!r}D * CAST(element_at(`{sv}`, {j + 1}) AS DOUBLE)"
+                for j, cv in enumerate(c)
+            )
+            for c in C.tolist()
+        ]
+        work = work.withColumn(
+            lut, F.expr("array(" + ", ".join(f"({d})" for d in dots) + ")")
+        ).drop(sv)
+        luts.append(lut)
+    score: Column = F.lit(0.0)
+    for s, lut in enumerate(luts):
+        score = score + F.element_at(
+            F.col(lut), F.element_at(F.col(code_col), s + 1) + 1
+        )
+    return work, score
+
+
+def pq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k by ADC score.  With ``candidates`` ((query_id, neighbor_id)
+    pairs from IVF/LSH) only those pairs score — the scale path; without,
+    every query scores the whole encoded corpus (small query sets /
+    recall checks).  Returns (query_id, neighbor_id, adc_score, rank)."""
+    from pyspark.sql import Window
+
+    enc = pq_encode(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        codebooks, vec_col=vec_col,
+    ).select("neighbor_id", "pq_code")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
+    )
+    if candidates is not None:
+        pairs = candidates.join(q, "query_id").join(enc, "neighbor_id")
+    else:
+        pairs = q.crossJoin(enc)
+    work, score = pq_score_expr("__qv__", "pq_code", codebooks, pairs)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        work.withColumn("adc_score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_score", "rank")
+    )

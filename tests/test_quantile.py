@@ -200,3 +200,32 @@ def test_svyquantile_pass_count(data, monkeypatch):
     calls["collect"] = 0
     svyquantile(des, "y", qs=(0.5,), n_narrow=3, alpha=0.05)
     assert 7 <= calls["collect"] <= 10  # + moments + (<=3 hists + final)
+
+
+def test_trimmed_and_winsorized_mean_match_numpy(data):
+    from data_integration_est_spark.kernels.quantile import trimmed_mean
+
+    df, pdf = data
+    des = SurveyDesign(df=df, weight_col="w")
+    got_t = {r["g"]: r for r in
+             trimmed_mean(des, "y", 0.1, 0.9, group_cols=["g"]).collect()}
+    got_w = {r["g"]: r for r in
+             trimmed_mean(des, "y", 0.1, 0.9, winsorize=True,
+                          group_cols=["g"]).collect()}
+    for g in sorted(pdf.g.unique()):
+        sub = pdf[pdf.g == g]
+        yv, wv = sub.y.to_numpy(), sub.w.to_numpy()
+        lo = _np_wquantile(yv, wv, 0.1)
+        hi = _np_wquantile(yv, wv, 0.9)
+        m = (yv >= lo) & (yv <= hi)
+        want_t = float((wv[m] * yv[m]).sum() / wv[m].sum())
+        yc = np.clip(yv, lo, hi)
+        want_w = float((wv * yc).sum() / wv.sum())
+        assert got_t[g]["q_lo"] == lo and got_t[g]["q_hi"] == hi
+        assert got_t[g]["mean"] == pytest.approx(want_t, rel=1e-12)
+        assert got_t[g]["n_used"] == int(m.sum())
+        assert got_w[g]["mean"] == pytest.approx(want_w, rel=1e-12)
+        assert got_w[g]["n_used"] == len(sub)
+        # winsorized pulls toward the trimmed value vs the raw mean
+    with pytest.raises(ValueError, match="lower"):
+        trimmed_mean(des, "y", 0.9, 0.1)

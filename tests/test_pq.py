@@ -101,3 +101,23 @@ def test_pq_candidate_restricted_scoring(proto_corpus):
     out = pq_knn(df, queries, books, k=5, candidates=cand).collect()
     assert all(r["neighbor_id"] % 7 == 0 for r in out)
     assert {r["query_id"] for r in out} == {0, 1, 2}
+
+
+def test_pq_composes_with_ivf_candidates(spark, proto_corpus, protos):
+    """The scale path: IVF prunes candidates, PQ scores them in the
+    compressed domain — the FAISS IVFxx,PQyy composition."""
+    from data_integration_est_spark.ops.similarity import ivf_knn
+
+    df, rows = proto_corpus
+    books = [[[float(v) for v in c] for c in p] for p in protos]
+    queries = df.filter(F.col("vec_id") < 3)
+    cand = ivf_knn(df, queries, k=40, n_clusters=4, n_probe=3,
+                   n_iter=2, init_rounds=1).select("query_id", "neighbor_id")
+    out = pq_knn(df, queries, books, k=5, candidates=cand).collect()
+    assert {r["query_id"] for r in out} == {0, 1, 2}
+    assert all(1 <= r["rank"] <= 5 for r in out)
+    # exact codebooks: ADC scores equal exact dots on the candidates
+    vecs = {i: np.asarray(v) for i, v in rows}
+    for r in out:
+        exact = float(vecs[r["query_id"]] @ vecs[r["neighbor_id"]])
+        assert r["adc_score"] == pytest.approx(exact, rel=1e-6, abs=1e-6)

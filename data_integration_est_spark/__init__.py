@@ -34,7 +34,11 @@ from data_integration_est_spark.ops.asof import asof_join
 from data_integration_est_spark.ops.components import (
     connected_components, dedup_keep_representative,
 )
-from data_integration_est_spark.ops.decontam import contamination_scan, decontaminate
+from data_integration_est_spark.ops.bpe import bpe_segment, learn_bpe
+from data_integration_est_spark.ops.decontam import (
+    contamination_scan, decontaminate, decontaminate_neardup,
+    neardup_contamination,
+)
 from data_integration_est_spark.ops.dedup import dedup_corpus, line_dedup
 from data_integration_est_spark.ops.heavy_hitters import (
     heavy_hitters, heavy_hitters_by, misra_gries_candidates,
@@ -44,7 +48,14 @@ from data_integration_est_spark.ops.mixing import (
 )
 from data_integration_est_spark.estimators.domains import pc_by, regdi_by
 from data_integration_est_spark.estimators.glm import svyglm
-from data_integration_est_spark.kernels.quantile import svyquantile, trim_weights
+from data_integration_est_spark.kernels.quantile import (
+    svyquantile, trim_weights, trimmed_mean,
+)
+from data_integration_est_spark.kernels.stats import (
+    svychisq_rao_scott, svyciprop, svymean, svyratio, svytotal,
+)
+from data_integration_est_spark.ops.pq import pq_encode, pq_knn, pq_train
+from data_integration_est_spark.ops.text import clean_text
 from data_integration_est_spark.kernels.rake import poststratify, rake
 from data_integration_est_spark.kernels.replicate import jackknife_mean, poisson_bootstrap_mean
 from data_integration_est_spark.ops.packing import (
@@ -102,6 +113,20 @@ __all__ = [
     "pc_by",
     "svyglm",
     "pii_scan",
+    "learn_bpe",
+    "bpe_segment",
+    "neardup_contamination",
+    "decontaminate_neardup",
+    "clean_text",
+    "trimmed_mean",
+    "svymean",
+    "svytotal",
+    "svyratio",
+    "svyciprop",
+    "svychisq_rao_scott",
+    "pq_train",
+    "pq_encode",
+    "pq_knn",
     "repetition_stats",
     "get_spark",
 ]

@@ -99,6 +99,7 @@ HEADLINE = [
     "dedup_corpus_stats",
     "calibrate_bounded_summary",
     "calibrate_bounded_by",
+    "calibrate_raking_summary",
     "svychisq_rs_events",
     "svyquantile_ci_events",
     "poststratify_events",

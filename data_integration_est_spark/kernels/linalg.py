@@ -707,3 +707,162 @@ def _calibrate_bounded_grouped(
         df=out, weight_col=out_col, x_cols=list(x_cols),
         lambdas=lam, keys=keys, group_cols=group_cols,
     )
+
+
+def calibrate_raking(
+    df: DataFrame,
+    x_cols: list[str],
+    totals: dict | np.ndarray | list,
+    d_col: str,
+    out_col: str = "w_cal",
+    n_iter: int = 8,
+    tol: float | None = 1e-10,
+    group_cols: list[str] | None = None,
+    totals_by_group: dict[tuple, np.ndarray] | None = None,
+) -> CalibrationResult:
+    """Multiplicative (exponential-tilt) calibration —
+    ``survey::calibrate`` with ``calfun="raking"`` on arbitrary
+    (continuous or dummy) x-columns: find ``w_i = d_i * exp(x_i' lam)``
+    with ``sum_s w_i x_i = T``.  Unlike the linear GREG (which can go
+    negative) the raked weights are positive by construction; unlike
+    :func:`kernels.rake.rake` (categorical margins via factor sweeps)
+    this solves the GENERAL tilt by Newton iterations:
+
+        r(lam) = T - sum d e^{x'lam} x,   J(lam) = sum d e^{x'lam} x x'
+        lam <- lam + J^{-1} r
+
+    Each iteration is ONE aggregation pass with the current weight as a
+    column expression (k + k(k+1)/2 sums; grouped -> one groupBy pass +
+    a stacked solve, same vectorization as ``calibrate``).  Converges
+    quadratically for feasible totals; raises CalibrationError on a
+    singular Jacobian (totals infeasible / collinear x).  Set
+    ``tol=None`` to run exactly ``n_iter`` iterations — the mode the
+    SQL gate oracle replays (an unrolled fixed-depth Newton, idempotent
+    at convergence to well below the 6-dp gate rounding)."""
+    group_cols = list(group_cols or [])
+    k = len(x_cols)
+    if isinstance(totals, dict):
+        T_shared = np.array([float(totals[c]) for c in x_cols])
+    elif totals is not None:
+        T_shared = np.asarray(totals, dtype=float).ravel()
+        if T_shared.size != k:
+            raise CalibrationError(f"expected {k} totals, got {T_shared.size}")
+    elif totals_by_group is None:
+        raise ValueError("must provide `totals` or `totals_by_group`")
+    else:
+        T_shared = None
+
+    d = F.col(d_col).cast("double")
+    xs = [F.col(c).cast("double") for c in x_cols]
+    spark = df.sparkSession
+
+    def tilt_expr(lam_row) -> Column:
+        e: Column = F.lit(0.0)
+        for b, xc in zip(lam_row, xs):
+            e = e + xc * float(b)
+        return d * F.exp(e)
+
+    def tilt_expr_cols(lam_cols: list[str]) -> Column:
+        e: Column = F.lit(0.0)
+        for lc, xc in zip(lam_cols, xs):
+            e = e + xc * F.col(lc)
+        return d * F.exp(e)
+
+    keys: list[tuple] | None = None
+    T = None
+    lam = None
+    work = df
+    joined_cols: list[str] = []
+    if group_cols:
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        key_schema = df.select(*group_cols).schema
+
+    for it in range(n_iter):
+        if group_cols and lam is not None:
+            w_expr = tilt_expr_cols(joined_cols[-k:])
+        elif lam is not None:
+            w_expr = tilt_expr(lam[0])
+        else:
+            w_expr = d
+        aggs = []
+        for i in range(k):
+            for j in range(i, k):
+                aggs.append(F.sum(w_expr * xs[i] * xs[j]).alias(f"j_{i}_{j}"))
+            aggs.append(F.sum(w_expr * xs[i]).alias(f"r_{i}"))
+        if group_cols:
+            rows = work.groupBy(*group_cols).agg(*aggs).collect()
+            by_key = {tuple(r[c] for c in group_cols): r for r in rows}
+            if keys is None:
+                keys = sorted(by_key)
+                ng = len(keys)
+                T = np.zeros((ng, k))
+                for gi, key in enumerate(keys):
+                    T[gi] = (
+                        np.asarray(totals_by_group[key], dtype=float).ravel()
+                        if totals_by_group is not None else T_shared
+                    )
+                lam = np.zeros((ng, k))
+            ng = len(keys)
+            J = np.zeros((ng, k, k))
+            r = np.zeros((ng, k))
+            for gi, key in enumerate(keys):
+                row = by_key[key]
+                for i in range(k):
+                    for j in range(i, k):
+                        J[gi, i, j] = J[gi, j, i] = float(row[f"j_{i}_{j}"] or 0.0)
+                    r[gi, i] = T[gi, i] - float(row[f"r_{i}"] or 0.0)
+            step = _solve_stacked(J, r[..., None], "calibrate_raking").squeeze(-1)
+            step = step.reshape(ng, k)
+            lam = lam + step
+            # bind this iteration's lambdas as broadcast columns
+            lam_cols = [f"__crk{it}_{j}__" for j in range(k)]
+            lam_rows = [
+                tuple(key) + tuple(float(v) for v in lam[gi])
+                for gi, key in enumerate(keys)
+            ]
+            schema = StructType(
+                list(key_schema.fields)
+                + [StructField(cn, DoubleType(), False) for cn in lam_cols]
+            )
+            work = work.join(
+                F.broadcast(spark.createDataFrame(lam_rows, schema)),
+                on=group_cols, how="left",
+            )
+            joined_cols += lam_cols
+        else:
+            row = work.agg(*aggs).collect()[0]
+            if lam is None:
+                keys = [()]
+                T = T_shared.reshape(1, k)
+                lam = np.zeros((1, k))
+            J = np.zeros((1, k, k))
+            r = np.zeros((1, k))
+            for i in range(k):
+                for j in range(i, k):
+                    J[0, i, j] = J[0, j, i] = float(row[f"j_{i}_{j}"] or 0.0)
+                r[0, i] = T[0, i] - float(row[f"r_{i}"] or 0.0)
+            step = _solve_stacked(J, r[..., None], "calibrate_raking").squeeze(-1)
+            step = step.reshape(1, k)
+            lam = lam + step
+        if tol is not None and float(np.max(np.abs(step))) < tol:
+            break
+    else:
+        if tol is not None:
+            import warnings
+
+            warnings.warn(
+                f"calibrate_raking: Newton did not reach tol in {n_iter} "
+                "iterations; inspect the result (totals near-infeasible?)",
+                RuntimeWarning, stacklevel=2,
+            )
+
+    if group_cols:
+        out = work.withColumn(out_col, tilt_expr_cols(joined_cols[-k:]))
+        out = out.drop(*joined_cols)
+    else:
+        out = df.withColumn(out_col, tilt_expr(lam[0]))
+    return CalibrationResult(
+        df=out, weight_col=out_col, x_cols=list(x_cols),
+        lambdas=lam, keys=keys, group_cols=group_cols,
+    )

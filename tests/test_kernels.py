@@ -448,3 +448,75 @@ def test_calibrate_bounded_grouped_shared_totals_and_bounds(small_df):
     out = res.df.select("g", "w", "w_cal").toPandas()
     g_ratio = out.w_cal / out.w
     assert g_ratio.min() >= 0.5 - 1e-12 and g_ratio.max() <= 2.0 + 1e-12
+
+
+def test_calibrate_raking_hits_totals_positive_weights(small_df):
+    """r6: calfun='raking' — exponential tilt hits the totals exactly
+    with strictly positive weights, matching a numpy Newton replay."""
+    from data_integration_est_spark.kernels.linalg import calibrate_raking
+
+    df, pdf = small_df
+    dfx = df.withColumn("one", F.lit(1.0))
+    d = pdf.w.to_numpy()
+    X = np.column_stack([np.ones(len(pdf)), pdf.x1.to_numpy()])
+    T = np.array([(d * X[:, 0]).sum() * 1.2, (d * X[:, 1]).sum() * 1.35])
+
+    res = calibrate_raking(dfx, ["one", "x1"], T, d_col="w")
+    out = res.df.select("one", "x1", "w", "w_cal").toPandas()
+    Xo = np.column_stack([out.one.to_numpy(), out.x1.to_numpy()])
+    np.testing.assert_allclose(Xo.T @ out.w_cal.to_numpy(), T, rtol=1e-9)
+    assert (out.w_cal > 0).all()
+
+    # numpy Newton replay
+    lam = np.zeros(2)
+    for _ in range(8):
+        w = d * np.exp(X @ lam)
+        r = T - X.T @ w
+        J = (X * w[:, None]).T @ X
+        step = np.linalg.solve(J, r)
+        lam = lam + step
+        if np.max(np.abs(step)) < 1e-10:
+            break
+    w_np = d * np.exp(X @ lam)
+    np.testing.assert_allclose(
+        np.sort(out.w_cal.to_numpy()), np.sort(w_np), rtol=1e-9)
+    np.testing.assert_allclose(res.lambda_for(()), lam, rtol=1e-9)
+
+
+def test_calibrate_raking_grouped_matches_per_group(small_df):
+    from data_integration_est_spark.kernels.linalg import calibrate_raking
+
+    df, pdf = small_df
+    dfx = df.withColumn("one", F.lit(1.0))
+    per_g = {}
+    for gval, sub in pdf.groupby("g"):
+        d = sub.w.to_numpy()
+        x = sub.x1.to_numpy()
+        per_g[(gval,)] = np.array([d.sum() * 1.15, (d * x).sum() * 1.25])
+    res = calibrate_raking(
+        dfx, ["one", "x1"], None, d_col="w", group_cols=["g"],
+        totals_by_group=per_g,
+    )
+    got = res.df.select("g", "x1", "w", "w_cal").toPandas()
+    for gval in sorted(pdf.g.unique()):
+        single = calibrate_raking(
+            dfx.filter(F.col("g") == gval), ["one", "x1"],
+            per_g[(gval,)], d_col="w",
+        )
+        want = single.df.select("w_cal").toPandas().w_cal.to_numpy()
+        sub = got[got.g == gval].w_cal.to_numpy()
+        np.testing.assert_allclose(np.sort(sub), np.sort(want), rtol=1e-9)
+        # calibration equations per group
+        X = np.column_stack([np.ones(len(sub)),
+                             got[got.g == gval].x1.to_numpy()])
+        np.testing.assert_allclose(X.T @ sub, per_g[(gval,)], rtol=1e-9)
+
+
+def test_calibrate_raking_validates(small_df):
+    from data_integration_est_spark.kernels.linalg import calibrate_raking
+
+    df, _ = small_df
+    with pytest.raises(CalibrationError, match="expected 2 totals"):
+        calibrate_raking(df, ["x1", "x2"], [1.0], d_col="w")
+    with pytest.raises(ValueError, match="totals"):
+        calibrate_raking(df, ["x1"], None, d_col="w")

@@ -77,6 +77,7 @@ HEADLINE = [
     "clean_text_stats",
     "bpe_learn_merges",
     "svyglm_by",
+    "svyglm_poisson",
     "trimmed_mean_events",
     "pq_knn_recall",
     "neardup_decontam",

@@ -31,7 +31,7 @@ from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
 from data_integration_est_spark.design import SurveyDesign
 from data_integration_est_spark.formula import Formula
-from data_integration_est_spark.kernels.linalg import fit_logistic, fit_ols
+from data_integration_est_spark.kernels.linalg import fit_logistic, fit_ols, fit_poisson
 
 
 def _sandwich(A: np.ndarray, M: np.ndarray, n: float) -> np.ndarray:
@@ -49,7 +49,8 @@ def svyglm(
 ) -> DataFrame:
     """Design-weighted GLM with sandwich SEs.  Returns one row per term
     (per group with ``group_cols``): (group_cols..., term, coef, se).
-    ``model_type``: 'normal' (identity link) or 'logistic'.  Groups with
+    ``model_type``: 'normal' (identity), 'logistic', or 'poisson'
+    (log link).  Groups with
     fewer rows than design columns report NULL coef/se (the grouped
     solvers' degenerate-key convention)."""
     f = Formula.parse(formula) if isinstance(formula, str) else formula
@@ -69,8 +70,13 @@ def svyglm(
         fit = fit_logistic(df, y_col=f.response, x_cols=xs,
                            weight_col=design.weight_col, intercept=f.intercept,
                            group_cols=group_cols)
+    elif model_type == "poisson":
+        fit = fit_poisson(df, y_col=f.response, x_cols=xs,
+                          weight_col=design.weight_col, intercept=f.intercept,
+                          group_cols=group_cols)
     else:
-        raise ValueError("model_type must be 'normal' or 'logistic'")
+        raise ValueError(
+            "model_type must be 'normal', 'logistic', or 'poisson'")
     terms = (["(Intercept)"] if f.intercept else []) + xs
     k = len(terms)
     xcols = ([F.lit(1.0)] if f.intercept else []) + [
@@ -87,13 +93,21 @@ def svyglm(
         for b, xc in zip(beta0, xcols):
             term = xc * float(b)
             eta = term if eta is None else eta + term
-        pred = (
-            F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
-            if model_type == "logistic" else eta
-        )
+        if model_type == "logistic":
+            pred = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        elif model_type == "poisson":
+            pred = F.exp(eta)
+        else:
+            pred = eta
         work = df
     resid = y - pred
-    a_w = w if model_type == "normal" else w * pred * (1.0 - pred)
+    # A = sum w * V(mu) x x': V = 1 (identity), p(1-p) (binomial), mu (Poisson)
+    if model_type == "normal":
+        a_w = w
+    elif model_type == "logistic":
+        a_w = w * pred * (1.0 - pred)
+    else:
+        a_w = w * pred
 
     aggs = [F.count(F.lit(1)).alias("n")]
     for i in range(k):

@@ -3,10 +3,14 @@ from data_integration_est_spark.kernels.linalg import (
     CalibrationError,
     calibrate,
     calibrate_bounded,
+    calibrate_raking,
     fit_logistic,
     fit_ols,
 )
+from data_integration_est_spark.kernels.special import chi2_sf, gammainc_q
 from data_integration_est_spark.kernels.stats import (
+    svychisq_rao_scott,
+    svyciprop,
     svymean,
     svyratio,
     svytable,
@@ -20,6 +24,7 @@ __all__ = [
     "GramResult",
     "calibrate",
     "calibrate_bounded",
+    "calibrate_raking",
     "fit_ols",
     "fit_logistic",
     "CalibrationError",
@@ -27,6 +32,10 @@ __all__ = [
     "svyratio",
     "svytable",
     "svychisq_pearson",
+    "svychisq_rao_scott",
+    "svyciprop",
+    "chi2_sf",
+    "gammainc_q",
     "svytotal",
     "weighted_mean",
 ]

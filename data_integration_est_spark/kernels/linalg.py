@@ -221,6 +221,8 @@ class FitResult:
             eta = dot_expr(self.x_cols, b)
         if self.kind == "logistic":
             return F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        if self.kind == "poisson":
+            return F.exp(eta)
         return eta
 
     def predict_expr_grouped(self, df: DataFrame) -> tuple[DataFrame, Column]:
@@ -243,7 +245,12 @@ class FitResult:
         off = 1 if self.intercept else 0
         for j, c in enumerate(xs):
             eta = eta + F.col(bcols[j + off]) * F.col(c).cast("double")
-        pred = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)) if self.kind == "logistic" else eta
+        if self.kind == "logistic":
+            pred = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        elif self.kind == "poisson":
+            pred = F.exp(eta)
+        else:
+            pred = eta
         return joined, pred
 
 
@@ -320,6 +327,40 @@ def fit_logistic(
     literals / a tiny joined table); the (k+1)-dim Newton step solves on the
     driver.  Converges in <= ~8 iterations for every reference-shaped problem.
     """
+    return _fit_irls(df, y_col, x_cols, weight_col, intercept, group_cols,
+                     max_iter, tol, family="logistic")
+
+
+def fit_poisson(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    weight_col: str | None = None,
+    intercept: bool = True,
+    group_cols: list[str] | None = None,
+    max_iter: int = 25,
+    tol: float = 1e-8,
+) -> FitResult:
+    """Poisson (log-link) regression via IRLS — R ``glm(family=poisson)``
+    parity, the count-outcome member of the same Newton family: per
+    iteration mu = exp(eta), working weight ``w * mu``, score
+    ``w (y - mu)``; ONE distributed Gram pass each, grouped fits stacked
+    exactly like the logistic path."""
+    return _fit_irls(df, y_col, x_cols, weight_col, intercept, group_cols,
+                     max_iter, tol, family="poisson")
+
+
+def _fit_irls(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    weight_col: str | None,
+    intercept: bool,
+    group_cols: list[str] | None,
+    max_iter: int,
+    tol: float,
+    family: str,
+) -> FitResult:
     group_cols = list(group_cols or [])
     work = df
     ones = "__ones__"
@@ -337,7 +378,7 @@ def fit_logistic(
     bad = np.asarray(g0.count) < k
     if n_min < k and not group_cols:
         raise CalibrationError(
-            f"fit_logistic: insufficient rows (min group n={n_min}) for "
+            f"fit_{family}: insufficient rows (min group n={n_min}) for "
             f"{k} design columns"
         )
     beta = np.zeros((ng, k))
@@ -348,7 +389,7 @@ def fit_logistic(
     for _ in range(max_iter):
         if group_cols:
             bdf_fit = FitResult(x_cols=list(x_cols), intercept=intercept, coef=beta,
-                                keys=keys, group_cols=group_cols, kind="logistic")
+                                keys=keys, group_cols=group_cols, kind=family)
             joined, p = bdf_fit.predict_expr_grouped(work)
             iter_df = joined.withColumn("__p__", p)
         else:
@@ -356,10 +397,18 @@ def fit_logistic(
                 eta = dot_expr(list(x_cols), beta[0, 1:], intercept=float(beta[0, 0]))
             else:
                 eta = dot_expr(list(x_cols), beta[0])
-            iter_df = work.withColumn("__p__", F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)))
+            mu = (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+                if family == "logistic" else F.exp(eta)
+            )
+            iter_df = work.withColumn("__p__", mu)
 
         pcol = F.col("__p__")
-        irls_w = w_base * pcol * (F.lit(1.0) - pcol)
+        # IRLS working weight = w * V(mu): p(1-p) for binomial, mu for Poisson
+        irls_w = (
+            w_base * pcol * (F.lit(1.0) - pcol)
+            if family == "logistic" else w_base * pcol
+        )
         score_w = w_base * (y - pcol)
         aggs: list[Column] = []
         for i in range(k):
@@ -386,7 +435,7 @@ def fit_logistic(
             # zero score keeps the stacked solve non-singular, step stays 0
             H[bad] = np.eye(k)
             s[bad] = 0.0
-        step = _solve_stacked(H, s[..., None], "fit_logistic").squeeze(-1).reshape(ng, k)
+        step = _solve_stacked(H, s[..., None], f"fit_{family}").squeeze(-1).reshape(ng, k)
         beta = beta + step
         if float(np.max(np.abs(step))) < tol:
             converged = True
@@ -403,11 +452,11 @@ def fit_logistic(
             " — coefficient magnitudes are diverging "
             f"(max|coef|={max_coef:.1f}); likely (quasi-)complete separation, "
             "the MLE does not exist for this data"
-            if max_coef > 15.0
+            if max_coef > 15.0 and family == "logistic"
             else ""
         )
         warnings.warn(
-            f"fit_logistic: IRLS did not converge in {max_iter} iterations "
+            f"fit_{family}: IRLS did not converge in {max_iter} iterations "
             f"(R glm warns here too); inspect FitResult.converged{hint}",
             RuntimeWarning,
             stacklevel=2,
@@ -416,7 +465,7 @@ def fit_logistic(
         beta[bad] = float("nan")
     return FitResult(
         x_cols=list(x_cols), intercept=intercept, coef=beta,
-        keys=keys, group_cols=group_cols, kind="logistic",
+        keys=keys, group_cols=group_cols, kind=family,
         converged=converged, n_obs=n_min,
         degenerate_keys=tuple(key for i, key in enumerate(keys) if bad[i]),
     )

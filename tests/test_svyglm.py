@@ -79,7 +79,7 @@ def test_svyglm_logistic_matches_numpy(data):
 def test_svyglm_bad_model_type(data):
     df, _ = data
     with pytest.raises(ValueError, match="model_type"):
-        svyglm(SurveyDesign(df=df, weight_col="w"), "y ~ x", model_type="poisson")
+        svyglm(SurveyDesign(df=df, weight_col="w"), "y ~ x", model_type="probit")
 
 
 def test_svyglm_grouped_matches_per_group_runs(spark):
@@ -108,3 +108,49 @@ def test_svyglm_grouped_matches_per_group_runs(spark):
         for r in single:
             assert by[(g, r["term"])] == (r["coef"], r["se"]), (g, r["term"])
     assert by[("tiny", "x")] == (None, None)
+
+
+def test_svyglm_poisson_matches_numpy_irls(spark):
+    """r6: family=poisson — coefficients equal an independent numpy IRLS
+    (log link), score equations vanish, sandwich SE matches the numpy
+    A^-1 M A^-1 assembly."""
+    rng = np.random.default_rng(21)
+    n = 3000
+    x = rng.normal(0, 0.5, n)
+    mu = np.exp(0.4 + 0.8 * x)
+    y = rng.poisson(mu).astype(float)
+    w = 1.0 + (np.arange(n) % 3).astype(float)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, w)],
+        "x double, y double, w double",
+    )
+    des = SurveyDesign(df=df, weight_col="w")
+    got = {r["term"]: (r["coef"], r["se"])
+           for r in svyglm(des, "y ~ x", model_type="poisson").collect()}
+
+    X = np.column_stack([np.ones(n), x])
+    beta = np.zeros(2)
+    for _ in range(50):
+        m = np.exp(X @ beta)
+        H = (X * (w * m)[:, None]).T @ X
+        s = X.T @ (w * (y - m))
+        step = np.linalg.solve(H, s)
+        beta = beta + step
+        if np.max(np.abs(step)) < 1e-12:
+            break
+    m = np.exp(X @ beta)
+    assert np.max(np.abs(X.T @ (w * (y - m)))) < 1e-6   # score == 0
+    A = (X * (w * m)[:, None]).T @ X
+    M = (X * ((w * (y - m)) ** 2)[:, None]).T @ X
+    V = n / (n - 1.0) * np.linalg.solve(A, np.linalg.solve(A, M).T).T
+    se = np.sqrt(np.diag(V))
+    assert got["(Intercept)"][0] == pytest.approx(round(beta[0], 6), abs=2e-6)
+    assert got["x"][0] == pytest.approx(round(beta[1], 6), abs=2e-6)
+    assert got["(Intercept)"][1] == pytest.approx(se[0], rel=1e-4)
+    assert got["x"][1] == pytest.approx(se[1], rel=1e-4)
+
+
+def test_svyglm_rejects_unknown_family(spark):
+    df = spark.createDataFrame([(1.0, 1.0, 1.0)], "x double, y double, w double")
+    with pytest.raises(ValueError, match="poisson"):
+        svyglm(SurveyDesign(df=df, weight_col="w"), "y ~ x", model_type="gamma")

@@ -75,6 +75,7 @@ HEADLINE = [
     "unigram_quality",
     "bigram_quality",
     "clean_text_stats",
+    "doc_ingest_summary",
     "bpe_learn_merges",
     "svyglm_by",
     "svyglm_poisson",

@@ -164,3 +164,54 @@ def test_streaming_dedup_suppresses_replay(spark, events_dir, tmp_path):
         ).fetchall()
     )
     assert got == indep
+
+
+# ------------------------------------------------- streaming corpus ingest
+def test_doc_ingest_stream_matches_batch(spark, tmp_path):
+    """r6: the streaming curation chain (clean -> redact -> score ->
+    filter) must produce exactly the batch result — map-only, append
+    mode, zero state."""
+    from data_integration_est_spark.streaming import docs as sd
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # salt in PII + dirty unicode so every chain stage has work to do
+    dirty = src.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" contact a.b@test.org now​")),
+        ).otherwise(F.col("text")),
+    )
+    path = str(tmp_path / "docstream")
+    dirty.write.parquet(path)
+
+    batch = sd.curate_docs(spark.read.parquet(path))
+    stream = se.run_to_memory(
+        sd.curate_docs(sd.read_doc_stream(spark, path, max_files_per_trigger=1)),
+        "doc_ingest_t", output_mode="append",
+    )
+    b = sorted(map(tuple, batch.select("doc_id", "redacted", "quality").collect()))
+    s = sorted(map(tuple, stream.select("doc_id", "redacted", "quality").collect()))
+    assert b == s and len(b) > 0
+    # PII actually redacted and the dirty unicode actually cleaned
+    flagged = batch.filter(F.col("doc_id") % 5 == 0)
+    assert flagged.count() == 0 or all(
+        "[EMAIL]" in r["redacted"] for r in flagged.collect()
+    )
+    assert batch.filter(F.col("redacted").contains("​")).count() == 0
+
+
+def test_doc_ingest_summary_stream_matches_batch(spark, tmp_path):
+    from data_integration_est_spark.streaming import docs as sd
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "docstream2")
+    src.write.parquet(path)
+    batch = sd.ingest_summary(spark.read.parquet(path))
+    stream = se.run_to_memory(
+        sd.ingest_summary(sd.read_doc_stream(spark, path)),
+        "doc_summary_t", output_mode="complete",
+    )
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, stream.collect()))
+    row = batch.agg(F.sum("n_in"), F.sum("n_kept")).collect()[0]
+    assert row[0] == src.count() and 0 < row[1] <= row[0]

@@ -55,7 +55,7 @@ from data_integration_est_spark.kernels.stats import (
     svychisq_rao_scott, svyciprop, svymean, svyratio, svytotal,
 )
 from data_integration_est_spark.ops.pq import pq_encode, pq_knn, pq_train
-from data_integration_est_spark.ops.text import clean_text
+from data_integration_est_spark.ops.text import bigram_logprob_scores, clean_text, unigram_logprob_scores
 from data_integration_est_spark.kernels.rake import poststratify, rake
 from data_integration_est_spark.kernels.replicate import jackknife_mean, poisson_bootstrap_mean
 from data_integration_est_spark.ops.packing import (
@@ -64,7 +64,9 @@ from data_integration_est_spark.ops.packing import (
 from data_integration_est_spark.ops.pii import pii_scan
 from data_integration_est_spark.ops.quality_rep import repetition_stats
 from data_integration_est_spark.ops.range_join import range_join_points
+from data_integration_est_spark.kernels.linalg import calibrate, calibrate_bounded, calibrate_raking
 from data_integration_est_spark.session import get_spark
+from data_integration_est_spark.streaming.docs import curate_docs, ingest_summary
 
 __all__ = [
     "SurveyDesign",
@@ -127,6 +129,13 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_knn",
+    "calibrate",
+    "calibrate_bounded",
+    "calibrate_raking",
+    "curate_docs",
+    "ingest_summary",
+    "unigram_logprob_scores",
+    "bigram_logprob_scores",
     "repetition_stats",
     "get_spark",
 ]

@@ -257,9 +257,15 @@ def bigram_logprob_scores(
         F.col("__bg__")["0"].alias("__v__"),
         F.col("__bg__")["1"].alias("__w__"),
     )
-    bg = pairs.groupBy("__v__", "__w__").agg(F.count(F.lit(1)).alias("__cb__"))
-    vc = pairs.groupBy("__v__").agg(F.count(F.lit(1)).alias("__cv__"))
-    wc = pairs.groupBy("__w__").agg(F.count(F.lit(1)).alias("__cw__"))
+    # ONE corpus-scale aggregation: the context (cv) and unigram (cw)
+    # counts are MARGINALS of the bigram counts, so they derive from the
+    # vocabulary-sized bg table instead of re-scanning the corpus (plan
+    # audit r6: the naive three-groupBy form scanned the source 4x)
+    bg = pairs.groupBy("__v__", "__w__").agg(
+        F.count(F.lit(1)).alias("__cb__")
+    ).persist()  # vocabulary-sized; read by vc, wc, tot, and the join
+    vc = bg.groupBy("__v__").agg(F.sum("__cb__").alias("__cv__"))
+    wc = bg.groupBy("__w__").agg(F.sum("__cb__").alias("__cw__"))
     tot = wc.agg(F.sum("__cw__").cast("double").alias("__T__"))
     lp = (
         pairs.join(bg, ["__v__", "__w__"])

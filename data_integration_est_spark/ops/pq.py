@@ -79,7 +79,17 @@ def pq_train(
     seed: int = 42,
 ) -> list[list[list[float]]]:
     """Train the m per-subspace codebooks (list of m k x d/m centroid
-    lists).  Dimension must divide evenly by ``m``."""
+    lists).  Dimension must divide evenly by ``m``.
+
+    ALL m subspace k-means run together: the corpus explodes once to
+    (subspace, subvector) rows (persisted — m small rows per vector),
+    the hash-seeded init is ONE windowed pass over all subspaces, and
+    every Lloyd iteration is ONE groupBy(subspace, cluster) pass whose
+    assignment expression is a subspace-dispatched CASE over the m
+    argmin expressions.  Per-subspace sequential training (the naive
+    form) costs m x (n_iter + 1) job launches — 64 jobs and ~50 s of
+    pure overhead at m=16 on a small corpus; batched it is n_iter + 2
+    jobs regardless of m."""
     first = corpus.select(vec_col).first()
     if first is None:
         raise ValueError("pq_train: empty corpus")
@@ -87,26 +97,43 @@ def pq_train(
     if dim % m != 0:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
     d_sub = dim // m
-    books: list[list[list[float]]] = []
-    for s in range(m):
-        sub = spread(corpus.select(
-            F.col(id_col), _subvec(vec_col, s, d_sub).alias("__sv__")
-        ))
-        # hash-seeded init (distance-blind but deterministic), then L2
-        # Lloyd rounds: one groupBy pass each, k x (d_sub+1) scalars back
-        rows = (
-            sub.withColumn("__h__", F.xxhash64(F.col(id_col), F.lit(seed + s)))
-            .orderBy("__h__").limit(k).collect()
+    from pyspark.sql import Window
+
+    sub = spread(corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[_subvec(vec_col, s, d_sub) for s in range(m)])
+        ).alias("__s__", "__sv__"),
+    )).persist()
+    try:
+        # hash-seeded init (distance-blind but deterministic): the k
+        # smallest per-subspace hashes — identical selection and order to
+        # the sequential orderBy().limit(k) form
+        hcol = F.xxhash64(F.col(id_col), F.col("__s__") + F.lit(seed))
+        win = Window.partitionBy("__s__").orderBy(hcol.asc())
+        init_rows = (
+            sub.withColumn("__rn__", F.row_number().over(win))
+            .filter(F.col("__rn__") <= k)
+            .select("__s__", "__rn__", "__sv__")
+            .collect()
         )
-        cents = [[float(v) for v in r["__sv__"]] for r in rows]
+        books: list[list[list[float]]] = [[] for _ in range(m)]
+        for r in sorted(init_rows, key=lambda r: (r["__s__"], r["__rn__"])):
+            books[r["__s__"]].append([float(v) for v in r["__sv__"]])
+
         for _ in range(n_iter):
-            arr = _l2_score_sql("__sv__", cents)
-            agg_rows = (
-                sub.select(
-                    _argmax_expr(arr, len(cents)).alias("__c__"),
-                    F.col("__sv__"),
+            # subspace-dispatched assignment: CASE WHEN s=0 THEN argmin_0 ...
+            assign = None
+            for s in range(m):
+                arr = _l2_score_sql("__sv__", books[s])
+                am = _argmax_expr(arr, len(books[s]))
+                assign = (
+                    F.when(F.col("__s__") == s, am) if assign is None
+                    else assign.when(F.col("__s__") == s, am)
                 )
-                .groupBy("__c__")
+            agg_rows = (
+                sub.select("__s__", assign.alias("__c__"), "__sv__")
+                .groupBy("__s__", "__c__")
                 .agg(
                     F.count(F.lit(1)).alias("__n__"),
                     *[
@@ -117,15 +144,18 @@ def pq_train(
                 )
                 .collect()
             )
-            by_c = {r["__c__"]: r for r in agg_rows}
-            cents = [
-                [float(by_c[c][f"__s_{j}__"]) / by_c[c]["__n__"]
-                 for j in range(d_sub)]
-                if c in by_c and by_c[c]["__n__"] else cents[c]
-                for c in range(len(cents))
-            ]
-        books.append(cents)
-    return books
+            by_sc = {(r["__s__"], r["__c__"]): r for r in agg_rows}
+            for s in range(m):
+                books[s] = [
+                    [float(by_sc[(s, c)][f"__s_{j}__"]) / by_sc[(s, c)]["__n__"]
+                     for j in range(d_sub)]
+                    if (s, c) in by_sc and by_sc[(s, c)]["__n__"]
+                    else books[s][c]
+                    for c in range(len(books[s]))
+                ]
+        return books
+    finally:
+        sub.unpersist()
 
 
 def pq_encode(
@@ -209,16 +239,19 @@ def pq_knn(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
     )
+    # LUTs materialize on the QUERY side BEFORE the join — m x k doubles
+    # per query row, not per (query, corpus) pair
+    q, score = pq_score_expr("__qv__", "pq_code", codebooks, q)
+    q = q.drop("__qv__")
     if candidates is not None:
         pairs = candidates.join(q, "query_id").join(enc, "neighbor_id")
     else:
         pairs = q.crossJoin(enc)
-    work, score = pq_score_expr("__qv__", "pq_code", codebooks, pairs)
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("neighbor_id").asc()
     )
     return (
-        work.withColumn("adc_score", score)
+        pairs.withColumn("adc_score", score)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_score", "rank")

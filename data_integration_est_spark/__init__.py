@@ -52,7 +52,7 @@ from data_integration_est_spark.kernels.quantile import (
     svyquantile, trim_weights, trimmed_mean,
 )
 from data_integration_est_spark.kernels.stats import (
-    svychisq_rao_scott, svyciprop, svymean, svyratio, svytotal,
+    svyby, svychisq_rao_scott, svyciprop, svymean, svyratio, svytotal,
 )
 from data_integration_est_spark.ops.pq import pq_encode, pq_knn, pq_train
 from data_integration_est_spark.ops.text import bigram_logprob_scores, clean_text, unigram_logprob_scores
@@ -121,6 +121,7 @@ __all__ = [
     "decontaminate_neardup",
     "clean_text",
     "trimmed_mean",
+    "svyby",
     "svymean",
     "svytotal",
     "svyratio",

@@ -9,6 +9,7 @@ from data_integration_est_spark.kernels.linalg import (
 )
 from data_integration_est_spark.kernels.special import chi2_sf, gammainc_q
 from data_integration_est_spark.kernels.stats import (
+    svyby,
     svychisq_rao_scott,
     svyciprop,
     svymean,
@@ -32,6 +33,7 @@ __all__ = [
     "svyratio",
     "svytable",
     "svychisq_pearson",
+    "svyby",
     "svychisq_rao_scott",
     "svyciprop",
     "chi2_sf",

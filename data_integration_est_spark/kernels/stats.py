@@ -581,3 +581,66 @@ def svyciprop(
     )
     spark = design.df.sparkSession
     return spark.createDataFrame(sorted(out, key=lambda t: tuple(map(str, t[:len(group_cols)]))), schema)
+
+
+def svyby(
+    design: SurveyDesign,
+    by: str | list[str],
+    y_col: str,
+    stat: str = "mean",
+    **kwargs,
+) -> DataFrame:
+    """Per-domain survey statistics — the ``survey::svyby`` dispatcher.
+    Every underlying kernel already vectorizes over ``group_cols`` (one
+    grouped pass, stacked driver solves), so this is a thin front door:
+
+    - ``stat="mean"`` / ``"total"``: estimate + linearization SE + n,
+    - ``stat="ratio"``: pass ``den_col=``; ratio + linearization SE,
+    - ``stat="quantile"``: pass ``qs=`` (and optionally ``alpha=`` for
+      Woodruff CIs) — returns svyquantile's own layout,
+    - ``stat="ciprop"``: proportion with logit/Wald CI.
+
+    Returns a DataFrame keyed by the ``by`` columns."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    group_cols = [by] if isinstance(by, str) else list(by)
+    if stat == "quantile":
+        from data_integration_est_spark.kernels.quantile import svyquantile
+
+        return svyquantile(design, y_col, group_cols=group_cols, **kwargs)
+    if stat == "ciprop":
+        return svyciprop(design, y_col, group_cols=group_cols, **kwargs)
+    if stat == "mean":
+        rows = svymean(design, y_col, group_cols=group_cols)
+    elif stat == "total":
+        rows = svytotal(design, y_col, group_cols=group_cols)
+    elif stat == "ratio":
+        den = kwargs.pop("den_col")
+        rows = svyratio(design, y_col, den, group_cols=group_cols)
+    else:
+        raise ValueError(f"unknown stat {stat!r}")
+    key_fields = list(design.df.select(*group_cols).schema.fields)
+    schema = StructType(
+        key_fields
+        + [
+            StructField("est", DoubleType(), True),
+            StructField("se", DoubleType(), True),
+            StructField("n", LongType(), False),
+        ]
+    )
+    out = [
+        tuple(r.key)
+        + (
+            float(r.estimate) if np.isfinite(r.estimate) else None,
+            float(r.se) if np.isfinite(r.se) else None,
+            int(r.n),
+        )
+        for r in rows
+    ]
+    spark = design.df.sparkSession
+    return spark.createDataFrame(
+        sorted(out, key=lambda t: tuple(map(str, t[: len(group_cols)]))),
+        schema,
+    )

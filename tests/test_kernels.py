@@ -520,3 +520,27 @@ def test_calibrate_raking_validates(small_df):
         calibrate_raking(df, ["x1", "x2"], [1.0], d_col="w")
     with pytest.raises(ValueError, match="totals"):
         calibrate_raking(df, ["x1"], None, d_col="w")
+
+
+def test_svyby_dispatch_matches_direct_calls(small_df):
+    from data_integration_est_spark.kernels.stats import svyby, svymean, svytotal
+
+    df, pdf = small_df
+    des = SurveyDesign(df=df, weight_col="w")
+    got_m = {r["g"]: (r["est"], r["se"], r["n"])
+             for r in svyby(des, "g", "y", "mean").collect()}
+    want_m = {r.key[0]: (r.estimate, r.se, r.n)
+              for r in svymean(des, "y", group_cols=["g"])}
+    for g, (e, s, n) in want_m.items():
+        assert got_m[g][0] == pytest.approx(e, rel=1e-12)
+        assert got_m[g][1] == pytest.approx(s, rel=1e-12)
+        assert got_m[g][2] == n
+    got_t = {r["g"]: r["est"] for r in svyby(des, "g", "y", "total").collect()}
+    want_t = {r.key[0]: r.estimate for r in svytotal(des, "y", group_cols=["g"])}
+    for g in want_t:
+        assert got_t[g] == pytest.approx(want_t[g], rel=1e-12)
+    # quantile passthrough keeps svyquantile's layout
+    q = svyby(des, "g", "y", "quantile", qs=(0.5,))
+    assert set(q.columns) == {"g", "q", "quantile"}
+    with pytest.raises(ValueError, match="unknown stat"):
+        svyby(des, "g", "y", "mode")

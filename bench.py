@@ -83,6 +83,7 @@ HEADLINE = [
     "pq_knn_recall",
     "neardup_decontam",
     "svyciprop_events",
+    "svyvar_events",
     "pack_bins_stats",
     # domain estimation (svyby-style grouped RegDI), raking, bootstrap
     "regdi_by_priority",

@@ -14,6 +14,7 @@ from data_integration_est_spark.kernels.stats import (
     svyciprop,
     svymean,
     svyratio,
+    svyvar,
     svytable,
     svychisq_pearson,
     svytotal,
@@ -31,6 +32,7 @@ __all__ = [
     "CalibrationError",
     "svymean",
     "svyratio",
+    "svyvar",
     "svytable",
     "svychisq_pearson",
     "svyby",

@@ -644,3 +644,75 @@ def svyby(
         sorted(out, key=lambda t: tuple(map(str, t[: len(group_cols)]))),
         schema,
     )
+
+
+def svyvar(
+    design: SurveyDesign,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> list[EstimateRow]:
+    """Design-based population variance — ``survey::svyvar``:
+    V = sum w (y - m)^2 / sum w with the linearization SE of the
+    variance FUNCTIONAL: influence u_i = w_i((y_i - m)^2 - V)/sum w
+    (sum u = 0 exactly for the ratio form), Var = n/(n-1) sum u^2,
+    stratified designs summing df-corrected per-stratum pieces.
+
+    ONE distributed pass: everything is algebra in the uncentered
+    moments sum w y^k (k<=2) and sum w^2 y^k (k<=4) — same pattern as
+    ``svymean``/``svyratio``; only O(groups x strata) scalars reach the
+    driver."""
+    group_cols = list(group_cols or [])
+    strat = design.strata_col
+    df = design.df.na.drop(
+        subset=[y_col, design.weight_col] + ([strat] if strat else [])
+    )
+    w = F.col(design.weight_col).cast("double")
+    y = F.col(y_col).cast("double")
+    w2 = w * w
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(w).alias("sw"),
+        F.sum(w * y).alias("swy"),
+        F.sum(w * y * y).alias("swy2"),
+        *[F.sum(w2 * F.pow(y, k)).alias(f"s{k}") for k in range(5)],
+    ]
+    res = _collect_keyed(df, group_cols + ([strat] if strat else []), aggs)
+
+    def _f(r, name):
+        return float(r[name] or 0.0)
+
+    if strat:
+        grouped: dict[tuple, list] = {}
+        for key, r in res.items():
+            grouped.setdefault(key[:-1], []).append(r)
+        items = [(k, rows) for k, rows in grouped.items()]
+    else:
+        items = [(k, [r]) for k, r in res.items()]
+
+    out: list[EstimateRow] = []
+    for key, rows in items:
+        n = sum(int(r["n"]) for r in rows)
+        sw = sum(_f(r, "sw") for r in rows)
+        m = sum(_f(r, "swy") for r in rows) / sw
+        V = sum(_f(r, "swy2") for r in rows) / sw - m * m
+        c = m * m - V
+        pieces = []
+        for r in rows:
+            # sum_h w((y-m)^2 - V) and sum_h w^2 ((y-m)^2 - V)^2
+            s_h = (
+                _f(r, "swy2") - 2.0 * m * _f(r, "swy")
+                + (m * m - V) * _f(r, "sw")
+            ) / sw
+            q_h = (
+                _f(r, "s4") - 4.0 * m * _f(r, "s3")
+                + (4.0 * m * m + 2.0 * c) * _f(r, "s2")
+                - 4.0 * m * c * _f(r, "s1") + c * c * _f(r, "s0")
+            ) / (sw * sw)
+            pieces.append((int(r["n"]), s_h, q_h))
+        if strat:
+            var = _strat_var(pieces)
+        else:
+            n_h, s1, s2 = pieces[0]
+            var = float("nan") if n < 2 else n / (n - 1.0) * (s2 - s1 * s1 / n)
+        out.append(EstimateRow(key=key, estimate=float(V), variance=float(var), n=n))
+    return out

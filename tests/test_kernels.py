@@ -544,3 +544,38 @@ def test_svyby_dispatch_matches_direct_calls(small_df):
     assert set(q.columns) == {"g", "q", "quantile"}
     with pytest.raises(ValueError, match="unknown stat"):
         svyby(des, "g", "y", "mode")
+
+
+def test_svyvar_matches_numpy_linearization(small_df):
+    from data_integration_est_spark.kernels.stats import svyvar
+
+    df, pdf = small_df
+    des = SurveyDesign(df=df, weight_col="w")
+    r = svyvar(des, "y")[0]
+    y, w = pdf.y.to_numpy(), pdf.w.to_numpy()
+    n = len(y)
+    m = (w * y).sum() / w.sum()
+    V = (w * (y - m) ** 2).sum() / w.sum()
+    u = w * ((y - m) ** 2 - V) / w.sum()
+    want_var = n / (n - 1) * ((u ** 2).sum() - u.sum() ** 2 / n)
+    np.testing.assert_allclose(r.estimate, V, rtol=1e-10)
+    np.testing.assert_allclose(r.variance, want_var, rtol=1e-8)
+    # grouped
+    rows = {g.key: g for g in svyvar(des, "y", group_cols=["g"])}
+    for gv, sub in pdf.groupby("g"):
+        yv, wv = sub.y.to_numpy(), sub.w.to_numpy()
+        mg = (wv * yv).sum() / wv.sum()
+        Vg = (wv * (yv - mg) ** 2).sum() / wv.sum()
+        np.testing.assert_allclose(rows[(gv,)].estimate, Vg, rtol=1e-10)
+    # stratified: per-stratum df-corrected pieces with GLOBAL m, V
+    des_s = SurveyDesign(df=df, weight_col="w", strata_col="g")
+    rs = svyvar(des_s, "y")[0]
+    g = pdf.g.to_numpy()
+    u_all = w * ((y - m) ** 2 - V) / w.sum()
+    v = 0.0
+    for h in np.unique(g):
+        mk = g == h
+        n_h = int(mk.sum())
+        v += n_h / (n_h - 1) * ((u_all[mk] ** 2).sum() - u_all[mk].sum() ** 2 / n_h)
+    np.testing.assert_allclose(rs.estimate, V, rtol=1e-10)
+    np.testing.assert_allclose(rs.variance, v, rtol=1e-8)

@@ -103,6 +103,7 @@ HEADLINE = [
     "calibrate_bounded_summary",
     "calibrate_bounded_by",
     "calibrate_raking_summary",
+    "calibrate_logit_summary",
     "svychisq_rs_events",
     "svyquantile_ci_events",
     "poststratify_events",

@@ -3,8 +3,10 @@ from data_integration_est_spark.kernels.linalg import (
     CalibrationError,
     calibrate,
     calibrate_bounded,
+    calibrate_logit,
     calibrate_raking,
     fit_logistic,
+    fit_poisson,
     fit_ols,
 )
 from data_integration_est_spark.kernels.special import chi2_sf, gammainc_q
@@ -26,9 +28,11 @@ __all__ = [
     "GramResult",
     "calibrate",
     "calibrate_bounded",
+    "calibrate_logit",
     "calibrate_raking",
     "fit_ols",
     "fit_logistic",
+    "fit_poisson",
     "CalibrationError",
     "svymean",
     "svyratio",

@@ -915,3 +915,94 @@ def calibrate_raking(
         df=out, weight_col=out_col, x_cols=list(x_cols),
         lambdas=lam, keys=keys, group_cols=group_cols,
     )
+
+
+def calibrate_logit(
+    df: DataFrame,
+    x_cols: list[str],
+    totals: dict | np.ndarray | list,
+    d_col: str,
+    bounds: tuple,
+    out_col: str = "w_cal",
+    n_iter: int = 10,
+    tol: float | None = 1e-10,
+) -> CalibrationResult:
+    """Logit-bounded calibration — ``survey::calibrate`` with
+    ``calfun="logit"``, completing the engine's calfun matrix (linear,
+    raking, truncated-linear, logit): the g-weights follow the SMOOTH
+    bounded link
+
+        g(u) = (L(U-1) + U(1-L) e^{A u}) / ((U-1) + (1-L) e^{A u}),
+        A = (U-L) / ((1-L)(U-1)),
+
+    which maps u = x'lam monotonically onto (L, U) with g(0) = 1 — the
+    differentiable alternative to sticky truncation (no clip waves, no
+    weights pinned exactly AT a bound).  Newton on lam: per iteration
+    ONE aggregation pass with g and its derivative
+    g'(u) = A (U - g)(g - L)/(U - L) as column expressions,
+
+        r(lam) = T - sum d g x,   J(lam) = sum d g' x x',
+
+    and a k x k driver solve.  ``tol=None`` runs a fixed ``n_iter``
+    (the mode the SQL gate oracle unrolls).  Raises CalibrationError on
+    a singular Jacobian (totals unreachable within the bounds: as any
+    g saturates, its derivative — and eventually J — vanishes)."""
+    L, U = float(bounds[0]), float(bounds[1])
+    if not (L < 1.0 < U):
+        raise CalibrationError(
+            f"bounds must straddle 1 (got L={L}, U={U}): g=1 is the "
+            "uncalibrated ratio"
+        )
+    k = len(x_cols)
+    if isinstance(totals, dict):
+        T = np.array([float(totals[c]) for c in x_cols])
+    else:
+        T = np.asarray(totals, dtype=float).ravel()
+        if T.size != k:
+            raise CalibrationError(f"expected {k} totals, got {T.size}")
+    A = (U - L) / ((1.0 - L) * (U - 1.0))
+    d = F.col(d_col).cast("double")
+    xs = [F.col(c).cast("double") for c in x_cols]
+
+    def g_exprs(lam: np.ndarray):
+        u: Column = F.lit(0.0)
+        for b, xc in zip(lam, xs):
+            u = u + xc * float(b)
+        e = F.exp(F.lit(A) * u)
+        g = (F.lit(L * (U - 1.0)) + F.lit(U * (1.0 - L)) * e) / (
+            F.lit(U - 1.0) + F.lit(1.0 - L) * e
+        )
+        gp = F.lit(A) * (F.lit(U) - g) * (g - F.lit(L)) / F.lit(U - L)
+        return g, gp
+
+    lam = np.zeros(k)
+    for _ in range(n_iter):
+        g, gp = g_exprs(lam)
+        aggs = []
+        for i in range(k):
+            for j in range(i, k):
+                aggs.append(F.sum(d * gp * xs[i] * xs[j]).alias(f"j_{i}_{j}"))
+            aggs.append(F.sum(d * g * xs[i]).alias(f"r_{i}"))
+        row = df.agg(*aggs).collect()[0]
+        J = np.zeros((k, k))
+        r = np.zeros(k)
+        for i in range(k):
+            for j in range(i, k):
+                J[i, j] = J[j, i] = float(row[f"j_{i}_{j}"] or 0.0)
+            r[i] = T[i] - float(row[f"r_{i}"] or 0.0)
+        try:
+            step = np.linalg.solve(J, r)
+        except np.linalg.LinAlgError as e:
+            raise CalibrationError(
+                "calibrate_logit: Jacobian singular — totals unreachable "
+                f"within bounds ({L}, {U})?"
+            ) from e
+        lam = lam + step
+        if tol is not None and float(np.max(np.abs(step))) < tol:
+            break
+    g, _ = g_exprs(lam)
+    out = df.withColumn(out_col, d * g)
+    return CalibrationResult(
+        df=out, weight_col=out_col, x_cols=list(x_cols),
+        lambdas=lam.reshape(1, k), keys=[()], group_cols=[],
+    )

@@ -579,3 +579,49 @@ def test_svyvar_matches_numpy_linearization(small_df):
         v += n_h / (n_h - 1) * ((u_all[mk] ** 2).sum() - u_all[mk].sum() ** 2 / n_h)
     np.testing.assert_allclose(rs.estimate, V, rtol=1e-10)
     np.testing.assert_allclose(rs.variance, v, rtol=1e-8)
+
+
+def test_calibrate_logit_hits_totals_within_open_bounds(small_df):
+    from data_integration_est_spark.kernels.linalg import calibrate_logit
+
+    df, pdf = small_df
+    dfx = df.withColumn("one", F.lit(1.0))
+    d = pdf.w.to_numpy()
+    X = np.column_stack([np.ones(len(pdf)), pdf.x1.to_numpy()])
+    T = np.array([(d * X[:, 0]).sum() * 1.1, (d * X[:, 1]).sum() * 1.2])
+    L, U = 0.5, 2.0
+    res = calibrate_logit(dfx, ["one", "x1"], T, d_col="w", bounds=(L, U))
+    out = res.df.select("one", "x1", "w", "w_cal").toPandas()
+    Xo = np.column_stack([out.one.to_numpy(), out.x1.to_numpy()])
+    np.testing.assert_allclose(Xo.T @ out.w_cal.to_numpy(), T, rtol=1e-8)
+    g = out.w_cal.to_numpy() / out.w.to_numpy()
+    # STRICTLY inside the bounds — the smooth link never pins a weight
+    assert g.min() > L and g.max() < U
+
+    # numpy Newton replay of the logit link
+    A = (U - L) / ((1 - L) * (U - 1))
+    lam = np.zeros(2)
+    for _ in range(10):
+        e = np.exp(A * (X @ lam))
+        gg = (L * (U - 1) + U * (1 - L) * e) / ((U - 1) + (1 - L) * e)
+        gp = A * (U - gg) * (gg - L) / (U - L)
+        J = (X * (d * gp)[:, None]).T @ X
+        r = T - X.T @ (d * gg)
+        step = np.linalg.solve(J, r)
+        lam = lam + step
+        if np.max(np.abs(step)) < 1e-10:
+            break
+    e = np.exp(A * (X @ lam))
+    w_np = d * (L * (U - 1) + U * (1 - L) * e) / ((U - 1) + (1 - L) * e)
+    np.testing.assert_allclose(
+        np.sort(out.w_cal.to_numpy()), np.sort(w_np), rtol=1e-8)
+
+
+def test_calibrate_logit_validates(small_df):
+    from data_integration_est_spark.kernels.linalg import calibrate_logit
+
+    df, _ = small_df
+    with pytest.raises(CalibrationError, match="straddle"):
+        calibrate_logit(df, ["x1"], [1.0], d_col="w", bounds=(1.2, 2.0))
+    with pytest.raises(CalibrationError, match="expected 1 totals"):
+        calibrate_logit(df, ["x1"], [1.0, 2.0], d_col="w", bounds=(0.5, 2.0))

@@ -239,6 +239,64 @@ def probe_stats(spark, sf_dir: str):
         }))
 
 
+def probe_r6_ops(spark, sf_dir: str):
+    """r6 heavy additions at 1x and 10x: BPE learning (merge count fixed,
+    so jobs are constant — wall should track the word-table build) and
+    PQ train+encode (n_iter+2 jobs regardless of m after the r6
+    batching; wall should track data sub-linearly at this size)."""
+    from data_integration_est_spark.ops.bpe import learn_bpe
+    from data_integration_est_spark.ops.pq import pq_encode, pq_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    dmax = docs.agg(F.max("doc_id")).collect()[0][0]
+
+    def corpus(mult: int):
+        parts = [
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * (dmax + 1)))
+            for i in range(mult)
+        ]
+        out = parts[0]
+        for pp in parts[1:]:
+            out = out.unionByName(pp)
+        return out
+
+    def bpe_at(mult: int):
+        merges, _ = learn_bpe(corpus(mult), num_merges=8)
+        return len(merges)
+
+    b1 = _timed(f"bpe8_x1_{n}docs", lambda: bpe_at(1))
+    b10 = _timed(f"bpe8_x10_{10 * n}docs", lambda: bpe_at(10))
+    print(json.dumps({"probe": "bpe_scale_factor_10x",
+                      "factor": round(b10 / b1, 2)}))
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ne = emb.count()
+    emax = emb.agg(F.max("vec_id")).collect()[0][0]
+
+    def vecs(mult: int):
+        parts = [
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * (emax + 1)))
+            for i in range(mult)
+        ]
+        out = parts[0]
+        for pp in parts[1:]:
+            out = out.unionByName(pp)
+        return out
+
+    def pq_at(mult: int):
+        v = vecs(mult)
+        books = pq_train(v, m=16, k=16, n_iter=2)
+        return pq_encode(v, books).agg(
+            F.sum(F.element_at("pq_code", 1))
+        ).count()
+
+    p1 = _timed(f"pq_train_encode_x1_{ne}vecs", lambda: pq_at(1))
+    p10 = _timed(f"pq_train_encode_x10_{10 * ne}vecs", lambda: pq_at(10))
+    print(json.dumps({"probe": "pq_scale_factor_10x",
+                      "factor": round(p10 / p1, 2)}))
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -254,6 +312,8 @@ def main() -> None:
         probe_r5_ops(spark, sf_dir)
     if which in ("stats", "all"):
         probe_stats(spark, sf_dir)
+    if which in ("r6", "all"):
+        probe_r6_ops(spark, sf_dir)
 
 
 if __name__ == "__main__":

@@ -84,6 +84,7 @@ HEADLINE = [
     "neardup_decontam",
     "svyciprop_events",
     "svyvar_events",
+    "jackknife_ratio_events",
     "pack_bins_stats",
     # domain estimation (svyby-style grouped RegDI), raking, bootstrap
     "regdi_by_priority",

@@ -195,3 +195,63 @@ def poisson_bootstrap_mean(
         F.round(F.stddev_samp("theta_r"), 6).alias("se_boot"),
         F.lit(n_replicates).cast("long").alias("n_replicates"),
     )
+
+
+def jackknife_ratio(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    id_col: str,
+    weight_col: str | None = None,
+    n_groups: int = 20,
+) -> DataFrame:
+    """Ratio estimate R = sum(w*y)/sum(w*x) with delete-a-group
+    jackknife SE — the replicate-variance counterpart of the linearized
+    ``kernels.stats.svyratio`` (smooth non-linear statistics are exactly
+    where replicate methods earn their keep).  Same scale shape as
+    ``jackknife_mean``: ONE pass builds the G group sums; every
+    replicate ratio is arithmetic on the G-row table.  Rows where
+    either product is null drop from both sums (shared-null semantics,
+    SQL-replicable).  Returns one row (ratio, se_jk, n_groups)."""
+    if n_groups < 2:
+        raise ValueError("jackknife needs at least 2 groups")
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    y = F.col(num_col).cast("double")
+    x = F.col(den_col).cast("double")
+    ok = y.isNotNull() & x.isNotNull()
+    base = df.select(
+        F.pmod(F.col(id_col), F.lit(n_groups)).alias("__g__"),
+        F.when(ok, w * y).alias("__wy__"),
+        F.when(ok, w * x).alias("__wx__"),
+    )
+    gs = base.groupBy("__g__").agg(
+        F.sum("__wy__").alias("swy"), F.sum("__wx__").alias("swx")
+    )
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gs = (
+        gs.withColumn("Twy", F.sum("swy").over(wall))
+        .withColumn("Twx", F.sum("swx").over(wall))
+        .withColumn(
+            "theta_g",
+            (F.col("Twy") - F.coalesce(F.col("swy"), F.lit(0.0)))
+            / (F.col("Twx") - F.coalesce(F.col("swx"), F.lit(0.0))),
+        )
+    )
+    gl = float(n_groups)
+    return gs.agg(
+        F.round(F.max("Twy") / F.max("Twx"), 6).alias("ratio"),
+        F.round(
+            F.sqrt(
+                F.sum(F.pow(F.col("theta_g") - F.col("Twy") / F.col("Twx"), 2))
+                * F.lit((gl - 1.0) / gl)
+            ),
+            6,
+        ).alias("se_jk"),
+        F.lit(n_groups).cast("long").alias("n_groups"),
+    )

@@ -95,3 +95,39 @@ def test_bootstrap_rejects_tiny_r(spark):
     df = spark.range(10).select(F.col("id"), F.lit(1.0).alias("y"))
     with pytest.raises(ValueError, match="at least 2"):
         poisson_bootstrap_mean(df, "y", "id", n_replicates=1)
+
+
+def test_jackknife_ratio_matches_numpy_replay(spark):
+    from data_integration_est_spark.kernels.replicate import jackknife_ratio
+
+    n, G = 4000, 20
+    ids = np.arange(n, dtype=np.int64)
+    rng = np.random.default_rng(77)
+    # iid draws everywhere: deterministic-in-id data (periodic y, or
+    # w = id%4 whose classes align with the id%G groups) makes the
+    # systematic delete-a-group partition non-exchangeable and biases
+    # the jackknife away from the linearized SE
+    ws = rng.integers(1, 5, n).astype(float)
+    ys = rng.normal(10.0, 2.0, n)
+    xs = rng.normal(3.0, 0.5, n).clip(1.0)
+    df = spark.createDataFrame(
+        [(int(i), float(w), float(y), float(x))
+         for i, w, y, x in zip(ids, ws, ys, xs)],
+        "id long, w double, y double, x double",
+    )
+    got = jackknife_ratio(df, "y", "x", "id", weight_col="w",
+                          n_groups=G).collect()[0]
+    g = ids % G
+    swy = np.array([(ws * ys)[g == h].sum() for h in range(G)])
+    swx = np.array([(ws * xs)[g == h].sum() for h in range(G)])
+    R = swy.sum() / swx.sum()
+    th = (swy.sum() - swy) / (swx.sum() - swx)
+    se = np.sqrt((G - 1) / G * ((th - R) ** 2).sum())
+    assert got["ratio"] == pytest.approx(round(R, 6), abs=1e-6)
+    assert got["se_jk"] == pytest.approx(round(se, 6), abs=1e-6)
+    # replicate SE of a smooth ratio should sit near the linearized SE
+    from data_integration_est_spark.design import SurveyDesign
+    from data_integration_est_spark.kernels.stats import svyratio
+
+    lin = svyratio(SurveyDesign(df=df, weight_col="w"), "y", "x")[0]
+    assert got["se_jk"] == pytest.approx(lin.se, rel=0.25)

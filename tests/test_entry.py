@@ -93,3 +93,23 @@ def test_query_vs_oracle(spark, duck, sf001, name):
 def test_rows_only_queries_run(spark, sf001, name):
     rows = QUERIES[name](spark, sf001).collect()
     assert len(rows) >= 1
+
+
+def test_registry_window_contract():
+    """The driver certifies the FIRST 50 registry rows — pin the window
+    invariants so a refactor can't silently shrink certification:
+    exactly one rows-only row remains in-window (the seeded NMAR study,
+    covered by the deterministic twin), no duplicate names, and every
+    oracle is a non-trivial SQL string."""
+    from data_integration_est_spark.entry_queries import REGISTRY
+
+    names = list(REGISTRY)
+    assert len(names) == len(set(names))
+    assert len(names) >= 50
+    window = names[:50]
+    rows_only = [n for n in window if REGISTRY[n][1] is None]
+    assert rows_only == ["mc_nmar_study"], rows_only
+    for n, (fn, sql) in REGISTRY.items():
+        assert callable(fn), n
+        if sql is not None:
+            assert isinstance(sql, str) and "SELECT" in sql.upper(), n

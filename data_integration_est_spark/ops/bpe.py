@@ -7,12 +7,20 @@ at 100 TB the word table is vocabulary-sized (millions of rows), so
 every merge iteration is a small aggregation over it while the corpus
 itself is scanned exactly once.
 
-Representation: each word's current segmentation is a SPACE-JOINED
-symbol string (``"h e l l o"``); a merge (a, b) -> ab is one literal
-string replace of ``" a b "`` inside the space-padded representation —
-left-to-right non-overlapping, exactly BPE's greedy application order,
-and replayable verbatim in any SQL engine (the gate oracle unrolls the
-iterations as chained CTEs).
+Representation (r7): each word's current segmentation is kept in a
+DOUBLE-SPACE-separated, single-space-padded symbol string
+(``" h  e  l  l  o "``).  A merge (a, b) -> ab is ONE literal string
+replace of ``" a  b "`` with ``" ab "``: the match consumes one space
+from each side's two-space boundary and the replacement restores it, so
+back-to-back occurrences (``"aaaa"`` under merge ``(a, a)``) no longer
+share a boundary character and a single left-to-right non-overlapping
+replace is EXACTLY canonical greedy BPE application (merge, continue
+scanning after the merged token — the GPT-2 ``encoder.py`` /
+subword-nmt apply loop).  The r6 single-space representation
+under-merged runs (``"aaaa"`` -> ``['aa','a','a']``); this fixes the
+round-6 verdict's confirmed defect.  The scheme stays replayable
+verbatim in any SQL engine (the gate oracle unrolls the iterations as
+chained CTEs using the same doubled-space replace).
 
 Per merge iteration: ONE pair-count aggregation (adjacent symbol pairs
 exploded from the representation, weighted by word count) + a driver-side
@@ -44,26 +52,37 @@ def word_frequencies(
 
 
 def _char_rep(word: Column) -> Column:
-    """Initial symbolization: characters space-joined ("hello" ->
-    "h e l l o")."""
-    return F.trim(F.regexp_replace(word, "(.)", "$1 "))
+    """Initial symbolization in the padded doubled-space form:
+    ``"hello"`` -> ``" h  e  l  l  o "`` (each char becomes ``" c "``;
+    concatenation yields two spaces between symbols, one at each end)."""
+    return F.regexp_replace(word, "(.)", " $1 ")
 
 
 def _merge_rep(rep: Column, a: str, b: str) -> Column:
-    """Apply merge (a, b): literal replace of ' a b ' with ' ab ' inside
-    the space-padded representation (greedy left-to-right)."""
-    padded = F.concat(F.lit(" "), rep, F.lit(" "))
-    merged = F.replace(
-        padded, F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
-    )
-    return F.trim(merged)
+    """Apply merge (a, b) to the padded doubled-space representation:
+    one literal replace of ``" a  b "`` with ``" ab "``.  Because every
+    boundary holds two spaces, adjacent occurrences never overlap and
+    the left-to-right replace equals canonical greedy BPE application."""
+    return F.replace(rep, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+
+
+def _symbols(rep: Column) -> Column:
+    """Symbol array of a padded doubled-space representation."""
+    return F.split(F.trim(rep), "  ")
+
+
+def _single_spaced(rep: Column) -> Column:
+    """Public single-space-joined form of the internal representation."""
+    return F.trim(F.replace(rep, F.lit("  "), F.lit(" ")))
 
 
 def _adjacent_pairs():
     """(left, right) adjacent symbol pairs of the ``rep`` column."""
     return F.arrays_zip(
-        F.expr("slice(split(rep, ' '), 1, size(split(rep, ' ')) - 1)"),
-        F.expr("slice(split(rep, ' '), 2, size(split(rep, ' ')) - 1)"),
+        F.expr("slice(split(trim(rep), '  '), 1, "
+               "size(split(trim(rep), '  ')) - 1)"),
+        F.expr("slice(split(trim(rep), '  '), 2, "
+               "size(split(trim(rep), '  ')) - 1)"),
     )
 
 
@@ -77,10 +96,11 @@ def learn_bpe(
 
     Returns ``(merges, words)``: merges as [(left, right, pair_count)]
     in learned order, and the final (word, cnt, rep) vocabulary table
-    with each word's segmentation under the learned merges.  Ties in
-    pair counts break deterministically by (left, right) ascending, so
-    the merge list is engine-reproducible (the gate oracle replays it).
-    Stops early when no adjacent pair remains (every word fused)."""
+    with each word's segmentation under the learned merges (``rep`` is
+    single-space-joined in the returned table).  Ties in pair counts
+    break deterministically by (left, right) ascending, so the merge
+    list is engine-reproducible (the gate oracle replays it).  Stops
+    early when no adjacent pair remains (every word fused)."""
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
     words = word_frequencies(df, text_col).withColumn(
@@ -91,7 +111,7 @@ def learn_bpe(
     try:
         for k in range(num_merges):
             pairs = (
-                words.filter(F.size(F.split(F.col("rep"), " ")) >= 2)
+                words.filter(F.size(_symbols(F.col("rep"))) >= 2)
                 .select("cnt", F.explode(_adjacent_pairs()).alias("p"))
                 .groupBy(
                     F.col("p")["0"].alias("a"), F.col("p")["1"].alias("b")
@@ -113,7 +133,9 @@ def learn_bpe(
                 except Exception:
                     pass
             words = new_words
-        return merges, words
+        return merges, words.withColumn(
+            "rep", _single_spaced(F.col("rep"))
+        )
     finally:
         pass  # `words` stays cached/checkpointed — it IS the result
 
@@ -126,27 +148,19 @@ def bpe_segment(
 ) -> DataFrame:
     """Apply a learned merge list to a corpus: per-word character
     symbolization followed by the merges IN ORDER — a pure column-
-    expression chain (K literal replaces; zero Python per row), exploded
-    back to an array of subword tokens per document."""
+    expression chain (K literal replaces in the doubled-space form;
+    zero Python per row), exploded back to an array of subword tokens
+    per document."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     segmented = F.transform(
         toks,
-        lambda w: F.split(
-            _apply_merges_to_word(w, merges), " "
-        ),
+        lambda w: _symbols(_apply_merges_to_word(w, merges)),
     )
     return df.withColumn(out_col, F.flatten(segmented))
 
 
 def _apply_merges_to_word(word: Column, merges: list[tuple]) -> Column:
-    rep = F.trim(F.regexp_replace(word, "(.)", "$1 "))
+    rep = _char_rep(word)
     for m in merges:
-        a, b = m[0], m[1]
-        rep = F.trim(
-            F.replace(
-                F.concat(F.lit(" "), rep, F.lit(" ")),
-                F.lit(f" {a} {b} "),
-                F.lit(f" {a}{b} "),
-            )
-        )
+        rep = _merge_rep(rep, m[0], m[1])
     return rep

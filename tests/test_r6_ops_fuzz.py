@@ -38,6 +38,9 @@ def test_bpe_fuzz_matches_python(spark):
     rng = random.Random(7)
     words = ["".join(rng.choice("abcde") for _ in range(rng.randint(1, 6)))
              for _ in range(40)]
+    # run-heavy words (r7): back-to-back pair occurrences are exactly
+    # where the r6 single-space representation under-merged
+    words += ["aaaa", "abab", "aaab", "bbbbbb", "ababab", "aaaaa"]
     texts = [" ".join(rng.choice(words) for _ in range(rng.randint(3, 15)))
              for _ in range(30)]
     df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")

@@ -108,6 +108,14 @@ HEADLINE = [
     "svychisq_rs_events",
     "svyquantile_ci_events",
     "poststratify_events",
+    # round-7: grouped logit calfun + svyby front door join the headline,
+    # and the three remaining seeded MC studies are benched so every MC
+    # pipeline variant is latency-tracked (r6 VERDICT #8)
+    "calibrate_logit_by",
+    "svyby_mean_ratio_events",
+    "mc_stratified_study",
+    "mc_contaminated_study",
+    "mc_nmar_v2_study",
     # statistical estimators (GREG calibration / OLS / DR pipelines)
     "regdi_c0",
     "regdi_aux",

@@ -821,15 +821,33 @@ def calibrate_raking(
     T = None
     lam = None
     work = df
-    joined_cols: list[str] = []
+    lam_cols = [f"__crk{j}__" for j in range(k)]
     if group_cols:
         from pyspark.sql.types import DoubleType, StructField, StructType
 
         key_schema = df.select(*group_cols).schema
 
+        def bind_lambdas(lam_mat: np.ndarray) -> DataFrame:
+            # rebind from the ORIGINAL df each iteration (fixed column
+            # names) so the plan holds exactly ONE broadcast join
+            # regardless of n_iter — the r6 verdict's accumulating-join
+            # fix (previously iteration i re-executed all i-1 joins)
+            lam_rows = [
+                tuple(key) + tuple(float(v) for v in lam_mat[gi])
+                for gi, key in enumerate(keys)
+            ]
+            schema = StructType(
+                list(key_schema.fields)
+                + [StructField(cn, DoubleType(), False) for cn in lam_cols]
+            )
+            return df.join(
+                F.broadcast(spark.createDataFrame(lam_rows, schema)),
+                on=group_cols, how="left",
+            )
+
     for it in range(n_iter):
         if group_cols and lam is not None:
-            w_expr = tilt_expr_cols(joined_cols[-k:])
+            w_expr = tilt_expr_cols(lam_cols)
         elif lam is not None:
             w_expr = tilt_expr(lam[0])
         else:
@@ -864,21 +882,7 @@ def calibrate_raking(
             step = _solve_stacked(J, r[..., None], "calibrate_raking").squeeze(-1)
             step = step.reshape(ng, k)
             lam = lam + step
-            # bind this iteration's lambdas as broadcast columns
-            lam_cols = [f"__crk{it}_{j}__" for j in range(k)]
-            lam_rows = [
-                tuple(key) + tuple(float(v) for v in lam[gi])
-                for gi, key in enumerate(keys)
-            ]
-            schema = StructType(
-                list(key_schema.fields)
-                + [StructField(cn, DoubleType(), False) for cn in lam_cols]
-            )
-            work = work.join(
-                F.broadcast(spark.createDataFrame(lam_rows, schema)),
-                on=group_cols, how="left",
-            )
-            joined_cols += lam_cols
+            work = bind_lambdas(lam)
         else:
             row = work.agg(*aggs).collect()[0]
             if lam is None:
@@ -907,8 +911,8 @@ def calibrate_raking(
             )
 
     if group_cols:
-        out = work.withColumn(out_col, tilt_expr_cols(joined_cols[-k:]))
-        out = out.drop(*joined_cols)
+        out = work.withColumn(out_col, tilt_expr_cols(lam_cols))
+        out = out.drop(*lam_cols)
     else:
         out = df.withColumn(out_col, tilt_expr(lam[0]))
     return CalibrationResult(
@@ -920,12 +924,14 @@ def calibrate_raking(
 def calibrate_logit(
     df: DataFrame,
     x_cols: list[str],
-    totals: dict | np.ndarray | list,
+    totals: dict | np.ndarray | list | None,
     d_col: str,
     bounds: tuple,
     out_col: str = "w_cal",
     n_iter: int = 10,
     tol: float | None = 1e-10,
+    group_cols: list[str] | None = None,
+    totals_by_group: dict[tuple, np.ndarray] | None = None,
 ) -> CalibrationResult:
     """Logit-bounded calibration — ``survey::calibrate`` with
     ``calfun="logit"``, completing the engine's calfun matrix (linear,
@@ -946,28 +952,38 @@ def calibrate_logit(
     and a k x k driver solve.  ``tol=None`` runs a fixed ``n_iter``
     (the mode the SQL gate oracle unrolls).  Raises CalibrationError on
     a singular Jacobian (totals unreachable within the bounds: as any
-    g saturates, its derivative — and eventually J — vanishes)."""
+    g saturates, its derivative — and eventually J — vanishes).
+
+    Grouped (r7): ``group_cols``/``totals_by_group`` solve one logit
+    system per group exactly like the other calfuns — ONE groupBy pass
+    per Newton iteration carrying all groups' (J, r) sums, a stacked
+    O(groups * k^3) driver solve, and the per-group lambdas rebound
+    from the ORIGINAL df as a single broadcast join (constant plan
+    depth in ``n_iter``)."""
     L, U = float(bounds[0]), float(bounds[1])
     if not (L < 1.0 < U):
         raise CalibrationError(
             f"bounds must straddle 1 (got L={L}, U={U}): g=1 is the "
             "uncalibrated ratio"
         )
+    group_cols = list(group_cols or [])
     k = len(x_cols)
     if isinstance(totals, dict):
-        T = np.array([float(totals[c]) for c in x_cols])
+        T_shared = np.array([float(totals[c]) for c in x_cols])
+    elif totals is not None:
+        T_shared = np.asarray(totals, dtype=float).ravel()
+        if T_shared.size != k:
+            raise CalibrationError(f"expected {k} totals, got {T_shared.size}")
+    elif totals_by_group is None:
+        raise ValueError("must provide `totals` or `totals_by_group`")
     else:
-        T = np.asarray(totals, dtype=float).ravel()
-        if T.size != k:
-            raise CalibrationError(f"expected {k} totals, got {T.size}")
+        T_shared = None
     A = (U - L) / ((1.0 - L) * (U - 1.0))
     d = F.col(d_col).cast("double")
     xs = [F.col(c).cast("double") for c in x_cols]
+    spark = df.sparkSession
 
-    def g_exprs(lam: np.ndarray):
-        u: Column = F.lit(0.0)
-        for b, xc in zip(lam, xs):
-            u = u + xc * float(b)
+    def g_of_u(u: Column):
         e = F.exp(F.lit(A) * u)
         g = (F.lit(L * (U - 1.0)) + F.lit(U * (1.0 - L)) * e) / (
             F.lit(U - 1.0) + F.lit(1.0 - L) * e
@@ -975,34 +991,116 @@ def calibrate_logit(
         gp = F.lit(A) * (F.lit(U) - g) * (g - F.lit(L)) / F.lit(U - L)
         return g, gp
 
-    lam = np.zeros(k)
+    def g_exprs(lam_row: np.ndarray):
+        u: Column = F.lit(0.0)
+        for b, xc in zip(lam_row, xs):
+            u = u + xc * float(b)
+        return g_of_u(u)
+
+    def g_exprs_cols(lam_col_names: list[str]):
+        u: Column = F.lit(0.0)
+        for lc, xc in zip(lam_col_names, xs):
+            u = u + xc * F.col(lc)
+        return g_of_u(u)
+
+    keys: list[tuple] | None = None
+    T = None
+    lam = None
+    work = df
+    lam_cols = [f"__clg{j}__" for j in range(k)]
+    if group_cols:
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        key_schema = df.select(*group_cols).schema
+
+        def bind_lambdas(lam_mat: np.ndarray) -> DataFrame:
+            lam_rows = [
+                tuple(key) + tuple(float(v) for v in lam_mat[gi])
+                for gi, key in enumerate(keys)
+            ]
+            schema = StructType(
+                list(key_schema.fields)
+                + [StructField(cn, DoubleType(), False) for cn in lam_cols]
+            )
+            return df.join(
+                F.broadcast(spark.createDataFrame(lam_rows, schema)),
+                on=group_cols, how="left",
+            )
+
     for _ in range(n_iter):
-        g, gp = g_exprs(lam)
+        if group_cols and lam is not None:
+            g, gp = g_exprs_cols(lam_cols)
+        elif lam is not None:
+            g, gp = g_exprs(lam[0])
+        else:
+            g, gp = g_exprs(np.zeros(k))
         aggs = []
         for i in range(k):
             for j in range(i, k):
                 aggs.append(F.sum(d * gp * xs[i] * xs[j]).alias(f"j_{i}_{j}"))
             aggs.append(F.sum(d * g * xs[i]).alias(f"r_{i}"))
-        row = df.agg(*aggs).collect()[0]
-        J = np.zeros((k, k))
-        r = np.zeros(k)
-        for i in range(k):
-            for j in range(i, k):
-                J[i, j] = J[j, i] = float(row[f"j_{i}_{j}"] or 0.0)
-            r[i] = T[i] - float(row[f"r_{i}"] or 0.0)
-        try:
-            step = np.linalg.solve(J, r)
-        except np.linalg.LinAlgError as e:
-            raise CalibrationError(
-                "calibrate_logit: Jacobian singular — totals unreachable "
-                f"within bounds ({L}, {U})?"
-            ) from e
-        lam = lam + step
+        if group_cols:
+            rows = work.groupBy(*group_cols).agg(*aggs).collect()
+            by_key = {tuple(r[c] for c in group_cols): r for r in rows}
+            if keys is None:
+                keys = sorted(by_key)
+                ng = len(keys)
+                T = np.zeros((ng, k))
+                for gi, key in enumerate(keys):
+                    T[gi] = (
+                        np.asarray(totals_by_group[key], dtype=float).ravel()
+                        if totals_by_group is not None else T_shared
+                    )
+                lam = np.zeros((ng, k))
+            ng = len(keys)
+            J = np.zeros((ng, k, k))
+            r = np.zeros((ng, k))
+            for gi, key in enumerate(keys):
+                row = by_key[key]
+                for i in range(k):
+                    for j in range(i, k):
+                        J[gi, i, j] = J[gi, j, i] = float(row[f"j_{i}_{j}"] or 0.0)
+                    r[gi, i] = T[gi, i] - float(row[f"r_{i}"] or 0.0)
+            try:
+                step = np.linalg.solve(J, r[..., None]).squeeze(-1)
+            except np.linalg.LinAlgError as e:
+                raise CalibrationError(
+                    "calibrate_logit: Jacobian singular in at least one "
+                    f"group — totals unreachable within bounds ({L}, {U})?"
+                ) from e
+            step = step.reshape(ng, k)
+            lam = lam + step
+            work = bind_lambdas(lam)
+        else:
+            row = df.agg(*aggs).collect()[0]
+            if lam is None:
+                keys = [()]
+                T = T_shared.reshape(1, k)
+                lam = np.zeros((1, k))
+            J = np.zeros((k, k))
+            r = np.zeros(k)
+            for i in range(k):
+                for j in range(i, k):
+                    J[i, j] = J[j, i] = float(row[f"j_{i}_{j}"] or 0.0)
+                r[i] = T[0, i] - float(row[f"r_{i}"] or 0.0)
+            try:
+                step = np.linalg.solve(J, r)
+            except np.linalg.LinAlgError as e:
+                raise CalibrationError(
+                    "calibrate_logit: Jacobian singular — totals unreachable "
+                    f"within bounds ({L}, {U})?"
+                ) from e
+            step = step.reshape(1, k)
+            lam = lam + step
         if tol is not None and float(np.max(np.abs(step))) < tol:
             break
-    g, _ = g_exprs(lam)
-    out = df.withColumn(out_col, d * g)
+    if group_cols:
+        g, _ = g_exprs_cols(lam_cols)
+        out = work.withColumn(out_col, d * g).drop(*lam_cols)
+    else:
+        g, _ = g_exprs(lam[0])
+        out = df.withColumn(out_col, d * g)
     return CalibrationResult(
         df=out, weight_col=out_col, x_cols=list(x_cols),
-        lambdas=lam.reshape(1, k), keys=[()], group_cols=[],
+        lambdas=lam, keys=keys, group_cols=group_cols,
     )

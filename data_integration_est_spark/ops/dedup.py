@@ -400,6 +400,7 @@ def dedup_corpus(
     bands: int = 16,
     shingle_n: int = 3,
     exact_first: bool = True,
+    assert_full_recall: bool = False,
 ) -> DataFrame:
     """One-call corpus near-dedup — the composition every pipeline runs:
 
@@ -425,7 +426,17 @@ def dedup_corpus(
     survivors are PERSISTED — three downstream consumers (signatures,
     Jaccard verify, final anti-join) would otherwise each recompute the
     scan + window.  At 100 TB scale, substitute a parquet checkpoint for
-    the persist; the stage structure is unchanged."""
+    the persist; the stage structure is unchanged.
+
+    ``assert_full_recall=True`` (r7, certification runs only — NOT the
+    100 TB path): additionally computes the GROUND-TRUTH >= threshold
+    pair set via a lossless shingle-inverted-index equi-join (a pair
+    with Jaccard > 0 must share a shingle, so gram blocking misses
+    nothing) and raises AssertionError if the banded-LSH stage missed
+    any true pair.  The gate row runs with this on, so its oracle's
+    "LSH recall is 1 on this corpus" premise is asserted IN-QUERY
+    rather than assumed — if a corpus ever breaks it, the row errors
+    loudly instead of silently hash-mismatching (r5/r6 ADVICE item)."""
     from pyspark.sql import Window
 
     from data_integration_est_spark.ops.components import dedup_keep_representative
@@ -453,6 +464,50 @@ def dedup_corpus(
         work, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
         threshold=threshold, candidates=cand,
     )
+    if assert_full_recall:
+        # count-based ground truth straight off the inverted index:
+        # shared-gram counts ARE the intersection sizes (grams distinct
+        # per doc), so jaccard = c / (|A| + |B| - c) with no pair-level
+        # array ops and no distinct-pair materialization
+        inv = work.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+            ).alias("g"),
+        ).persist()
+        sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        pair_counts = (
+            inv.select(F.col(id_col).alias("id_a"), "g")
+            .join(inv.select(F.col(id_col).alias("id_b"), "g"), "g")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        truth = (
+            pair_counts
+            .join(sizes.select(F.col(id_col).alias("id_a"),
+                               F.col("sz").alias("sz_a")), "id_a")
+            .join(sizes.select(F.col(id_col).alias("id_b"),
+                               F.col("sz").alias("sz_b")), "id_b")
+            .filter(
+                F.round(
+                    F.col("c")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("c")), 6
+                ) >= threshold
+            )
+        )
+        missed = (
+            truth.select("id_a", "id_b")
+            .join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+            .count()
+        )
+        inv.unpersist()
+        if missed:
+            raise AssertionError(
+                f"dedup_corpus: banded LSH missed {missed} true >= "
+                f"{threshold} pair(s) on this corpus — the gate oracle's "
+                "recall-1 premise does not hold; raise num_hashes/bands"
+            )
     return dedup_keep_representative(
         work, pairs.select("id_a", "id_b"), id_col=id_col,
         left_col="id_a", right_col="id_b",

@@ -27,6 +27,14 @@ Spark-first shapes:
 Codes are deterministic given (corpus, seed): k-means init is the
 engine's hash-based ``kmeans||``; ties in assignment break toward the
 lower centroid index on both train and encode.
+
+Codebook-size envelope (r7 scale probe, SCALE.md): at the FAISS-
+realistic m=16/k=256 the driver state is dim * k * 8 bytes (131 kB at
+d=64) and 10x data costs 1.37x wall; the dominant small-corpus cost is
+Catalyst compiling the 256-way argmin CASE — fixed and data-
+independent.  Beyond k ~ 1000, swap the codegen argmin for a broadcast
+numpy ``mapInPandas`` scorer (the expression tree, not the math, is
+the limit).
 """
 
 from __future__ import annotations

@@ -617,6 +617,71 @@ def test_calibrate_logit_hits_totals_within_open_bounds(small_df):
         np.sort(out.w_cal.to_numpy()), np.sort(w_np), rtol=1e-8)
 
 
+def test_calibrate_logit_grouped_matches_per_group(small_df):
+    """r7: the logit calfun rides the same grouped stacked-solve engine
+    as linear/bounded/raking — per-group results must equal running the
+    ungrouped solver on each group's slice."""
+    from data_integration_est_spark.kernels.linalg import calibrate_logit
+
+    df, pdf = small_df
+    dfx = df.withColumn("one", F.lit(1.0))
+    L, U = 0.5, 2.0
+    per_g = {}
+    for gval, sub in pdf.groupby("g"):
+        d = sub.w.to_numpy()
+        x = sub.x1.to_numpy()
+        per_g[(gval,)] = np.array([d.sum() * 1.1, (d * x).sum() * 1.15])
+    res = calibrate_logit(
+        dfx, ["one", "x1"], None, d_col="w", bounds=(L, U),
+        group_cols=["g"], totals_by_group=per_g,
+    )
+    got = res.df.select("g", "x1", "w", "w_cal").toPandas()
+    for gval in sorted(pdf.g.unique()):
+        single = calibrate_logit(
+            dfx.filter(F.col("g") == gval), ["one", "x1"],
+            per_g[(gval,)], d_col="w", bounds=(L, U),
+        )
+        want = single.df.select("w_cal").toPandas().w_cal.to_numpy()
+        sub = got[got.g == gval].w_cal.to_numpy()
+        np.testing.assert_allclose(np.sort(sub), np.sort(want), rtol=1e-8)
+        X = np.column_stack([np.ones(len(sub)),
+                             got[got.g == gval].x1.to_numpy()])
+        np.testing.assert_allclose(X.T @ sub, per_g[(gval,)], rtol=1e-8)
+        ratio = sub / got[got.g == gval].w.to_numpy()
+        assert ratio.min() > L and ratio.max() < U
+
+
+def test_grouped_calibration_plan_depth_constant_in_n_iter(small_df):
+    """r7 (r6 verdict item 5): the grouped Newton calfuns rebind their
+    per-group lambdas from the ORIGINAL df each iteration, so the output
+    plan holds exactly one broadcast join regardless of n_iter."""
+    from data_integration_est_spark.kernels.linalg import (
+        calibrate_logit,
+        calibrate_raking,
+    )
+
+    df, pdf = small_df
+    dfx = df.withColumn("one", F.lit(1.0))
+    per_g = {
+        (gval,): np.array([sub.w.sum() * 1.1, (sub.w * sub.x1).sum() * 1.15])
+        for gval, sub in pdf.groupby("g")
+    }
+
+    def n_joins(res):
+        plan = res.df._jdf.queryExecution().optimizedPlan().toString()
+        return plan.count("Join")
+
+    for fn, kw in [
+        (calibrate_raking, {}),
+        (calibrate_logit, {"bounds": (0.5, 2.0)}),
+    ]:
+        shallow = fn(dfx, ["one", "x1"], None, d_col="w", n_iter=2,
+                     tol=None, group_cols=["g"], totals_by_group=per_g, **kw)
+        deep = fn(dfx, ["one", "x1"], None, d_col="w", n_iter=8,
+                  tol=None, group_cols=["g"], totals_by_group=per_g, **kw)
+        assert n_joins(shallow) == n_joins(deep) == 1, fn.__name__
+
+
 def test_calibrate_logit_validates(small_df):
     from data_integration_est_spark.kernels.linalg import calibrate_logit
 

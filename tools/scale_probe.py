@@ -297,6 +297,57 @@ def probe_r6_ops(spark, sf_dir: str):
                       "factor": round(p10 / p1, 2)}))
 
 
+def probe_pq_realistic(spark, sf_dir: str):
+    """r7: the FAISS-realistic codebook shape (m=16, k=256, n_iter=5 —
+    the 'IVF-PQ16x8' configuration) at 1x and 10x, recording wall AND
+    the driver-resident codebook footprint, to back ``ops/pq.py``'s
+    claim that k <= 256 keeps codes at m bytes/vector with the
+    codebooks a broadcast-sized driver object (m * k * d/m * 8 bytes =
+    dim * k * 8, independent of corpus size)."""
+    from data_integration_est_spark.ops.pq import pq_encode, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ne = emb.count()
+    emax = emb.agg(F.max("vec_id")).collect()[0][0]
+
+    def vecs(mult: int):
+        parts = [
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * (emax + 1)))
+            for i in range(mult)
+        ]
+        out = parts[0]
+        for pp in parts[1:]:
+            out = out.unionByName(pp)
+        return out
+
+    books_box = {}
+
+    def pq_real_at(mult: int):
+        v = vecs(mult)
+        books = pq_train(v, m=16, k=256, n_iter=5)
+        books_box[mult] = books
+        return pq_encode(v, books).agg(
+            F.sum(F.element_at("pq_code", 1))
+        ).count()
+
+    p1 = _timed(f"pq16x256_train_encode_x1_{ne}vecs", lambda: pq_real_at(1))
+    p10 = _timed(
+        f"pq16x256_train_encode_x10_{10 * ne}vecs", lambda: pq_real_at(10)
+    )
+    books = books_box[10]
+    codebook_bytes = sum(
+        len(sub) * len(sub[0]) * 8 for sub in books
+    )
+    print(json.dumps({
+        "probe": "pq16x256_scale_factor_10x",
+        "factor": round(p10 / p1, 2),
+        "codebook_bytes": codebook_bytes,
+        "n_subspaces": len(books),
+        "k": max(len(sub) for sub in books),
+        "code_bytes_per_vector": len(books),
+    }))
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -314,6 +365,8 @@ def main() -> None:
         probe_stats(spark, sf_dir)
     if which in ("r6", "all"):
         probe_r6_ops(spark, sf_dir)
+    if which in ("pq", "all"):
+        probe_pq_realistic(spark, sf_dir)
 
 
 if __name__ == "__main__":

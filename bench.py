@@ -113,6 +113,7 @@ HEADLINE = [
     # pipeline variant is latency-tracked (r6 VERDICT #8)
     "calibrate_logit_by",
     "svyby_mean_ratio_events",
+    "brr_mean_events",
     "mc_stratified_study",
     "mc_contaminated_study",
     "mc_nmar_v2_study",

@@ -57,7 +57,11 @@ from data_integration_est_spark.kernels.stats import (
 from data_integration_est_spark.ops.pq import pq_encode, pq_knn, pq_train
 from data_integration_est_spark.ops.text import bigram_logprob_scores, clean_text, unigram_logprob_scores
 from data_integration_est_spark.kernels.rake import poststratify, rake
-from data_integration_est_spark.kernels.replicate import jackknife_mean, poisson_bootstrap_mean
+from data_integration_est_spark.kernels.replicate import (
+    brr_mean,
+    jackknife_mean,
+    poisson_bootstrap_mean,
+)
 from data_integration_est_spark.ops.packing import (
     bin_stats, chunk_documents, chunk_occupancy, pack_bins, pack_chunks,
 )
@@ -109,6 +113,7 @@ __all__ = [
     "rake",
     "svyquantile",
     "trim_weights",
+    "brr_mean",
     "jackknife_mean",
     "poisson_bootstrap_mean",
     "regdi_by",

@@ -255,3 +255,111 @@ def jackknife_ratio(
         ).alias("se_jk"),
         F.lit(n_groups).cast("long").alias("n_groups"),
     )
+
+
+def brr_mean(
+    df: DataFrame,
+    y_col: str,
+    strata_col: str,
+    psu_col: str,
+    weight_col: str | None = None,
+    fay_rho: float = 0.0,
+    max_strata: int = 1024,
+) -> DataFrame:
+    """Weighted-mean point estimate with balanced-repeated-replication
+    SE (``survey::svrepdesign(type="BRR")`` / ``type="Fay"``) — the
+    third canonical replicate family next to the delete-a-group
+    jackknife and the Poisson bootstrap.
+
+    Requires the classic BRR design: every stratum holds exactly TWO
+    PSUs (coded 0/1 in ``psu_col``).  Half-sample r reweights PSU p of
+    stratum h by ``1 + k * s(r, h) * (1 - 2p)`` with ``k = 1 -
+    fay_rho`` and the balanced signs ``s(r, h) = (-1)^popcount(r &
+    (h+1))`` — rows of the order-R Sylvester Hadamard matrix, R the
+    smallest power of two STRICTLY greater than the stratum count (so
+    every stratum gets a non-constant, mutually orthogonal column:
+    full balance, sum_r s(r,h) = 0 and sum_r s(r,h)s(r,h') = 0).
+    Fay's method (0 < fay_rho < 1) keeps every unit in every replicate
+    with down/up-weights ``fay_rho`` / ``2 - fay_rho``, avoiding the
+    empty-half-sample instability of pure BRR on sparse cells.
+
+        V = sum_r (theta_r - theta)^2 / (R * k^2)
+
+    Scale shape: ONE map-side-combined pass builds the (stratum, psu)
+    sums — a 2H-row table; all R replicate estimates are driver
+    arithmetic on it (H <= ``max_strata`` guard, so driver state is
+    bounded and NO per-replicate rescans happen).  The sign function is
+    pure integer bit math, replayable verbatim in any SQL engine
+    (``bit_count``), which is what the gate oracle does.
+
+    Returns one row: (mean, se_brr, n_replicates, n_strata).
+    """
+    if not (0.0 <= fay_rho < 1.0):
+        raise ValueError("fay_rho must be in [0, 1)")
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    y = F.col(y_col).cast("double")
+    wy = w * y
+    cells = (
+        df.select(
+            F.col(strata_col).cast("long").alias("__h__"),
+            F.col(psu_col).cast("long").alias("__p__"),
+            wy.alias("__wy__"),
+            F.when(wy.isNotNull(), w).alias("__w__"),
+        )
+        .groupBy("__h__", "__p__")
+        .agg(F.sum("__wy__").alias("swy"), F.sum("__w__").alias("sw"))
+        .collect()
+    )
+    strata = sorted({r["__h__"] for r in cells})
+    n_h = len(strata)
+    if n_h > max_strata:
+        raise ValueError(
+            f"brr_mean: {n_h} strata exceeds max_strata={max_strata} "
+            "(driver holds 2 sums per stratum; raise the guard only "
+            "knowingly)"
+        )
+    by_cell = {(r["__h__"], r["__p__"]): r for r in cells}
+    for h in strata:
+        psus = {p for (hh, p) in by_cell if hh == h}
+        if psus != {0, 1}:
+            raise ValueError(
+                f"brr_mean: stratum {h!r} has PSUs {sorted(psus)}; BRR "
+                "requires exactly two PSUs coded 0 and 1 per stratum"
+            )
+    # column index per stratum: 1..n_h in sorted-stratum order
+    col_of = {h: i + 1 for i, h in enumerate(strata)}
+    R = 4
+    while R <= n_h:
+        R *= 2
+    k = 1.0 - fay_rho
+    Twy = sum(r["swy"] or 0.0 for r in cells)
+    Tw = sum(r["sw"] or 0.0 for r in cells)
+    theta = Twy / Tw
+    v = 0.0
+    for rep in range(R):
+        num = 0.0
+        den = 0.0
+        for r in cells:
+            s = -1.0 if bin(rep & col_of[r["__h__"]]).count("1") % 2 else 1.0
+            f = 1.0 + k * s * (1.0 - 2.0 * r["__p__"])
+            num += f * (r["swy"] or 0.0)
+            den += f * (r["sw"] or 0.0)
+        v += (num / den - theta) ** 2
+    v /= R * k * k
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    return df.sparkSession.createDataFrame(
+        [(round(theta, 6), round(v ** 0.5, 6), R, n_h)],
+        StructType([
+            StructField("mean", DoubleType(), True),
+            StructField("se_brr", DoubleType(), True),
+            StructField("n_replicates", LongType(), False),
+            StructField("n_strata", LongType(), False),
+        ]),
+    )

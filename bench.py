@@ -114,6 +114,7 @@ HEADLINE = [
     "calibrate_logit_by",
     "svyby_mean_ratio_events",
     "brr_mean_events",
+    "span_dedup_stats",
     "mc_stratified_study",
     "mc_contaminated_study",
     "mc_nmar_v2_study",

@@ -512,3 +512,117 @@ def dedup_corpus(
         work, pairs.select("id_a", "id_b"), id_col=id_col,
         left_col="id_a", right_col="id_b",
     )
+
+
+def duplicated_span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+    hash_grams: bool = True,
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Exact duplicated-SUBSTRING removal — the ExactSubstr step of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), the third dedup granularity next to whole-document
+    (``exact_dedup``/``dedup_corpus``) and line (``line_dedup``): any
+    run of ``min_len`` whitespace tokens that occurs MORE THAN ONCE in
+    the corpus is cut from every document (the conservative
+    remove-all-copies variant); overlapping duplicated windows merge
+    into maximal spans first, so a long duplicated passage is removed
+    as one span, not per-window.
+
+    Physical shape — everything O(corpus tokens), no suffix array:
+
+    1. per-doc token array -> ALL ``min_len``-token window keys as ONE
+       ``transform`` over the array (codegen; no per-window explode of
+       the token text),
+    2. explode (doc, start, key) -> groupBy key HAVING count > 1 (the
+       only corpus-wide shuffle; map-side partial counts),
+    3. duplicated starts -> maximal spans per doc via the classic
+       gaps-and-islands window (running max of span ends),
+    4. tokens LEFT-join spans (doc-equi + pos-range; spans per doc are
+       disjoint, so each token matches at most once) -> reassemble
+       kept tokens per doc in one groupBy, counting total/removed in
+       the same pass.  Docs with nothing removed — and docs removed
+       ENTIRELY — stay present.
+
+    ``hash_grams=True`` (the 100 TB default) keys step 2 by
+    ``xxhash64`` of the window text (16-byte shuffle rows; a 64-bit
+    collision erroneously deleting a span is ~2^-64 per pair).
+    ``hash_grams=False`` keys by the window text itself — bit-identical
+    semantics, used by the gate row so the DuckDB oracle can replay it;
+    equality of the two paths is pinned in pytest.
+
+    Returns (id_col, out_col, n_tokens, n_removed).
+    """
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2 tokens")
+    L = int(min_len)
+    toked = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__t__"),
+    )
+    keyf = "xxhash64(concat_ws(' ', slice(__t__, i + 1, {L})))" if hash_grams \
+        else "concat_ws(' ', slice(__t__, i + 1, {L}))"
+    grams = toked.filter(F.size("__t__") >= L).select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(__t__) - " + str(L) + "), "
+                "i -> " + keyf.format(L=L) + ")"
+            )
+        ).alias("s", "__k__"),
+    )
+    dup = (
+        grams.groupBy("__k__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .filter(F.col("__c__") > 1)
+        .select("__k__")
+    )
+    starts = grams.join(dup, "__k__").select(id_col, "s")
+    from pyspark.sql import Window
+
+    wprev = (
+        Window.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = Window.partitionBy(id_col).orderBy("s")
+    spans = (
+        starts.withColumn(
+            "__brk__",
+            (
+                F.col("s")
+                >= F.coalesce(F.max(F.col("s") + L).over(wprev), F.lit(-1))
+            ).cast("int"),
+        )
+        .withColumn("__isl__", F.sum("__brk__").over(wrun))
+        .groupBy(id_col, "__isl__")
+        .agg(F.min("s").alias("lo"), (F.max("s") + L).alias("hi"))
+        .drop("__isl__")
+    )
+    toks = toked.select(
+        F.col(id_col),
+        F.posexplode("__t__").alias("pos", "tok"),
+    )
+    sp = spans.withColumnRenamed(id_col, "__sid__")
+    flagged = toks.join(
+        sp,
+        (F.col(id_col) == F.col("__sid__"))
+        & (F.col("pos") >= F.col("lo"))
+        & (F.col("pos") < F.col("hi")),
+        "left",
+    )
+    kept_struct = F.when(F.col("lo").isNull(), F.struct("pos", "tok"))
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(kept_struct)),
+                lambda st: st["tok"],
+            ),
+            " ",
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("lo").isNull(), 0).otherwise(1)).alias("n_removed"),
+    )

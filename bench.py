@@ -115,6 +115,7 @@ HEADLINE = [
     "svyby_mean_ratio_events",
     "brr_mean_events",
     "span_dedup_stats",
+    "quality_cut_stats",
     "mc_stratified_study",
     "mc_contaminated_study",
     "mc_nmar_v2_study",

@@ -183,3 +183,53 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(names[-1])
     return docs.withColumn(out_col, expr)
+
+
+def keep_top_fraction(
+    docs: DataFrame,
+    score_col: str,
+    frac: float,
+    key_cols: list[str] | str | None = None,
+    tiebreak_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Keep the top ``frac`` of rows BY SCORE within each key group —
+    the per-partition quality cut of FineWeb/DCLM-style curation:
+    heuristic or classifier scores are only comparable within a crawl
+    dump / source, so the threshold must be a per-group quantile, not a
+    global constant.  Keeps ``ceil(frac * n_group)`` rows (every
+    non-empty group retains at least one row), ranked by
+    (score desc, tiebreak asc) — fully deterministic under ties, so any
+    SQL engine replays the exact survivor set.
+
+    Physical shape: ONE shuffle on the key feeding a single window that
+    computes rank and group size together; no second pass, no driver
+    quantile table.  At 100 TB this is the same cost class as
+    ``cap_per_key`` (O(rows) shuffle once; no WindowGroupLimit prune
+    here because the cut depends on n_group, unknown until the group
+    assembles).  ``key_cols=None`` ranks the WHOLE corpus in one window
+    partition — a single-task sort, small-data convenience only; at
+    scale always cut per source/dump (which is also the statistically
+    right thing), or derive a global threshold from
+    ``kernels.quantile.svyquantile`` and filter by it."""
+    if not (0.0 < frac <= 1.0):
+        raise ValueError("frac must be in (0, 1]")
+    keys = (
+        [key_cols] if isinstance(key_cols, str)
+        else list(key_cols) if key_cols else []
+    )
+    from pyspark.sql import Window
+
+    score = F.col(score_col).desc() if descending else F.col(score_col).asc()
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    ).orderBy(score, F.col(tiebreak_col).asc())
+    wall = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        docs.withColumn("__rn__", F.row_number().over(w))
+        .withColumn("__n__", F.count(F.lit(1)).over(wall))
+        .filter(F.col("__rn__") <= F.ceil(F.col("__n__") * F.lit(float(frac))))
+        .drop("__rn__", "__n__")
+    )

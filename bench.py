@@ -116,6 +116,7 @@ HEADLINE = [
     "brr_mean_events",
     "span_dedup_stats",
     "quality_cut_stats",
+    "trigram_quality",
     "mc_stratified_study",
     "mc_contaminated_study",
     "mc_nmar_v2_study",

@@ -328,3 +328,108 @@ def clean_text(
     return df.withColumn(out_col, cleaned).withColumn(
         "n_chars_removed", F.length(text_col) - F.length(out_col)
     )
+
+
+def trigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lams: tuple = (0.5, 0.375, 0.125),
+) -> DataFrame:
+    """Per-document mean trigram log-probability under the corpus's own
+    Jelinek-Mercer-interpolated trigram LM — the top of the engine's LM
+    quality ladder (unigram -> bigram -> trigram), the closest cheap
+    stand-in for a KenLM perplexity filter that pure SQL-replayable
+    counting allows:
+
+        P(w | u, v) = l3 c(u,v,w)/c(u,v) + l2 c(v,w)/c(v) + l1 c(w)/T
+
+    with STANDARD JM counts — trigram counts from the triple table,
+    bigram counts from the PAIR table (a document's final bigram counts
+    even though it heads no trigram), context/unigram counts as the
+    bigram table's marginals (the r6 plan-audit pattern), so every
+    denominator is the count the textbook formula names, not a trigram
+    marginal.  Defaults (0.5, 0.375, 0.125) are dyadic: exact
+    cross-engine.  Returns (id_col, n_trigrams, avg_logprob3);
+    documents with < 3 tokens carry no trigram and are absent.
+
+    Physical shape: two corpus-scale explode projections (triples for
+    scoring + counts, pairs for the bigram counts — the honest floor;
+    feed both from a pre-tokenized column at scale), the tg/bg count
+    tables persisted vocabulary-sized, four keyed count joins + the
+    1-row broadcast total, one per-doc aggregation."""
+    l3, l2, l1 = (float(x) for x in lams)
+    if abs(l3 + l2 + l1 - 1.0) > 1e-12 or min(l3, l2, l1) <= 0:
+        raise ValueError("lams must be positive and sum to 1")
+    toks_arr = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks_arr.alias("__toks__"))
+    pairs = (
+        base.filter(F.size("__toks__") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(__toks__, 1, size(__toks__) - 1)"),
+                    F.expr("slice(__toks__, 2, size(__toks__) - 1)"),
+                )
+            ).alias("__bg__"),
+        )
+        .select(
+            id_col,
+            F.col("__bg__")["0"].alias("__v__"),
+            F.col("__bg__")["1"].alias("__w__"),
+        )
+    )
+    triples = (
+        base.filter(F.size("__toks__") >= 3)
+        .select(
+            id_col,
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(__toks__, 1, size(__toks__) - 2)"),
+                    F.expr("slice(__toks__, 2, size(__toks__) - 2)"),
+                    F.expr("slice(__toks__, 3, size(__toks__) - 2)"),
+                )
+            ).alias("__tg__"),
+        )
+        .select(
+            id_col,
+            F.col("__tg__")["0"].alias("__u__"),
+            F.col("__tg__")["1"].alias("__v__"),
+            F.col("__tg__")["2"].alias("__w__"),
+        )
+    )
+    bg = pairs.groupBy("__v__", "__w__").agg(
+        F.count(F.lit(1)).alias("__cb__")
+    ).persist()  # read by the context join, the (v,w) join, vc, wc, tot
+    tg = triples.groupBy("__u__", "__v__", "__w__").agg(
+        F.count(F.lit(1)).alias("__ct__")
+    )
+    vc = bg.groupBy("__v__").agg(F.sum("__cb__").alias("__cv__"))
+    wc = bg.groupBy("__w__").agg(F.sum("__cb__").alias("__cw__"))
+    tot = wc.agg(F.sum("__cw__").cast("double").alias("__T__"))
+    ctx = bg.select(
+        F.col("__v__").alias("__u__"),
+        F.col("__w__").alias("__v__"),
+        F.col("__cb__").alias("__cuv__"),
+    )
+    lp = (
+        triples.join(tg, ["__u__", "__v__", "__w__"])
+        .join(ctx, ["__u__", "__v__"])
+        .join(bg, ["__v__", "__w__"])
+        .join(vc, "__v__")
+        .join(wc, "__w__")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            F.log(
+                F.lit(l3) * F.col("__ct__") / F.col("__cuv__")
+                + F.lit(l2) * F.col("__cb__") / F.col("__cv__")
+                + F.lit(l1) * F.col("__cw__") / F.col("__T__")
+            ).alias("__lp__"),
+        )
+    )
+    return lp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.round(F.avg("__lp__"), 6).alias("avg_logprob3"),
+    )

@@ -839,3 +839,51 @@ def test_clean_text_normalizations(spark):
     )
     assert r["n_chars_removed"] == len(dirty) - len(out)
     assert "\n" in out and "\t" in out      # structure preserved
+
+
+def test_trigram_logprob_scores_matches_python(spark):
+    """r7: interpolated trigram LM vs a from-scratch python replay with
+    STANDARD JM counts (bigram counts from the pair table, not trigram
+    marginals)."""
+    import math
+    from collections import Counter
+
+    from data_integration_est_spark.ops.text import trigram_logprob_scores
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat"),
+        (3, "dog barks"),                # < 3 tokens: absent from output
+        (4, "on the mat the cat sat on"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in trigram_logprob_scores(df).collect()}
+
+    allp, allt, trip_by_doc = [], [], {}
+    for i, t in rows:
+        toks = t.split()
+        allp.extend(zip(toks, toks[1:]))
+        ts = list(zip(toks, toks[1:], toks[2:]))
+        if ts:
+            trip_by_doc[i] = ts
+            allt.extend(ts)
+    ct = Counter(allt)
+    cb = Counter(allp)
+    cv = Counter(v for v, _ in allp)
+    cw = Counter(w for _, w in allp)
+    T = sum(cw.values())
+    l3, l2, l1 = 0.5, 0.375, 0.125
+    for i, ts in trip_by_doc.items():
+        lps = [
+            math.log(l3 * ct[t] / cb[(t[0], t[1])]
+                     + l2 * cb[(t[1], t[2])] / cv[t[1]]
+                     + l1 * cw[t[2]] / T)
+            for t in ts
+        ]
+        assert got[i]["n_trigrams"] == len(ts)
+        assert got[i]["avg_logprob3"] == pytest.approx(
+            round(sum(lps) / len(lps), 6), abs=2e-6)
+    assert 3 not in got
+    # the repeated trigram context scores doc 2 above doc 1's mix
+    with pytest.raises(ValueError, match="lams"):
+        trigram_logprob_scores(df, lams=(0.5, 0.5, 0.5))

@@ -241,7 +241,11 @@ def bigram_logprob_scores(
     Python, no per-row UDF); three keyed count joins (bigram, context,
     unigram — vocabulary-sized, so shuffle joins, NOT broadcast at
     100 TB) + the 1-row total; one per-doc aggregation.  Keep ``lam`` a
-    dyadic float (0.75 default) so 1-lam is exact cross-engine."""
+    dyadic float (0.75 default) so 1-lam is exact cross-engine.  The
+    corpus-scale ``pairs`` projection is read twice (bg build + scoring
+    join) — the honest floor without persisting a corpus-sized exploded
+    table; at scale, feed ``pairs`` (not just ``bg``) from a
+    pre-tokenized column to halve the tokenize cost."""
     toks_arr = F.split(F.trim(F.col(text_col)), r"\s+")
     base = df.select(F.col(id_col), toks_arr.alias("__toks__")).filter(
         F.size("__toks__") >= 2

@@ -348,6 +348,47 @@ def probe_pq_realistic(spark, sf_dir: str):
     }))
 
 
+def probe_r7_ops(spark, sf_dir: str):
+    """r7 additions at 1x and 10x: duplicated-span removal (O(corpus
+    tokens): window-key groupBy + islands + span join), trigram LM
+    scoring (two explode projections + persisted count tables), and the
+    per-source top-fraction cut (one keyed window)."""
+    from data_integration_est_spark.ops.dedup import duplicated_span_dedup
+    from data_integration_est_spark.ops.mixing import keep_top_fraction
+    from data_integration_est_spark.ops.text import trigram_logprob_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    dmax = docs.agg(F.max("doc_id")).collect()[0][0]
+
+    def corpus(mult: int):
+        parts = [
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * (dmax + 1)))
+            for i in range(mult)
+        ]
+        out = parts[0]
+        for pp in parts[1:]:
+            out = out.unionByName(pp)
+        return out
+
+    probes = [
+        ("span_dedup", lambda m: duplicated_span_dedup(
+            corpus(m), min_len=8).agg(
+                F.sum("n_removed")).collect()[0][0]),
+        ("trigram_lm", lambda m: trigram_logprob_scores(
+            corpus(m)).agg(F.sum("n_trigrams")).collect()[0][0]),
+        ("quality_cut", lambda m: keep_top_fraction(
+            corpus(m).withColumn("sc", (F.col("n_chars") % 50).cast("double")),
+            "sc", 0.3, key_cols="source").count()),
+    ]
+    for label, fn in probes:
+        t1 = _timed(f"{label}_x1_{n}docs", lambda m=1, f=fn: f(m))
+        t10 = _timed(f"{label}_x10_{10 * n}docs", lambda m=10, f=fn: f(m))
+        print(json.dumps({
+            "probe": f"{label}_scale_factor_10x", "factor": round(t10 / t1, 2)
+        }))
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -367,6 +408,8 @@ def main() -> None:
         probe_r6_ops(spark, sf_dir)
     if which in ("pq", "all"):
         probe_pq_realistic(spark, sf_dir)
+    if which in ("r7", "all"):
+        probe_r7_ops(spark, sf_dir)
 
 
 if __name__ == "__main__":

@@ -39,12 +39,16 @@ from data_integration_est_spark.ops.decontam import (
     contamination_scan, decontaminate, decontaminate_neardup,
     neardup_contamination,
 )
-from data_integration_est_spark.ops.dedup import dedup_corpus, line_dedup
+from data_integration_est_spark.ops.dedup import (
+    dedup_corpus,
+    duplicated_span_dedup,
+    line_dedup,
+)
 from data_integration_est_spark.ops.heavy_hitters import (
     heavy_hitters, heavy_hitters_by, misra_gries_candidates,
 )
 from data_integration_est_spark.ops.mixing import (
-    cap_per_key, hash_split, source_mixture, temperature_sample,
+    cap_per_key, hash_split, keep_top_fraction, source_mixture, temperature_sample,
 )
 from data_integration_est_spark.estimators.domains import pc_by, regdi_by
 from data_integration_est_spark.estimators.glm import svyglm
@@ -55,7 +59,12 @@ from data_integration_est_spark.kernels.stats import (
     svyby, svychisq_rao_scott, svyciprop, svymean, svyratio, svytotal,
 )
 from data_integration_est_spark.ops.pq import pq_encode, pq_knn, pq_train
-from data_integration_est_spark.ops.text import bigram_logprob_scores, clean_text, unigram_logprob_scores
+from data_integration_est_spark.ops.text import (
+    bigram_logprob_scores,
+    clean_text,
+    trigram_logprob_scores,
+    unigram_logprob_scores,
+)
 from data_integration_est_spark.kernels.rake import poststratify, rake
 from data_integration_est_spark.kernels.replicate import (
     brr_mean,
@@ -96,11 +105,13 @@ __all__ = [
     "contamination_scan",
     "decontaminate",
     "line_dedup",
+    "duplicated_span_dedup",
     "dedup_corpus",
     "heavy_hitters",
     "heavy_hitters_by",
     "misra_gries_candidates",
     "cap_per_key",
+    "keep_top_fraction",
     "hash_split",
     "source_mixture",
     "temperature_sample",
@@ -142,6 +153,7 @@ __all__ = [
     "ingest_summary",
     "unigram_logprob_scores",
     "bigram_logprob_scores",
+    "trigram_logprob_scores",
     "repetition_stats",
     "get_spark",
 ]

@@ -1,0 +1,153 @@
+"""Randomized replays of the r7 operators against from-scratch python
+references: duplicated-span removal, per-group quality cut, BRR/Fay
+replicate variance, trigram LM scoring."""
+
+import math
+import random
+from collections import Counter, defaultdict
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_span_dedup_fuzz_matches_python(spark):
+    from data_integration_est_spark.ops.dedup import duplicated_span_dedup
+
+    rng = random.Random(19)
+    words = [f"w{i}" for i in range(12)]
+    texts = []
+    for _ in range(40):
+        toks = [rng.choice(words) for _ in range(rng.randint(0, 25))]
+        texts.append(" ".join(toks))
+    # plant guaranteed repeats so the dup set is non-trivial
+    motif = "w1 w2 w3 w1 w2"
+    texts += [f"{motif} {t}" for t in texts[:5]]
+    L = 4
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_tokens"], r["n_removed"])
+        for r in duplicated_span_dedup(df, min_len=L, hash_grams=False).collect()
+    }
+
+    docs = {i: t.split() for i, t in enumerate(texts)}
+    counts = Counter(
+        " ".join(tk[i:i + L])
+        for tk in docs.values() for i in range(len(tk) - L + 1)
+    )
+    for did, tk in docs.items():
+        starts = [i for i in range(len(tk) - L + 1)
+                  if counts[" ".join(tk[i:i + L])] > 1]
+        spans = []
+        for s in starts:
+            if spans and s < spans[-1][1]:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], s + L))
+            else:
+                spans.append((s, s + L))
+        removed = {i for lo, hi in spans for i in range(lo, hi)}
+        kept = " ".join(t for i, t in enumerate(tk) if i not in removed)
+        # empty docs tokenize to [''] on both paths
+        n_tok = len(tk) if tk else 1
+        assert got[did] == (kept, n_tok, len(removed)), did
+
+
+def test_keep_top_fraction_fuzz_matches_python(spark):
+    from data_integration_est_spark.ops.mixing import keep_top_fraction
+
+    rng = random.Random(23)
+    rows = [
+        (i, f"g{rng.randint(0, 4)}", float(rng.randint(0, 9)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    for frac in (0.17, 0.6, 0.95):
+        got = {
+            r["doc_id"]
+            for r in keep_top_fraction(df, "score", frac, key_cols="source")
+            .select("doc_id").collect()
+        }
+        groups = defaultdict(list)
+        for did, src, sc in rows:
+            groups[src].append((did, sc))
+        want = set()
+        for members in groups.values():
+            members.sort(key=lambda t: (-t[1], t[0]))
+            want.update(
+                d for d, _ in members[: math.ceil(len(members) * frac)]
+            )
+        assert got == want, frac
+
+
+@pytest.mark.parametrize("n_strata,rho", [(4, 0.0), (9, 0.3), (13, 0.5)])
+def test_brr_fuzz_matches_numpy(spark, n_strata, rho):
+    from data_integration_est_spark.kernels.replicate import brr_mean
+
+    rng = np.random.RandomState(n_strata * 7 + 1)
+    n = 3000
+    h = rng.randint(0, n_strata, n)
+    p = rng.randint(0, 2, n)
+    # ensure every (stratum, psu) cell is populated
+    fix = np.arange(2 * n_strata)
+    h[: 2 * n_strata] = fix // 2
+    p[: 2 * n_strata] = fix % 2
+    w = 1.0 + rng.randint(0, 5, n)
+    y = rng.normal(10.0, 3.0, n)
+    df = spark.createDataFrame(
+        [(int(a), int(b), float(c), float(d)) for a, b, c, d in zip(h, p, w, y)],
+        "h long, p long, w double, y double",
+    )
+    got = brr_mean(df, "y", "h", "p", weight_col="w", fay_rho=rho).collect()[0]
+
+    strata = sorted(set(h.tolist()))
+    col = {hh: i + 1 for i, hh in enumerate(strata)}
+    R = 4
+    while R <= len(strata):
+        R *= 2
+    k = 1.0 - rho
+    theta = float(np.sum(w * y) / np.sum(w))
+    v = 0.0
+    for r in range(R):
+        s = np.array([-1.0 if bin(r & col[hh]).count("1") % 2 else 1.0
+                      for hh in h])
+        f = 1.0 + k * s * (1.0 - 2.0 * p)
+        v += (float(np.sum(f * w * y) / np.sum(f * w)) - theta) ** 2
+    se = math.sqrt(v / (R * k * k))
+    assert got["mean"] == pytest.approx(round(theta, 6), abs=2e-6)
+    assert got["se_brr"] == pytest.approx(round(se, 6), abs=2e-6)
+    assert got["n_replicates"] == R
+
+
+def test_trigram_fuzz_matches_python(spark):
+    from data_integration_est_spark.ops.text import trigram_logprob_scores
+
+    rng = random.Random(31)
+    vocab = list("abcdefg")
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+             for _ in range(50)]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in trigram_logprob_scores(df).collect()}
+
+    allp, allt, by_doc = [], [], {}
+    for i, t in enumerate(texts):
+        tk = t.split()
+        allp.extend(zip(tk, tk[1:]))
+        ts = list(zip(tk, tk[1:], tk[2:]))
+        if ts:
+            by_doc[i] = ts
+            allt.extend(ts)
+    ct, cb = Counter(allt), Counter(allp)
+    cv = Counter(v for v, _ in allp)
+    cw = Counter(w for _, w in allp)
+    T = sum(cw.values())
+    for i, ts in by_doc.items():
+        lps = [math.log(0.5 * ct[t] / cb[(t[0], t[1])]
+                        + 0.375 * cb[(t[1], t[2])] / cv[t[1]]
+                        + 0.125 * cw[t[2]] / T) for t in ts]
+        assert got[i]["n_trigrams"] == len(ts)
+        assert got[i]["avg_logprob3"] == pytest.approx(
+            round(sum(lps) / len(lps), 6), abs=2e-6), i
+    assert set(got) == set(by_doc)

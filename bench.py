@@ -117,6 +117,7 @@ HEADLINE = [
     "span_dedup_stats",
     "quality_cut_stats",
     "trigram_quality",
+    "shuffle_shards_stats",
     "mc_stratified_study",
     "mc_contaminated_study",
     "mc_nmar_v2_study",

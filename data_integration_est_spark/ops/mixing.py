@@ -233,3 +233,49 @@ def keep_top_fraction(
         .filter(F.col("__rn__") <= F.ceil(F.col("__n__") * F.lit(float(frac))))
         .drop("__rn__", "__n__")
     )
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    shard_col: str = "shard",
+    order_col: str = "shard_pos",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the training-data
+    EMISSION step: pre-training wants documents in a pseudo-random order
+    that is STABLE under reprocessing (resumable jobs, reproducible
+    runs) and cluster-size-independent, which ``orderBy(rand())`` is
+    not.  Every row gets a hash-derived order key
+    ``k = ((id mod m) * M + seed * 7919) mod m`` (the engine's Knuth
+    mix — integer-exact in any 64-bit engine), its shard
+    ``k mod n_shards``, and its position within the shard (ordered by
+    (k, id) — fully deterministic under hash ties).
+
+    Physical shape: ONE shuffle on the shard key feeding the position
+    window — exactly the repartition a sharded writer needs anyway
+    (follow with ``.write.partitionBy(shard)``; the rows arrive already
+    ordered).  Changing ``seed`` reshuffles; changing the cluster does
+    not."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    id_type = docs.schema[id_col].dataType.typeName()
+    if id_type not in _INTEGRAL_TYPES:
+        raise TypeError(
+            f"shuffle_shards: id column {id_col!r} has type {id_type!r}; "
+            "integral ids only (same contract as hash_split)"
+        )
+    from pyspark.sql import Window
+
+    k = (
+        (F.col(id_col).cast("long") % F.lit(_HASH_MOD)) * F.lit(_HASH_MULT)
+        + F.lit(int(seed) * 7919)
+    ) % F.lit(_HASH_MOD)
+    out = docs.withColumn("__k__", k).withColumn(
+        shard_col, (F.col("__k__") % F.lit(int(n_shards))).cast("int")
+    )
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col("__k__").asc(), F.col(id_col).asc()
+    )
+    return out.withColumn(order_col, F.row_number().over(w)).drop("__k__")

@@ -151,3 +151,36 @@ def test_trigram_fuzz_matches_python(spark):
         assert got[i]["avg_logprob3"] == pytest.approx(
             round(sum(lps) / len(lps), 6), abs=2e-6), i
     assert set(got) == set(by_doc)
+
+
+def test_shuffle_shards_fuzz_matches_python(spark):
+    from data_integration_est_spark.ops.mixing import (
+        _HASH_MOD, _HASH_MULT, shuffle_shards,
+    )
+
+    ids = [i * 37 + 5 for i in range(500)]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    for seed, n_shards in [(0, 4), (3, 8), (11, 5)]:
+        got = {
+            r["doc_id"]: (r["shard"], r["shard_pos"])
+            for r in shuffle_shards(df, n_shards, seed=seed).collect()
+        }
+        keys = {i: ((i % _HASH_MOD) * _HASH_MULT + seed * 7919) % _HASH_MOD
+                for i in ids}
+        by_shard = {}
+        for i in ids:
+            by_shard.setdefault(keys[i] % n_shards, []).append(i)
+        want = {}
+        for sh, members in by_shard.items():
+            members.sort(key=lambda i: (keys[i], i))
+            for pos, i in enumerate(members, start=1):
+                want[i] = (sh, pos)
+        assert got == want, (seed, n_shards)
+    # different seeds produce different orders
+    a = shuffle_shards(df, 4, seed=0).collect()
+    b = shuffle_shards(df, 4, seed=1).collect()
+    assert {(r["doc_id"], r["shard"], r["shard_pos"]) for r in a} != \
+           {(r["doc_id"], r["shard"], r["shard_pos"]) for r in b}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_shards"):
+        shuffle_shards(df, 0)

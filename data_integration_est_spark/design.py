@@ -38,6 +38,13 @@ class SurveyDesign:
     # Stratified element sampling: variance contributions are computed and
     # degree-of-freedom-corrected per stratum, then summed.
     strata_col: str | None = None
+    # Finite population correction — ``svydesign(fpc=~N)``: a column
+    # holding the POPULATION size of each row's stratum (constant within
+    # a stratum; with no strata, the overall N).  When set, each
+    # stratum's variance piece is scaled by (1 - n_h/N_h) — the SRS-WOR
+    # correction; a census stratum (n_h = N_h) contributes zero
+    # variance.  Estimation (point values, weights) is unchanged.
+    fpc_col: str | None = None
 
     def __post_init__(self) -> None:
         cols = set(self.df.columns)

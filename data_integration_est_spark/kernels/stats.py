@@ -4,7 +4,9 @@ linearization variance of (calibrated) weighted means.
 Engine-normative variance formulas (SURVEY.md §4.3-2; these are the
 documented semantics our DuckDB oracles implement — parity with the
 reference's ``survey::svymean`` linearization for element-level
-with-replacement designs, ``ids=~1``, no FPC):
+with-replacement designs, ``ids=~1``; r7 adds ``fpc=`` — when the
+design carries a population-size column, every stratum's variance
+piece is scaled by the SRS-WOR correction (1 - n_h/N_h)):
 
 - ``svytotal``:  T = sum_s w_i y_i,
   V = n/(n-1) * sum_s (w_i y_i - mean(w y))^2
@@ -69,15 +71,29 @@ def weighted_mean(
     return {k: (r["__swy__"] or 0.0) / r["__sw__"] for k, r in res.items()}
 
 
-def _strat_var(pieces: list[tuple[int, float, float]]) -> float:
+def _fpc_factor(n_h: int, N_h: float | None) -> float:
+    """SRS-WOR finite population correction (1 - n_h/N_h), clamped at 0
+    (an impossible n_h > N_h means a mis-specified fpc column — treat
+    as census rather than emit negative variance).  None -> 1."""
+    if N_h is None:
+        return 1.0
+    return max(0.0, 1.0 - float(n_h) / float(N_h))
+
+
+def _strat_var(pieces: list[tuple]) -> float:
     """Stratified with-replacement variance from per-stratum
-    (n_h, sum_h u, sum_h u^2) pieces: V = Σ_h n_h/(n_h-1) ·
-    (Σ_h u² − (Σ_h u)²/n_h) — ``svydesign(ids=~1, strata=~h)``."""
+    (n_h, sum_h u, sum_h u^2[, fpc_factor]) pieces: V = Σ_h f_h ·
+    n_h/(n_h-1) · (Σ_h u² − (Σ_h u)²/n_h) —
+    ``svydesign(ids=~1, strata=~h[, fpc=~N])``."""
     v = 0.0
-    for n_h, s1, s2 in pieces:
+    for piece in pieces:
+        n_h, s1, s2 = piece[0], piece[1], piece[2]
+        f_h = piece[3] if len(piece) > 3 else 1.0
         if n_h < 2:
+            if f_h == 0.0:
+                continue  # census stratum: zero variance regardless of df
             return float("nan")
-        v += n_h / (n_h - 1.0) * (s2 - s1 * s1 / n_h)
+        v += f_h * n_h / (n_h - 1.0) * (s2 - s1 * s1 / n_h)
     return v
 
 
@@ -88,8 +104,10 @@ def svytotal(
     stratified designs sum the df-corrected variance per stratum."""
     group_cols = list(group_cols or [])
     strat = design.strata_col
+    fpc = design.fpc_col
     df = design.df.na.drop(
         subset=[y_col, design.weight_col] + ([strat] if strat else [])
+        + ([fpc] if fpc else [])
     )
     w = F.col(design.weight_col).cast("double")
     y = F.col(y_col).cast("double")
@@ -101,8 +119,13 @@ def svytotal(
             F.sum(wy).alias("__t__"),
             F.sum(wy * wy).alias("__t2__"),
             F.count(F.lit(1)).alias("__n__"),
-        ],
+        ]
+        + ([F.max(F.col(fpc).cast("double")).alias("__N__")] if fpc else []),
     )
+
+    def _Nh(r):
+        return float(r["__N__"]) if fpc else None
+
     out = []
     if strat:
         by_group: dict[tuple, list] = {}
@@ -112,7 +135,8 @@ def svytotal(
             t = sum(r["__t__"] or 0.0 for r in rows)
             n = sum(int(r["__n__"]) for r in rows)
             v = _strat_var([
-                (int(r["__n__"]), r["__t__"] or 0.0, r["__t2__"] or 0.0)
+                (int(r["__n__"]), r["__t__"] or 0.0, r["__t2__"] or 0.0,
+                 _fpc_factor(int(r["__n__"]), _Nh(r)))
                 for r in rows
             ])
             out.append(EstimateRow(key=k, estimate=float(t), variance=float(v), n=n))
@@ -121,8 +145,14 @@ def svytotal(
         n = int(r["__n__"])
         t = r["__t__"] or 0.0
         t2 = r["__t2__"] or 0.0
-        # n/(n-1) * (sum z^2 - n*zbar^2), z = w*y
-        v = float("nan") if n < 2 else n / (n - 1.0) * (t2 - t * t / n)
+        f = _fpc_factor(n, _Nh(r))
+        # f * n/(n-1) * (sum z^2 - n*zbar^2), z = w*y
+        if f == 0.0:
+            v = 0.0
+        elif n < 2:
+            v = float("nan")
+        else:
+            v = f * n / (n - 1.0) * (t2 - t * t / n)
         out.append(EstimateRow(key=k, estimate=float(t), variance=float(v), n=n))
     return out
 
@@ -158,11 +188,12 @@ def svymean(
     """
     group_cols = list(group_cols or [])
     strat = design.strata_col
+    fpc = design.fpc_col
     xcols = list(design.calibration_cols or []) if design.is_calibrated else []
     kx = len(xcols)
     subset = [y_col, design.weight_col] + (
         [design.base_weight_col] if design.is_calibrated else []
-    ) + xcols + ([strat] if strat else [])
+    ) + xcols + ([strat] if strat else []) + ([fpc] if fpc else [])
     df = design.df.na.drop(subset=list(dict.fromkeys(subset)))
     w = F.col(design.weight_col).cast("double")
     y = F.col(y_col).cast("double")
@@ -175,6 +206,7 @@ def svymean(
         F.sum(w).alias("sw"),
         F.sum(w * y).alias("swy"),
         *[F.sum(w * xs[j]).alias(f"swx_{j}") for j in range(kx)],
+        *([F.max(F.col(fpc).cast("double")).alias("__N__")] if fpc else []),
     ]
     for i in range(len(z)):
         for j in range(i, len(z)):
@@ -240,13 +272,22 @@ def svymean(
                     q[i, j] = q[j, i] = _f(r, f"q_{i}_{j}")
             # Σw²e² via the quadratic form: e = [1, y, x]·(-m, 1, -B)
             sum_w2e2 = float(c @ q @ c)
-            pieces.append((int(r["n"]), sum_we / sw, sum_w2e2 / (sw * sw)))
+            pieces.append((
+                int(r["n"]), sum_we / sw, sum_w2e2 / (sw * sw),
+                _fpc_factor(int(r["n"]),
+                            float(r["__N__"]) if fpc else None),
+            ))
 
         if strat:
             v = _strat_var(pieces)
         else:
-            n_h, s1, s2 = pieces[0]
-            v = float("nan") if n < 2 else n / (n - 1.0) * (s2 - s1 * s1 / n)
+            n_h, s1, s2, f = pieces[0]
+            if f == 0.0:
+                v = 0.0
+            elif n < 2:
+                v = float("nan")
+            else:
+                v = f * n / (n - 1.0) * (s2 - s1 * s1 / n)
         out.append(EstimateRow(key=key, estimate=float(m), variance=float(v), n=n))
     return out
 
@@ -272,8 +313,10 @@ def svyratio(
     per-stratum variance pieces — the svymean/svytotal pattern."""
     group_cols = list(group_cols or [])
     strat = design.strata_col
+    fpc = design.fpc_col
     df = design.df.na.drop(
         subset=[num_col, den_col, design.weight_col] + ([strat] if strat else [])
+        + ([fpc] if fpc else [])
     )
     w = F.col(design.weight_col).cast("double")
     y = F.col(num_col).cast("double")
@@ -288,7 +331,8 @@ def svyratio(
             F.sum(w * w * x * y).alias("qxy"),
             F.sum(w * w * x * x).alias("qxx"),
             F.count(F.lit(1)).alias("n"),
-        ],
+        ]
+        + ([F.max(F.col(fpc).cast("double")).alias("__N__")] if fpc else []),
     )
     if strat:
         grouped: dict[tuple, list] = {}
@@ -319,11 +363,20 @@ def svyratio(
             q_h = (
                 _f(r, "qyy") - 2.0 * R * _f(r, "qxy") + R * R * _f(r, "qxx")
             ) / (swx * swx)
-            pieces.append((int(r["n"]), s_h, q_h))
-        v = _strat_var(pieces) if (strat or len(pieces) > 1) else (
-            float("nan") if n < 2
-            else n / (n - 1.0) * (pieces[0][2] - pieces[0][1] ** 2 / n)
-        )
+            pieces.append((
+                int(r["n"]), s_h, q_h,
+                _fpc_factor(int(r["n"]), float(r["__N__"]) if fpc else None),
+            ))
+        if strat or len(pieces) > 1:
+            v = _strat_var(pieces)
+        else:
+            f = pieces[0][3]
+            if f == 0.0:
+                v = 0.0
+            elif n < 2:
+                v = float("nan")
+            else:
+                v = f * n / (n - 1.0) * (pieces[0][2] - pieces[0][1] ** 2 / n)
         out.append(EstimateRow(key=k, estimate=float(R), variance=float(v), n=n))
     return out
 
@@ -663,8 +716,10 @@ def svyvar(
     driver."""
     group_cols = list(group_cols or [])
     strat = design.strata_col
+    fpc = design.fpc_col
     df = design.df.na.drop(
         subset=[y_col, design.weight_col] + ([strat] if strat else [])
+        + ([fpc] if fpc else [])
     )
     w = F.col(design.weight_col).cast("double")
     y = F.col(y_col).cast("double")
@@ -675,6 +730,7 @@ def svyvar(
         F.sum(w * y).alias("swy"),
         F.sum(w * y * y).alias("swy2"),
         *[F.sum(w2 * F.pow(y, k)).alias(f"s{k}") for k in range(5)],
+        *([F.max(F.col(fpc).cast("double")).alias("__N__")] if fpc else []),
     ]
     res = _collect_keyed(df, group_cols + ([strat] if strat else []), aggs)
 
@@ -708,11 +764,19 @@ def svyvar(
                 + (4.0 * m * m + 2.0 * c) * _f(r, "s2")
                 - 4.0 * m * c * _f(r, "s1") + c * c * _f(r, "s0")
             ) / (sw * sw)
-            pieces.append((int(r["n"]), s_h, q_h))
+            pieces.append((
+                int(r["n"]), s_h, q_h,
+                _fpc_factor(int(r["n"]), float(r["__N__"]) if fpc else None),
+            ))
         if strat:
             var = _strat_var(pieces)
         else:
-            n_h, s1, s2 = pieces[0]
-            var = float("nan") if n < 2 else n / (n - 1.0) * (s2 - s1 * s1 / n)
+            n_h, s1, s2, f = pieces[0]
+            if f == 0.0:
+                var = 0.0
+            elif n < 2:
+                var = float("nan")
+            else:
+                var = f * n / (n - 1.0) * (s2 - s1 * s1 / n)
         out.append(EstimateRow(key=key, estimate=float(V), variance=float(var), n=n))
     return out

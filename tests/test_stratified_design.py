@@ -166,3 +166,56 @@ def test_nb13_rich_aux_scenario2_deviation(spark):
     assert -0.2 < bias_rich < 0.2, (bias_rich, rich)
     # stratum-only: reproduces the +1.83 the reference table prints
     assert 1.4 < bias_strat < 2.3, (bias_strat, strat_only)
+
+
+def test_fpc_scales_variance_by_1_minus_f(spark):
+    """r7: svydesign(fpc=~N) — the SRS-WOR correction scales every
+    variance by exactly (1 - n/N) in the unstratified case, per stratum
+    otherwise; a census stratum contributes zero."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_integration_est_spark.design import SurveyDesign
+    from data_integration_est_spark.kernels.stats import (
+        svymean, svyratio, svytotal, svyvar,
+    )
+
+    rng = np.random.RandomState(5)
+    n = 400
+    rows = [
+        (i, float(rng.normal(10, 2)), 1.0 + i % 3, float(1 + (i % 4)))
+        for i in range(n)
+    ]
+    df = (
+        spark.createDataFrame(rows, "id long, y double, w double, x double")
+        .withColumn("N", F.lit(1000.0))
+    )
+    plain = SurveyDesign(df=df, weight_col="w")
+    fpcd = SurveyDesign(df=df, weight_col="w", fpc_col="N")
+    f = 1.0 - n / 1000.0
+    for fn, kw in [
+        (svymean, {}), (svytotal, {}), (svyvar, {}),
+        (svyratio, {"den_col": "x"}),
+    ]:
+        args = ("y", kw["den_col"]) if kw else ("y",)
+        a = fn(plain, *args)[0]
+        b = fn(fpcd, *args)[0]
+        assert b.estimate == a.estimate
+        assert b.variance == pytest.approx(f * a.variance, rel=1e-12), fn
+
+    # stratified: per-stratum factors; census stratum contributes zero
+    sdf = df.withColumn("h", (F.col("id") % 2).cast("long")).withColumn(
+        "N", F.when(F.col("h") == 0, 200.0).otherwise(1e12)
+    )
+    s_plain = SurveyDesign(df=sdf, weight_col="w", strata_col="h")
+    s_fpc = SurveyDesign(df=sdf, weight_col="w", strata_col="h", fpc_col="N")
+    a = svymean(s_plain, "y")[0]
+    b = svymean(s_fpc, "y")[0]
+    assert b.variance < a.variance  # stratum 0 damped by (1 - 200/200...)
+    # census everywhere -> zero variance
+    census = SurveyDesign(
+        df=sdf.withColumn("N", F.lit(float(n // 2))), weight_col="w",
+        strata_col="h", fpc_col="N",
+    )
+    c = svymean(census, "y")[0]
+    assert c.variance == 0.0

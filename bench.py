@@ -118,6 +118,7 @@ HEADLINE = [
     "quality_cut_stats",
     "trigram_quality",
     "shuffle_shards_stats",
+    "svymean_fpc_events",
     "mc_stratified_study",
     "mc_contaminated_study",
     "mc_nmar_v2_study",

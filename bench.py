@@ -119,6 +119,7 @@ HEADLINE = [
     "trigram_quality",
     "shuffle_shards_stats",
     "svymean_fpc_events",
+    "twophase_orders",
     "mc_stratified_study",
     "mc_contaminated_study",
     "mc_nmar_v2_study",

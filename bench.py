@@ -120,6 +120,7 @@ HEADLINE = [
     "shuffle_shards_stats",
     "svymean_fpc_events",
     "twophase_orders",
+    "ivfpq_knn_recall",
     "mc_stratified_study",
     "mc_contaminated_study",
     "mc_nmar_v2_study",

@@ -392,6 +392,40 @@ def ivf_knn(
                            n_probe, dim)
 
 
+def ivf_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 3,
+    seed: int = 42,
+    init_rounds: int = 2,
+) -> DataFrame:
+    """RAW IVF candidate pairs (query_id, neighbor_id) — the pre-rerank
+    candidate generator of the production ``IVF x PQ`` path (r7): each
+    query meets only the members of its ``n_probe`` nearest clusters;
+    no scoring happens here, so the output feeds ``pq_knn`` (ADC
+    rerank), ``ngram_jaccard_pairs``-style verifies, or an exact
+    rerank.  Same plan as ``ivf_knn`` minus the rank: one corpus
+    assignment scan (a partition-pruning key at 100 TB when the corpus
+    is written partitioned by cluster) + a cluster-key equi-join."""
+    centroids = kmeans_centroids(
+        corpus, vec_col, id_col, k=n_clusters, n_iter=n_iter, seed=seed,
+        init_rounds=init_rounds,
+    )
+    c_assigned = spread(corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )).withColumn("__c__", _nearest_centroid("cv", centroids))
+    probes = _query_probes(queries, centroids, n_probe, id_col, vec_col)
+    return (
+        probes.join(c_assigned.select("neighbor_id", "__c__"), "__c__")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+
+
 def _query_probes(
     queries: DataFrame, centroids: list[list[float]], n_probe: int, id_col: str,
     vec_col: str,

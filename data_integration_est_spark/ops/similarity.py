@@ -380,7 +380,15 @@ def ivf_knn(
     Scale shape: the corpus is scanned once to assign cluster ids (a
     partition-pruning key at 100 TB when written bucketed/partitioned by
     cluster); each query joins only its probed clusters — candidate count
-    drops by ~n_clusters/n_probe versus brute force."""
+    drops by ~n_clusters/n_probe versus brute force.
+
+    PERF: pass a MATERIALIZED vector column (persisted or read straight
+    from parquet).  A computed ``vec_col`` (e.g. a lazy normalization
+    transform) gets INLINED by Catalyst into every one of the
+    n_clusters x dim centroid product terms across every Lloyd
+    iteration — measured ~10x analysis+codegen blowup (335 s -> 25 s
+    after a persist) — the same higher-order-function inlining trap
+    ``word_shingles``/``minhash_signatures`` document."""
     centroids = kmeans_centroids(
         corpus, vec_col, id_col, k=n_clusters, n_iter=n_iter, seed=seed,
         init_rounds=init_rounds,

@@ -121,6 +121,7 @@ HEADLINE = [
     "svymean_fpc_events",
     "twophase_orders",
     "ivfpq_knn_recall",
+    "stream_decontam_summary",
     "mc_stratified_study",
     "mc_contaminated_study",
     "mc_nmar_v2_study",

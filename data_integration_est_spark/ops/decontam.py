@@ -224,3 +224,76 @@ def decontaminate_neardup(
         bench_id_col=bench_id_col, threshold=threshold, **kwargs,
     ).select(id_col).distinct()
     return corpus.join(flagged, id_col, "left_anti")
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = 5,
+    frac_threshold: float = 0.05,
+    exact: bool = False,
+    max_bench_grams: int = 5_000_000,
+) -> DataFrame:
+    """MAP-ONLY per-row contamination flags — the STREAMING-compatible
+    form of :func:`contamination_scan` (r7): the document's distinct
+    grams stay an ARRAY column and score via ``array_intersect``
+    against the benchmark's gram set collected into ONE broadcast row,
+    so there is no per-doc explode/groupBy and the operator runs on a
+    ``readStream`` frame in APPEND mode with zero state (stream-static
+    cross join of the 1-row set) — decontamination AT INGEST, before
+    contaminated docs ever reach the training sink.
+
+    Same numbers as ``contamination_scan`` (pinned in pytest); adds the
+    original columns back (it's a ``withColumn`` chain, not an agg).
+    The benchmark gram set must be broadcast-sized — true for real eval
+    benchmarks; the ``max_bench_grams`` guard raises rather than
+    silently building a multi-GB broadcast."""
+    bench_keys = (
+        _gram_keys(benchmark, bench_text_col or text_col, id_col, n, exact)
+        .select("gram_key")
+        .distinct()
+    )
+    n_grams_bench = bench_keys.count()
+    if n_grams_bench > max_bench_grams:
+        raise ValueError(
+            f"contamination_flags: benchmark has {n_grams_bench} grams > "
+            f"max_bench_grams={max_bench_grams}; a set this large should "
+            "use the join-based contamination_scan, not a broadcast array"
+        )
+    bench_row = bench_keys.agg(
+        F.collect_list("gram_key").alias("__bench__")
+    )
+    base = docs.withColumn("__t__", _norm_text(F.col(text_col))).withColumn(
+        "__toks__", F.split(F.col("__t__"), " ")
+    )
+    k = F.size("__toks__")
+    grams = F.when(
+        k >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), k - n),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__toks__"), i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array(F.col("__t__")))
+    if not exact:
+        grams = F.transform(grams, lambda g: F.xxhash64(g))
+    hits = F.size(F.array_intersect(F.col("__grams__"), F.col("__bench__")))
+    return (
+        base.withColumn("__grams__", grams)
+        .crossJoin(F.broadcast(bench_row))
+        .withColumn("n_grams", F.size("__grams__"))
+        .withColumn("n_hits", hits)
+        .withColumn(
+            "contamination_frac",
+            F.round(F.col("n_hits") / F.col("n_grams"), 6),
+        )
+        .withColumn(
+            "contaminated",
+            (F.col("n_hits") / F.col("n_grams") >= frac_threshold).cast("int"),
+        )
+        .drop("__t__", "__toks__", "__grams__", "__bench__")
+    )

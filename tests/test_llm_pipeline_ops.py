@@ -887,3 +887,31 @@ def test_trigram_logprob_scores_matches_python(spark):
     # the repeated trigram context scores doc 2 above doc 1's mix
     with pytest.raises(ValueError, match="lams"):
         trigram_logprob_scores(df, lams=(0.5, 0.5, 0.5))
+
+
+def test_contamination_flags_matches_scan(spark):
+    """r7: the map-only/streaming form must produce contamination_scan's
+    exact numbers on both key paths, and refuse oversized benchmarks."""
+    from data_integration_est_spark.ops.decontam import (
+        contamination_flags, contamination_scan,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    for exact in (True, False):
+        want = {
+            r["doc_id"]: (r["n_grams"], r["n_hits"], r["contaminated"])
+            for r in contamination_scan(
+                corpus, bench, n=5, frac_threshold=0.05, exact=exact
+            ).collect()
+        }
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_hits"], r["contaminated"])
+            for r in contamination_flags(
+                corpus, bench, n=5, frac_threshold=0.05, exact=exact
+            ).collect()
+        }
+        assert got == want, exact
+    with pytest.raises(ValueError, match="max_bench_grams"):
+        contamination_flags(corpus, bench, max_bench_grams=1)

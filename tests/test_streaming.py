@@ -215,3 +215,33 @@ def test_doc_ingest_summary_stream_matches_batch(spark, tmp_path):
     assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, stream.collect()))
     row = batch.agg(F.sum("n_in"), F.sum("n_kept")).collect()[0]
     assert row[0] == src.count() and 0 < row[1] <= row[0]
+
+
+def test_decontam_stream_matches_batch(spark, tmp_path):
+    """r7: map-only decontamination at ingest — contamination_flags on a
+    readStream frame (append mode, stream-static broadcast of the
+    benchmark gram set) must equal the batch plan row for row."""
+    from data_integration_est_spark.ops.decontam import contamination_flags
+    from data_integration_est_spark.streaming import docs as sd
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = src.filter(F.col("doc_id") % 17 == 0)
+    corpus = src.filter(F.col("doc_id") % 17 != 0)
+    path = str(tmp_path / "decontam_stream")
+    corpus.write.parquet(path)
+
+    cols = ["doc_id", "n_grams", "n_hits", "contaminated"]
+    batch = contamination_flags(
+        spark.read.parquet(path), bench, n=5, exact=True
+    )
+    stream = se.run_to_memory(
+        contamination_flags(
+            sd.read_doc_stream(spark, path, max_files_per_trigger=1),
+            bench, n=5, exact=True,
+        ),
+        "decontam_t", output_mode="append",
+    )
+    b = sorted(map(tuple, batch.select(*cols).collect()))
+    s = sorted(map(tuple, stream.select(*cols).collect()))
+    assert b == s and len(b) > 0
+    assert any(r[3] == 1 for r in b)  # the planted benchmark overlap fires

@@ -122,6 +122,7 @@ HEADLINE = [
     "twophase_orders",
     "ivfpq_knn_recall",
     "stream_decontam_summary",
+    "mad_outliers_events",
     "mc_stratified_study",
     "mc_contaminated_study",
     "mc_nmar_v2_study",

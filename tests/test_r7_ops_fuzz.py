@@ -184,3 +184,44 @@ def test_shuffle_shards_fuzz_matches_python(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="n_shards"):
         shuffle_shards(df, 0)
+
+
+def test_mad_outlier_flags_fuzz_matches_numpy(spark):
+    from data_integration_est_spark.ops.outliers import mad_outlier_flags
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(600):
+        g = f"g{i % 3}"
+        v = float(rng.normal(10 * (i % 3), 2))
+        if i % 50 == 0:
+            v += 100.0  # planted outliers
+        rows.append((i, g, v))
+    rows.append((600, "g0", None))
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = {r["id"]: r["is_outlier"]
+           for r in mad_outlier_flags(df, "v", key_cols="g", k=3.0).collect()}
+
+    import numpy as _np
+    for gname in ("g0", "g1", "g2"):
+        vals = _np.array([v for _, g, v in rows if g == gname and v is not None])
+        med = _np.percentile(vals, 50)  # numpy linear interpolation == engine
+        mad = _np.percentile(_np.abs(vals - med), 50)
+        for i, g, v in rows:
+            if g != gname or v is None:
+                continue
+            want = int(abs(v - med) > 3.0 * 1.4826 * mad) if mad > 0 \
+                else int(abs(v - med) > 0)
+            assert got[i] == want, (i, v)
+    assert got[600] is None
+    # planted outliers all flagged
+    assert all(got[i] == 1 for i in range(0, 600, 50))
+    # degenerate MAD: constant-majority group flags only the deviant
+    cdf = spark.createDataFrame(
+        [(i, 5.0 if i else 9.0) for i in range(10)], "id long, v double"
+    )
+    flags = {r["id"]: r["is_outlier"]
+             for r in mad_outlier_flags(cdf, "v").collect()}
+    assert flags[0] == 1 and all(flags[i] == 0 for i in range(1, 10))
+    with pytest.raises(ValueError, match="k must"):
+        mad_outlier_flags(cdf, "v", k=0)

@@ -36,7 +36,7 @@ from data_integration_est_spark.ops.components import (
 )
 from data_integration_est_spark.ops.bpe import bpe_segment, learn_bpe
 from data_integration_est_spark.ops.decontam import (
-    contamination_scan, decontaminate, decontaminate_neardup,
+    contamination_flags, contamination_scan, decontaminate, decontaminate_neardup,
     neardup_contamination,
 )
 from data_integration_est_spark.ops.dedup import (
@@ -52,6 +52,9 @@ from data_integration_est_spark.ops.mixing import (
 )
 from data_integration_est_spark.estimators.domains import pc_by, regdi_by
 from data_integration_est_spark.estimators.glm import svyglm
+from data_integration_est_spark.estimators.twophase import twophase_regression_mean
+from data_integration_est_spark.ops.outliers import mad_outlier_flags
+from data_integration_est_spark.ops.mixing import shuffle_shards
 from data_integration_est_spark.kernels.quantile import (
     svyquantile, trim_weights, trimmed_mean,
 )
@@ -103,6 +106,10 @@ __all__ = [
     "connected_components",
     "dedup_keep_representative",
     "contamination_scan",
+    "contamination_flags",
+    "twophase_regression_mean",
+    "mad_outlier_flags",
+    "shuffle_shards",
     "decontaminate",
     "line_dedup",
     "duplicated_span_dedup",

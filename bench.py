@@ -123,6 +123,7 @@ HEADLINE = [
     "ivfpq_knn_recall",
     "stream_decontam_summary",
     "mad_outliers_events",
+    "pairwise_corr_events",
     "mc_stratified_study",
     "mc_contaminated_study",
     "mc_nmar_v2_study",

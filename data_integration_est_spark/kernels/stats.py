@@ -780,3 +780,72 @@ def svyvar(
                 var = f * n / (n - 1.0) * (s2 - s1 * s1 / n)
         out.append(EstimateRow(key=key, estimate=float(V), variance=float(var), n=n))
     return out
+
+
+def pairwise_corr(
+    df: DataFrame,
+    cols: list[str],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Long-form Pearson correlation matrix over ``cols`` — ONE
+    aggregation pass carrying the k(k+3)/2 uncentered moments (sums,
+    squares, cross-products) per group; the driver never sees row data.
+    Listwise-complete: rows with a null in ANY of ``cols`` are dropped
+    first (the semantics a SQL ``corr`` replays after the same filter —
+    pairwise-complete would need per-pair n's and is a different
+    estimator).  Returns (group_cols..., col_a, col_b, corr, n) for the
+    strict upper triangle, col_a < col_b alphabetically."""
+    if len(cols) < 2:
+        raise ValueError("pairwise_corr needs at least 2 columns")
+    group_cols = list(group_cols or [])
+    cs = sorted(cols)
+    work = df.na.drop(subset=cs)
+    xs = {c: F.col(c).cast("double") for c in cs}
+    aggs = [F.count(F.lit(1)).alias("__n__")]
+    for i, a in enumerate(cs):
+        aggs.append(F.sum(xs[a]).alias(f"s_{i}"))
+        for j in range(i, len(cs)):
+            aggs.append(F.sum(xs[a] * xs[cs[j]]).alias(f"q_{i}_{j}"))
+    res = _collect_keyed(work, group_cols, aggs)
+    rows = []
+    for key, r in res.items():
+        n = int(r["__n__"])
+        for i in range(len(cs)):
+            for j in range(i + 1, len(cs)):
+                if n < 2:
+                    c = None
+                else:
+                    sa, sb = float(r[f"s_{i}"] or 0), float(r[f"s_{j}"] or 0)
+                    qab = float(r[f"q_{i}_{j}"] or 0)
+                    qaa = float(r[f"q_{i}_{i}"] or 0)
+                    qbb = float(r[f"q_{j}_{j}"] or 0)
+                    cov = qab - sa * sb / n
+                    va = qaa - sa * sa / n
+                    vb = qbb - sb * sb / n
+                    c = (
+                        None if va <= 0 or vb <= 0
+                        else cov / (va * vb) ** 0.5
+                    )
+                rows.append(
+                    tuple(key) + (cs[i], cs[j],
+                                  None if c is None else round(c, 6), n)
+                )
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    key_fields = (
+        list(df.select(*group_cols).schema.fields) if group_cols else []
+    )
+    schema = StructType(
+        key_fields
+        + [
+            StructField("col_a", StringType(), False),
+            StructField("col_b", StringType(), False),
+            StructField("corr", DoubleType(), True),
+            StructField("n", LongType(), False),
+        ]
+    )
+    return df.sparkSession.createDataFrame(
+        sorted(rows, key=lambda t: tuple(map(str, t))), schema
+    )

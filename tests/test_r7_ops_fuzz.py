@@ -225,3 +225,36 @@ def test_mad_outlier_flags_fuzz_matches_numpy(spark):
     assert flags[0] == 1 and all(flags[i] == 0 for i in range(1, 10))
     with pytest.raises(ValueError, match="k must"):
         mad_outlier_flags(cdf, "v", k=0)
+
+
+def test_pairwise_corr_fuzz_matches_numpy(spark):
+    from data_integration_est_spark.kernels.stats import pairwise_corr
+
+    rng = np.random.RandomState(17)
+    n = 500
+    a = rng.normal(0, 1, n)
+    b = 0.6 * a + rng.normal(0, 0.8, n)
+    c = rng.normal(5, 2, n)
+    g = np.array([f"g{i % 2}" for i in range(n)])
+    rows = [
+        (str(gg), float(x), float(y), None if i % 37 == 0 else float(z))
+        for i, (gg, x, y, z) in enumerate(zip(g, a, b, c))
+    ]
+    df = spark.createDataFrame(rows, "g string, a double, b double, c double")
+    got = {
+        (r["g"], r["col_a"], r["col_b"]): (r["corr"], r["n"])
+        for r in pairwise_corr(df, ["a", "b", "c"], group_cols=["g"]).collect()
+    }
+    import numpy as _np
+    for gg in ("g0", "g1"):
+        mask = (g == gg) & ~_np.isnan(
+            _np.array([r[3] if r[3] is not None else _np.nan for r in rows])
+        )
+        sub = {"a": a[mask], "b": b[mask], "c": c[mask]}
+        for x, y in (("a", "b"), ("a", "c"), ("b", "c")):
+            want = float(_np.corrcoef(sub[x], sub[y])[0, 1])
+            cr, nn = got[(gg, x, y)]
+            assert nn == int(mask.sum())
+            assert cr == pytest.approx(round(want, 6), abs=2e-6), (gg, x, y)
+    with pytest.raises(ValueError, match="at least 2"):
+        pairwise_corr(df, ["a"])

@@ -647,7 +647,9 @@ def svyby(
     Every underlying kernel already vectorizes over ``group_cols`` (one
     grouped pass, stacked driver solves), so this is a thin front door:
 
-    - ``stat="mean"`` / ``"total"``: estimate + linearization SE + n,
+    - ``stat="mean"`` / ``"total"`` / ``"var"``: estimate +
+      linearization SE + n (``var`` = the r6 population-variance
+      functional, dispatched r7),
     - ``stat="ratio"``: pass ``den_col=``; ratio + linearization SE,
     - ``stat="quantile"``: pass ``qs=`` (and optionally ``alpha=`` for
       Woodruff CIs) — returns svyquantile's own layout,
@@ -669,6 +671,8 @@ def svyby(
         rows = svymean(design, y_col, group_cols=group_cols)
     elif stat == "total":
         rows = svytotal(design, y_col, group_cols=group_cols)
+    elif stat == "var":
+        rows = svyvar(design, y_col, group_cols=group_cols)
     elif stat == "ratio":
         den = kwargs.pop("den_col")
         rows = svyratio(design, y_col, den, group_cols=group_cols)

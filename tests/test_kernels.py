@@ -690,3 +690,15 @@ def test_calibrate_logit_validates(small_df):
         calibrate_logit(df, ["x1"], [1.0], d_col="w", bounds=(1.2, 2.0))
     with pytest.raises(CalibrationError, match="expected 1 totals"):
         calibrate_logit(df, ["x1"], [1.0, 2.0], d_col="w", bounds=(0.5, 2.0))
+
+
+def test_svyby_var_dispatch(small_df):
+    from data_integration_est_spark.kernels.stats import svyby, svyvar
+
+    df, pdf = small_df
+    des = SurveyDesign(df=df, weight_col="w")
+    got = {r["g"]: (r["est"], r["se"]) for r in svyby(des, "g", "y", "var").collect()}
+    want = {r.key[0]: (r.estimate, r.se) for r in svyvar(des, "y", group_cols=["g"])}
+    for g, (e, s) in want.items():
+        assert got[g][0] == pytest.approx(e, rel=1e-12)
+        assert got[g][1] == pytest.approx(s, rel=1e-12)

@@ -124,6 +124,7 @@ HEADLINE = [
     "stream_decontam_summary",
     "mad_outliers_events",
     "pairwise_corr_events",
+    "deff_events",
     "mc_stratified_study",
     "mc_contaminated_study",
     "mc_nmar_v2_study",

@@ -53,7 +53,7 @@ from data_integration_est_spark.ops.mixing import (
 from data_integration_est_spark.estimators.domains import pc_by, regdi_by
 from data_integration_est_spark.estimators.glm import svyglm
 from data_integration_est_spark.estimators.twophase import twophase_regression_mean
-from data_integration_est_spark.kernels.stats import pairwise_corr
+from data_integration_est_spark.kernels.stats import design_effect, pairwise_corr
 from data_integration_est_spark.ops.outliers import mad_outlier_flags
 from data_integration_est_spark.ops.mixing import shuffle_shards
 from data_integration_est_spark.kernels.quantile import (
@@ -111,6 +111,7 @@ __all__ = [
     "twophase_regression_mean",
     "mad_outlier_flags",
     "pairwise_corr",
+    "design_effect",
     "shuffle_shards",
     "decontaminate",
     "line_dedup",

@@ -853,3 +853,47 @@ def pairwise_corr(
     return df.sparkSession.createDataFrame(
         sorted(rows, key=lambda t: tuple(map(str, t))), schema
     )
+
+
+def design_effect(
+    design: SurveyDesign,
+    y_col: str,
+    group_cols: list[str] | None = None,
+    with_replacement: bool = False,
+) -> list[EstimateRow]:
+    """Design effect of the weighted mean — ``survey::svymean(deff=)``'s
+    concept: DEFF = V_design(mean) / V_srs(mean), the variance cost (or
+    gain) of the actual design against a simple random sample of the
+    same size.  Engine-normative SRS denominator (documented here, as
+    with the §4.3-2 variance formulas):
+
+        V_srs = (1 - n/W) * S2 / n          (without replacement;
+                                             W = sum of weights = N-hat)
+        V_srs = S2 / n                      (``with_replacement=True``)
+        S2    = [sum w (y - m)^2 / sum w] * W/(W - 1)
+
+    i.e. the svyvar population-variance functional with a Bessel-style
+    N-hat correction.  Returns EstimateRows whose ``estimate`` is the
+    DEFF, ``variance`` the design variance it was computed from, and
+    ``n`` the group size.  Two kernel calls = two distributed passes
+    (svymean's moment pass + svyvar's); O(groups) driver scalars."""
+    means = {r.key: r for r in svymean(design, y_col, group_cols=group_cols)}
+    svars = {r.key: r for r in svyvar(design, y_col, group_cols=group_cols)}
+    w = F.col(design.weight_col).cast("double")
+    y = F.col(y_col).cast("double")
+    sums = _collect_keyed(
+        design.df.na.drop(subset=[y_col, design.weight_col]),
+        list(group_cols or []),
+        [F.sum(w).alias("__W__"), F.count(F.lit(1)).alias("__n__")],
+    )
+    out = []
+    for key, m in means.items():
+        W = float(sums[key]["__W__"])
+        n = int(sums[key]["__n__"])
+        S2 = svars[key].estimate * (W / (W - 1.0)) if W > 1.0 else float("nan")
+        f = 1.0 if with_replacement else max(0.0, 1.0 - n / W)
+        v_srs = f * S2 / n if n else float("nan")
+        deff = m.variance / v_srs if v_srs and v_srs > 0 else float("nan")
+        out.append(EstimateRow(key=key, estimate=float(deff),
+                               variance=float(m.variance), n=n))
+    return out

@@ -702,3 +702,29 @@ def test_svyby_var_dispatch(small_df):
     for g, (e, s) in want.items():
         assert got[g][0] == pytest.approx(e, rel=1e-12)
         assert got[g][1] == pytest.approx(s, rel=1e-12)
+
+
+def test_design_effect_matches_numpy(small_df):
+    """r7: DEFF = V_design / V_srs with the documented engine-normative
+    SRS denominator; equal weights => deff ~ 1."""
+    from data_integration_est_spark.kernels.stats import design_effect
+
+    df, pdf = small_df
+    des = SurveyDesign(df=df, weight_col="w")
+    r = design_effect(des, "y")[0]
+    y, w = pdf.y.to_numpy(), pdf.w.to_numpy()
+    n = len(y)
+    m = (w * y).sum() / w.sum()
+    u = w * (y - m) / w.sum()
+    v_design = n / (n - 1) * ((u ** 2).sum() - u.sum() ** 2 / n)
+    W = w.sum()
+    S2 = ((w * (y - m) ** 2).sum() / W) * (W / (W - 1))
+    v_srs = (1 - n / W) * S2 / n
+    np.testing.assert_allclose(r.estimate, v_design / v_srs, rtol=1e-9)
+    # with-replacement denominator drops the fpc
+    r2 = design_effect(des, "y", with_replacement=True)[0]
+    np.testing.assert_allclose(r2.estimate, v_design / (S2 / n), rtol=1e-9)
+    # equal weights: deff near 1 (exact up to the n/(n-1) vs W/(W-1) df)
+    eq = SurveyDesign(df=df.withColumn("w1", F.lit(1.0)), weight_col="w1")
+    r3 = design_effect(eq, "y", with_replacement=True)[0]
+    assert 0.9 < r3.estimate < 1.1

@@ -101,10 +101,18 @@ def svytotal(
     design: SurveyDesign, y_col: str, group_cols: list[str] | None = None
 ) -> list[EstimateRow]:
     """HT total + with-replacement variance (reference ``PC.R:190-193``);
-    stratified designs sum the df-corrected variance per stratum."""
+    stratified designs sum the df-corrected variance per stratum.
+
+    Calibrated designs (r7): the GREG-total linearization — survey
+    semantics, previously svymean-only: z_i = w_i e_i with
+    e_i = y_i - x_i'B, B solving (Σ d x x') B = Σ d x y over the
+    pre-calibration weights d; V = Σ_h f_h n_h/(n_h-1)(Σz² − (Σz)²/n_h).
+    Same one-pass moment pattern as the calibrated svymean."""
     group_cols = list(group_cols or [])
     strat = design.strata_col
     fpc = design.fpc_col
+    if design.is_calibrated and design.calibration_cols:
+        return _svytotal_calibrated(design, y_col, group_cols)
     df = design.df.na.drop(
         subset=[y_col, design.weight_col] + ([strat] if strat else [])
         + ([fpc] if fpc else [])
@@ -154,6 +162,102 @@ def svytotal(
         else:
             v = f * n / (n - 1.0) * (t2 - t * t / n)
         out.append(EstimateRow(key=k, estimate=float(t), variance=float(v), n=n))
+    return out
+
+
+def _svytotal_calibrated(
+    design: SurveyDesign, y_col: str, group_cols: list[str]
+) -> list[EstimateRow]:
+    """GREG-total variance: one pass collecting, per (group, stratum)
+    cell, Σw·y, Σw·x_j, the w²-Gram of [y, x], the d-Gram of [x, y],
+    then driver algebra (B solve + quadratic forms) exactly like the
+    calibrated svymean — but with influence z_i = w_i e_i (no /Σw)."""
+    strat = design.strata_col
+    fpc = design.fpc_col
+    xcols = list(design.calibration_cols)
+    kx = len(xcols)
+    subset = list(dict.fromkeys(
+        [y_col, design.weight_col, design.base_weight_col]
+        + xcols + ([strat] if strat else []) + ([fpc] if fpc else [])
+    ))
+    df = design.df.na.drop(subset=subset)
+    w = F.col(design.weight_col).cast("double")
+    d = F.col(design.base_weight_col).cast("double")
+    y = F.col(y_col).cast("double")
+    xs = [F.col(c).cast("double") for c in xcols]
+    w2 = w * w
+    z = [y] + xs  # w²-Gram basis
+    aggs: list[Column] = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(w * y).alias("swy"),
+        *[F.sum(w * xs[j]).alias(f"swx_{j}") for j in range(kx)],
+        *([F.max(F.col(fpc).cast("double")).alias("__N__")] if fpc else []),
+    ]
+    for i in range(len(z)):
+        for j in range(i, len(z)):
+            aggs.append(F.sum(w2 * z[i] * z[j]).alias(f"q_{i}_{j}"))
+    for i in range(kx):
+        for j in range(i, kx):
+            aggs.append(F.sum(d * xs[i] * xs[j]).alias(f"g_{i}_{j}"))
+        aggs.append(F.sum(d * xs[i] * y).alias(f"gy_{i}"))
+    res = _collect_keyed(df, group_cols + ([strat] if strat else []), aggs)
+
+    def _f(r, name):
+        v = r[name]
+        return 0.0 if v is None else float(v)
+
+    if strat:
+        grouped: dict[tuple, list] = {}
+        for key, r in res.items():
+            grouped.setdefault(key[:-1], []).append(r)
+        items = [(k, rows) for k, rows in grouped.items()]
+    else:
+        items = [(k, [r]) for k, r in res.items()]
+
+    out: list[EstimateRow] = []
+    for key, rows in items:
+        n = sum(int(r["n"]) for r in rows)
+        t = sum(_f(r, "swy") for r in rows)
+        G = np.zeros((kx, kx))
+        rhs = np.zeros(kx)
+        for r in rows:
+            for i in range(kx):
+                for j in range(i, kx):
+                    v = _f(r, f"g_{i}_{j}")
+                    G[i, j] += v
+                    if j != i:
+                        G[j, i] += v
+                rhs[i] += _f(r, f"gy_{i}")
+        B = _solve_stacked(
+            G[None, ...], rhs[None, :, None], "svytotal residual projection"
+        ).ravel()
+        c = np.concatenate(([1.0], -B))
+        pieces = []
+        for r in rows:
+            s1 = _f(r, "swy") - sum(
+                B[j] * _f(r, f"swx_{j}") for j in range(kx)
+            )
+            q = np.zeros((kx + 1, kx + 1))
+            for i in range(kx + 1):
+                for j in range(i, kx + 1):
+                    q[i, j] = q[j, i] = _f(r, f"q_{i}_{j}")
+            s2 = float(c @ q @ c)
+            pieces.append((
+                int(r["n"]), s1, s2,
+                _fpc_factor(int(r["n"]),
+                            float(r["__N__"]) if fpc else None),
+            ))
+        if strat:
+            v = _strat_var(pieces)
+        else:
+            n_h, s1, s2, f = pieces[0]
+            if f == 0.0:
+                v = 0.0
+            elif n < 2:
+                v = float("nan")
+            else:
+                v = f * n / (n - 1.0) * (s2 - s1 * s1 / n)
+        out.append(EstimateRow(key=key, estimate=float(t), variance=float(v), n=n))
     return out
 
 

@@ -728,3 +728,38 @@ def test_design_effect_matches_numpy(small_df):
     eq = SurveyDesign(df=df.withColumn("w1", F.lit(1.0)), weight_col="w1")
     r3 = design_effect(eq, "y", with_replacement=True)[0]
     assert 0.9 < r3.estimate < 1.1
+
+
+def test_svytotal_calibrated_variance(small_df):
+    """r7: svytotal on a calibrated design linearizes on GREG residuals
+    (z = w*e, e = y - x'B over pre-calibration d-weights) — survey
+    semantics previously applied only by svymean."""
+    from data_integration_est_spark.kernels.stats import svytotal as _svytotal
+
+    df, pdf = small_df
+    totals = {"x1": float(pdf.x1.sum() * 1.3), "x2": float(pdf.x2.sum() * 1.3)}
+    res = calibrate(df, ["x1", "x2"], totals, d_col="w", out_col="wc")
+    des = SurveyDesign(df=res.df, weight_col="wc",
+                       calibration_cols=["x1", "x2"], base_weight_col="w")
+    t = _svytotal(des, "y")[0]
+
+    w_np = oracle_np.greg_calibrate(
+        pdf[["x1", "x2"]].to_numpy(), pdf.w.to_numpy(),
+        np.array([totals["x1"], totals["x2"]]),
+    )
+    y, d = pdf.y.to_numpy(), pdf.w.to_numpy()
+    X = pdf[["x1", "x2"]].to_numpy()
+    B = np.linalg.solve((X * d[:, None]).T @ X, (X * d[:, None]).T @ y)
+    e = y - X @ B
+    z = w_np * e
+    n = len(y)
+    want_v = n / (n - 1) * float(np.sum((z - z.mean()) ** 2))
+    np.testing.assert_allclose(t.estimate, float(np.sum(w_np * y)), rtol=1e-9)
+    np.testing.assert_allclose(t.variance, want_v, rtol=1e-8)
+    # the residual projection must SHRINK the variance vs ignoring it
+    plain = SurveyDesign(df=res.df, weight_col="wc")
+    t_plain = _svytotal(plain, "y")[0]
+    assert t.variance < t_plain.variance
+    # grouped + calibrated path agrees with per-group slices
+    rows = {r.key: r for r in _svytotal(des, "y", group_cols=["g"])}
+    assert set(rows) == {(g,) for g in pdf.g.unique()}

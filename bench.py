@@ -125,6 +125,7 @@ HEADLINE = [
     "mad_outliers_events",
     "pairwise_corr_events",
     "deff_events",
+    "quantile_monitor_summary",
     "mc_stratified_study",
     "mc_contaminated_study",
     "mc_nmar_v2_study",

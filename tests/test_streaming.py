@@ -245,3 +245,57 @@ def test_decontam_stream_matches_batch(spark, tmp_path):
     s = sorted(map(tuple, stream.select(*cols).collect()))
     assert b == s and len(b) > 0
     assert any(r[3] == 1 for r in b)  # the planted benchmark overlap fires
+
+
+def test_quantile_monitor_stream_matches_batch(spark, tmp_path):
+    """r7: per-key streaming quantile monitoring with order-independent
+    histogram state — after draining, the LATEST emission per key must
+    equal the batch twin exactly (commutative-monoid state), and both
+    must track numpy quantiles within one bin width."""
+    import numpy as np
+
+    from data_integration_est_spark.streaming import monitor as sm
+    from data_integration_est_spark.streaming import docs as sd
+
+    rng = np.random.RandomState(4)
+    rows = [
+        (i, f"s{i % 3}", float(rng.uniform(0, 100)))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    path = str(tmp_path / "qmon")
+    df.write.parquet(path)
+
+    batch = sm.quantile_monitor_batch(
+        spark.read.parquet(path), "score", "source", lo=0.0, hi=100.0, bins=50
+    )
+    stream_df = sm.quantile_monitor_stream(
+        sd.read_doc_stream(spark, path, max_files_per_trigger=1),
+        "score", "source", lo=0.0, hi=100.0, bins=50,
+    )
+    out = se.run_to_memory(stream_df, "qmon_t", output_mode="update")
+    # latest emission per key = the one with max n (counts are monotone)
+    latest = {}
+    for r in out.collect():
+        if r["key"] not in latest or r["n"] > latest[r["key"]]["n"]:
+            latest[r["key"]] = r
+    want = {r["key"]: r for r in batch.collect()}
+    assert set(latest) == set(want) == {"s0", "s1", "s2"}
+    for k in want:
+        assert (latest[k]["n"], latest[k]["q25"], latest[k]["q50"],
+                latest[k]["q75"]) == (
+            want[k]["n"], want[k]["q25"], want[k]["q50"], want[k]["q75"]), k
+    # accuracy: within one 2.0-wide bin of numpy's exact quantile
+    vals = {k: np.array([s for _, g, s in rows if g == k]) for k in want}
+    for k, r in want.items():
+        for q, col in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75")):
+            assert abs(r[col] - np.quantile(vals[k], q)) <= 2.0 + 1e-9, (k, q)
+
+
+def test_quantile_monitor_validates(spark):
+    from data_integration_est_spark.streaming import monitor as sm
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "id long, k string, v double")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="lo < hi"):
+        sm.quantile_monitor_batch(df, "v", "k", lo=5.0, hi=5.0)

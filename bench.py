@@ -126,6 +126,7 @@ HEADLINE = [
     "pairwise_corr_events",
     "deff_events",
     "quantile_monitor_summary",
+    "token_budget_mixture",
     "mc_stratified_study",
     "mc_contaminated_study",
     "mc_nmar_v2_study",

@@ -48,7 +48,8 @@ from data_integration_est_spark.ops.heavy_hitters import (
     heavy_hitters, heavy_hitters_by, misra_gries_candidates,
 )
 from data_integration_est_spark.ops.mixing import (
-    cap_per_key, hash_split, keep_top_fraction, source_mixture, temperature_sample,
+    cap_per_key, hash_split, keep_top_fraction, source_mixture,
+    temperature_sample, token_budget_mixture,
 )
 from data_integration_est_spark.estimators.domains import pc_by, regdi_by
 from data_integration_est_spark.estimators.glm import svyglm
@@ -122,6 +123,7 @@ __all__ = [
     "misra_gries_candidates",
     "cap_per_key",
     "keep_top_fraction",
+    "token_budget_mixture",
     "hash_split",
     "source_mixture",
     "temperature_sample",

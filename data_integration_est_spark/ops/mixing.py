@@ -279,3 +279,50 @@ def shuffle_shards(
         F.col("__k__").asc(), F.col(id_col).asc()
     )
     return out.withColumn(order_col, F.row_number().over(w)).drop("__k__")
+
+
+def token_budget_mixture(
+    docs: DataFrame,
+    token_col: str,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    budget_tokens: float | None = None,
+) -> DataFrame:
+    """Token-budget mixing math — the planning step of assembling a
+    pre-training mix (the Llama/Dolma recipe written down): given
+    per-source token counts, temperature-smooth the natural shares
+    (``q_s ∝ tokens_s^alpha``), allocate ``budget_tokens`` by ``q_s``,
+    and report each source's EPOCH factor
+
+        epochs_s = target_s / tokens_s
+
+    — < 1 means subsample at that rate, > 1 means repeat the source
+    (the standard small-high-quality-source upsampling); the 1-epoch
+    boundary is exactly where ``temperature_sample``'s acceptance-rate
+    cap bites.  ``budget_tokens=None`` defaults to the corpus total
+    (pure re-mixing).  One aggregation over the corpus; everything else
+    is arithmetic on the O(sources) table."""
+    counts = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col).cast("double")).alias("tokens"),
+    )
+    tot = counts.agg(
+        F.sum("tokens").alias("T"),
+        F.sum(F.pow(F.col("tokens"), F.lit(alpha))).alias("Z"),
+    )
+    budget = F.lit(float(budget_tokens)) if budget_tokens is not None \
+        else F.col("T")
+    q = F.pow(F.col("tokens"), F.lit(alpha)) / F.col("Z")
+    target = q * budget
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_docs",
+            F.col("tokens").cast("long").alias("tokens"),
+            F.round(F.col("tokens") / F.col("T"), 6).alias("p"),
+            F.round(q, 6).alias("q"),
+            F.round(target, 6).alias("target_tokens"),
+            F.round(target / F.col("tokens"), 6).alias("epochs"),
+        )
+    )

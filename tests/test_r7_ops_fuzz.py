@@ -258,3 +258,24 @@ def test_pairwise_corr_fuzz_matches_numpy(spark):
             assert cr == pytest.approx(round(want, 6), abs=2e-6), (gg, x, y)
     with pytest.raises(ValueError, match="at least 2"):
         pairwise_corr(df, ["a"])
+
+
+def test_token_budget_mixture_properties(spark):
+    from data_integration_est_spark.ops.mixing import token_budget_mixture
+
+    rows = [(i, ["big", "big", "big", "small"][i % 4], 100 + i % 7)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r["source"]: r for r in
+           token_budget_mixture(df, "n_chars", alpha=0.5,
+                                budget_tokens=1_000_000.0).collect()}
+    # q sums to 1; targets sum to the budget
+    assert abs(sum(r["q"] for r in out.values()) - 1.0) < 1e-5
+    assert abs(sum(r["target_tokens"] for r in out.values()) - 1_000_000.0) < 1.0
+    # temperature smoothing: the small source's share RISES vs natural
+    assert out["small"]["q"] > out["small"]["p"]
+    assert out["big"]["q"] < out["big"]["p"]
+    # epochs consistent with target/tokens
+    for r in out.values():
+        assert r["epochs"] == pytest.approx(
+            r["target_tokens"] / r["tokens"], rel=1e-4)

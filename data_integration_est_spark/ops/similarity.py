@@ -373,6 +373,7 @@ def ivf_knn(
     seed: int = 42,
     dim: int | None = None,
     init_rounds: int = 2,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate kNN: k-means-partition the corpus, probe only the
     ``n_probe`` nearest clusters per query, exact cosine re-rank inside.
@@ -388,11 +389,16 @@ def ivf_knn(
     n_clusters x dim centroid product terms across every Lloyd
     iteration — measured ~10x analysis+codegen blowup (335 s -> 25 s
     after a persist) — the same higher-order-function inlining trap
-    ``word_shingles``/``minhash_signatures`` document."""
-    centroids = kmeans_centroids(
-        corpus, vec_col, id_col, k=n_clusters, n_iter=n_iter, seed=seed,
-        init_rounds=init_rounds,
-    )
+    ``word_shingles``/``minhash_signatures`` document.
+
+    Pass ``centroids=`` (e.g. from one ``kmeans_centroids`` call) to
+    reuse a trained index across many query batches — training per
+    call is the convenience mode, not the production one."""
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, vec_col, id_col, k=n_clusters, n_iter=n_iter, seed=seed,
+            init_rounds=init_rounds,
+        )
     c_assigned = spread(corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )).withColumn("__c__", _nearest_centroid("cv", centroids))
@@ -410,6 +416,7 @@ def ivf_candidates(
     n_iter: int = 3,
     seed: int = 42,
     init_rounds: int = 2,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """RAW IVF candidate pairs (query_id, neighbor_id) — the pre-rerank
     candidate generator of the production ``IVF x PQ`` path (r7): each
@@ -418,11 +425,13 @@ def ivf_candidates(
     rerank), ``ngram_jaccard_pairs``-style verifies, or an exact
     rerank.  Same plan as ``ivf_knn`` minus the rank: one corpus
     assignment scan (a partition-pruning key at 100 TB when the corpus
-    is written partitioned by cluster) + a cluster-key equi-join."""
-    centroids = kmeans_centroids(
-        corpus, vec_col, id_col, k=n_clusters, n_iter=n_iter, seed=seed,
-        init_rounds=init_rounds,
-    )
+    is written partitioned by cluster) + a cluster-key equi-join.
+    ``centroids=`` reuses a trained index (see ``ivf_knn``)."""
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, vec_col, id_col, k=n_clusters, n_iter=n_iter, seed=seed,
+            init_rounds=init_rounds,
+        )
     c_assigned = spread(corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )).withColumn("__c__", _nearest_centroid("cv", centroids))

@@ -123,3 +123,28 @@ def test_pca_project_is_map_only_and_correct(emb):
     with contextlib.redirect_stdout(buf):
         sim.pca_project(emb, comps, mu).explain()
     assert "Exchange" not in buf.getvalue()
+
+
+def test_ivf_reuses_precomputed_centroids(spark):
+    """r7: centroids= reuses a trained index — results identical to the
+    train-per-call convenience mode."""
+    import numpy as np
+
+    from data_integration_est_spark.ops.similarity import (
+        ivf_candidates, ivf_knn, kmeans_centroids,
+    )
+
+    rng = np.random.RandomState(2)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id < 5")
+    cents = kmeans_centroids(df, "embedding", "vec_id", k=4, n_iter=2,
+                             seed=42, init_rounds=1)
+    a = ivf_knn(df, queries, k=3, n_clusters=4, n_probe=2, n_iter=2,
+                init_rounds=1).collect()
+    b = ivf_knn(df, queries, k=3, n_probe=2, centroids=cents).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    ca = ivf_candidates(df, queries, n_clusters=4, n_probe=2, n_iter=2,
+                        init_rounds=1).collect()
+    cb = ivf_candidates(df, queries, n_probe=2, centroids=cents).collect()
+    assert sorted(map(tuple, ca)) == sorted(map(tuple, cb))

@@ -10,6 +10,7 @@ the distributed layout; ``coalesce(1)`` only for tiny summary tables.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -88,3 +89,43 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    mode: str = "overwrite",
+) -> None:
+    """The training-data EMISSION sink (r7): deterministic global
+    shuffle (``ops.mixing.shuffle_shards``) + a parquet layout
+    partitioned by shard, rows carrying their in-shard position — a
+    training loader reads ``shard=K/`` and sorts by ``shard_pos`` to
+    replay the exact pseudo-random order on any cluster, any rerun.
+    The shard-key shuffle IS the write repartition: one exchange
+    total."""
+    from data_integration_est_spark.ops.mixing import shuffle_shards
+
+    sh = shuffle_shards(df, n_shards, id_col=id_col, seed=seed)
+    (
+        sh.repartition("shard")
+        .sortWithinPartitions("shard", "shard_pos")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def read_training_shard(
+    spark: SparkSession, path: str, shard: int
+) -> DataFrame:
+    """Read one emitted shard in its deterministic order (partition
+    pruning on the shard directory; the loader-side sort is a no-op
+    re-sort of an already-ordered file in the common case)."""
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("shard") == shard)
+        .orderBy("shard_pos")
+    )

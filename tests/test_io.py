@@ -57,3 +57,30 @@ def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
     lines = [l for l in part.read_text().splitlines() if l.strip()]
     assert len(lines) == df.count()
     assert all(isinstance(_json.loads(l), dict) for l in lines)
+
+
+def test_training_shards_roundtrip_preserves_order(spark, tmp_path):
+    """r7: the emission sink writes shards whose read-back order equals
+    the deterministic shuffle on any cluster layout."""
+    from data_integration_est_spark.io import (
+        read_training_shard, write_training_shards,
+    )
+    from data_integration_est_spark.ops.mixing import shuffle_shards
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id").withColumn(
+        "payload", F.col("doc_id") * 2
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, n_shards=4, seed=9)
+    want = shuffle_shards(df, 4, seed=9)
+    for k in range(4):
+        got = [
+            (r["doc_id"], r["payload"])
+            for r in read_training_shard(spark, path, k).collect()
+        ]
+        exp = [
+            (r["doc_id"], r["payload"])
+            for r in want.filter(F.col("shard") == k)
+            .orderBy("shard_pos").collect()
+        ]
+        assert got == exp and len(got) > 0, k

@@ -127,6 +127,7 @@ HEADLINE = [
     "deff_events",
     "quantile_monitor_summary",
     "token_budget_mixture",
+    "salted_join_orders",
     "mc_stratified_study",
     "mc_contaminated_study",
     "mc_nmar_v2_study",

@@ -128,6 +128,7 @@ HEADLINE = [
     "quantile_monitor_summary",
     "token_budget_mixture",
     "salted_join_orders",
+    "line_lang_mix",
     "mc_stratified_study",
     "mc_contaminated_study",
     "mc_nmar_v2_study",

@@ -67,6 +67,7 @@ from data_integration_est_spark.ops.pq import pq_encode, pq_knn, pq_train
 from data_integration_est_spark.ops.text import (
     bigram_logprob_scores,
     clean_text,
+    line_language_mix,
     trigram_logprob_scores,
     unigram_logprob_scores,
 )
@@ -166,6 +167,7 @@ __all__ = [
     "unigram_logprob_scores",
     "bigram_logprob_scores",
     "trigram_logprob_scores",
+    "line_language_mix",
     "repetition_stats",
     "get_spark",
 ]

@@ -437,3 +437,47 @@ def trigram_logprob_scores(
         F.count(F.lit(1)).alias("n_trigrams"),
         F.round(F.avg("__lp__"), 6).alias("avg_logprob3"),
     )
+
+
+def line_language_mix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Per-LINE language identification rolled up to a per-document
+    language-mixture profile — the multilingual-curation signal document
+    -level lang ID misses (a page that is half English boilerplate and
+    half target-language content): explode lines, run the stopword
+    language heuristic per line, and summarize per document as
+
+      (id_col, n_lines, main_lang, n_langs, lang_entropy)
+
+    with ``main_lang`` the modal per-line prediction (ties break by
+    language code ascending), ``lang_entropy`` the Shannon entropy (nats)
+    of the per-line prediction distribution — 0 = monolingual, ln(k) =
+    uniform over k codes.  Blank lines are excluded.
+
+    Physical shape: one explode -> per-line column-expression heuristic
+    (no Python) -> ONE (doc, lang) groupBy -> ONE doc groupBy using the
+    entropy identity H = ln(n) - sum(c ln c)/n (no second pass for the
+    total) and a struct-min for the deterministic mode."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), line_sep, -1)).alias("__line__"),
+    ).filter(F.trim(F.col("__line__")) != "")
+    lid = language_id(lines, "__line__", "__lp__")
+    counts = lid.groupBy(id_col, "__lp__").agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    c = F.col("__c__").cast("double")
+    return counts.groupBy(id_col).agg(
+        F.sum("__c__").alias("n_lines"),
+        F.min(
+            F.struct((-F.col("__c__")).alias("nc"), F.col("__lp__").alias("lp"))
+        )["lp"].alias("main_lang"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.round(
+            F.log(F.sum(c)) - F.sum(c * F.log(c)) / F.sum(c), 6
+        ).alias("lang_entropy"),
+    )

@@ -279,3 +279,43 @@ def test_token_budget_mixture_properties(spark):
     for r in out.values():
         assert r["epochs"] == pytest.approx(
             r["target_tokens"] / r["tokens"], rel=1e-4)
+
+
+def test_line_language_mix_matches_python(spark):
+    from data_integration_est_spark.ops.text import STOPWORDS, line_language_mix
+
+    texts = {
+        1: "the quick fox of the day\nel perro y el gato\nthe end of it",
+        2: "le chat et le chien",
+        3: "zzz qqq xxx",            # no stopword hits -> und
+        4: "",                        # no non-blank lines -> absent
+        5: "the cat\nthe dog\nla de que y el",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: tuple(r)[1:] for r in line_language_mix(df).collect()}
+
+    import re
+
+    def pyl(line):
+        hits = {}
+        for lang, words in STOPWORDS.items():
+            pat = r"\b(" + "|".join(words) + r")\b"
+            hits[lang] = len(re.findall(pat, line.lower()))
+        best = max(hits.values())
+        if best == 0:
+            return "und"
+        return min(l for l, h in hits.items() if h == best)
+
+    for did, t in texts.items():
+        lines = [ln for ln in t.split("\n") if ln.strip()]
+        if not lines:
+            assert did not in got
+            continue
+        from collections import Counter
+        cnt = Counter(pyl(ln) for ln in lines)
+        n = sum(cnt.values())
+        main = min(cnt, key=lambda k: (-cnt[k], k))
+        ent = round(
+            math.log(n) - sum(c * math.log(c) for c in cnt.values()) / n, 6
+        )
+        assert got[did] == (n, main, len(cnt), ent), did

@@ -54,7 +54,7 @@ from data_integration_est_spark.ops.mixing import (
 from data_integration_est_spark.estimators.domains import pc_by, regdi_by
 from data_integration_est_spark.estimators.glm import svyglm
 from data_integration_est_spark.estimators.twophase import twophase_regression_mean
-from data_integration_est_spark.kernels.stats import design_effect, pairwise_corr
+from data_integration_est_spark.kernels.stats import design_effect, pairwise_corr, svycov
 from data_integration_est_spark.ops.outliers import mad_outlier_flags
 from data_integration_est_spark.ops.mixing import shuffle_shards
 from data_integration_est_spark.kernels.quantile import (
@@ -114,6 +114,7 @@ __all__ = [
     "mad_outlier_flags",
     "pairwise_corr",
     "design_effect",
+    "svycov",
     "shuffle_shards",
     "decontaminate",
     "line_dedup",

@@ -1001,3 +1001,100 @@ def design_effect(
         out.append(EstimateRow(key=key, estimate=float(deff),
                                variance=float(m.variance), n=n))
     return out
+
+
+def svycov(
+    design: SurveyDesign,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> list[EstimateRow]:
+    """Design-based population covariance — the off-diagonal of
+    ``survey::svyvar``'s matrix form: C = Σw(x−mx)(y−my)/Σw with the
+    linearization SE of the covariance FUNCTIONAL (influence
+    u_i = w_i[(x_i−mx)(y_i−my) − C]/Σw; Σu = 0 exactly for the ratio
+    form), stratified designs summing df-corrected per-stratum pieces
+    with the fpc factor.  ONE distributed pass of uncentered
+    (w, w²)-weighted cross-moments up to total degree 4 — the svyvar
+    pattern with two variables."""
+    group_cols = list(group_cols or [])
+    strat = design.strata_col
+    fpc = design.fpc_col
+    df = design.df.na.drop(
+        subset=[x_col, y_col, design.weight_col] + ([strat] if strat else [])
+        + ([fpc] if fpc else [])
+    )
+    w = F.col(design.weight_col).cast("double")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    w2 = w * w
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(w).alias("sw"),
+        F.sum(w * x).alias("swx"),
+        F.sum(w * y).alias("swy"),
+        F.sum(w * x * y).alias("swxy"),
+    ]
+    # w²-weighted moments of x^a y^b for a,b <= 2 (the quadratic form
+    # of u needs (xy, x, y, 1) cross products)
+    for a in range(3):
+        for b in range(3):
+            if a + b == 0:
+                aggs.append(F.sum(w2).alias("m_0_0"))
+            else:
+                aggs.append(
+                    F.sum(w2 * F.pow(x, a) * F.pow(y, b)).alias(f"m_{a}_{b}")
+                )
+    aggs += (
+        [F.max(F.col(fpc).cast("double")).alias("__N__")] if fpc else []
+    )
+    res = _collect_keyed(df, group_cols + ([strat] if strat else []), aggs)
+
+    def _f(r, name):
+        return float(r[name] or 0.0)
+
+    if strat:
+        grouped: dict[tuple, list] = {}
+        for key, r in res.items():
+            grouped.setdefault(key[:-1], []).append(r)
+        items = [(k, rows) for k, rows in grouped.items()]
+    else:
+        items = [(k, [r]) for k, r in res.items()]
+
+    out: list[EstimateRow] = []
+    for key, rows in items:
+        n = sum(int(r["n"]) for r in rows)
+        sw = sum(_f(r, "sw") for r in rows)
+        mx = sum(_f(r, "swx") for r in rows) / sw
+        my = sum(_f(r, "swy") for r in rows) / sw
+        C = sum(_f(r, "swxy") for r in rows) / sw - mx * my
+        # e_i = (x-mx)(y-my) - C = xy - my*x - mx*y + (mx*my - C)
+        k0 = mx * my - C
+        cvec = {(1, 1): 1.0, (1, 0): -my, (0, 1): -mx, (0, 0): k0}
+        pieces = []
+        for r in rows:
+            s_h = (
+                _f(r, "swxy") - my * _f(r, "swx") - mx * _f(r, "swy")
+                + k0 * _f(r, "sw")
+            ) / sw
+            q_h = 0.0
+            for (a1, b1), c1 in cvec.items():
+                for (a2, b2), c2 in cvec.items():
+                    q_h += c1 * c2 * _f(r, f"m_{a1 + a2}_{b1 + b2}")
+            q_h /= sw * sw
+            pieces.append((
+                int(r["n"]), s_h, q_h,
+                _fpc_factor(int(r["n"]), float(r["__N__"]) if fpc else None),
+            ))
+        if strat:
+            var = _strat_var(pieces)
+        else:
+            n_h, s1, s2, fct = pieces[0]
+            if fct == 0.0:
+                var = 0.0
+            elif n < 2:
+                var = float("nan")
+            else:
+                var = fct * n / (n - 1.0) * (s2 - s1 * s1 / n)
+        out.append(EstimateRow(key=key, estimate=float(C), variance=float(var), n=n))
+    return out

@@ -763,3 +763,35 @@ def test_svytotal_calibrated_variance(small_df):
     # grouped + calibrated path agrees with per-group slices
     rows = {r.key: r for r in _svytotal(des, "y", group_cols=["g"])}
     assert set(rows) == {(g,) for g in pdf.g.unique()}
+
+
+def test_svycov_matches_numpy_linearization(small_df):
+    """r7: design-based covariance functional + linearized SE; the
+    svyvar two-variable analogue (svycov(x, x) == svyvar(x))."""
+    from data_integration_est_spark.kernels.stats import svycov, svyvar
+
+    df, pdf = small_df
+    des = SurveyDesign(df=df, weight_col="w")
+    r = svycov(des, "x1", "y")[0]
+    x, y, w = pdf.x1.to_numpy(), pdf.y.to_numpy(), pdf.w.to_numpy()
+    n = len(y)
+    mx = (w * x).sum() / w.sum()
+    my = (w * y).sum() / w.sum()
+    C = (w * (x - mx) * (y - my)).sum() / w.sum()
+    u = w * ((x - mx) * (y - my) - C) / w.sum()
+    want_var = n / (n - 1) * ((u ** 2).sum() - u.sum() ** 2 / n)
+    np.testing.assert_allclose(r.estimate, C, rtol=1e-10)
+    np.testing.assert_allclose(r.variance, want_var, rtol=1e-8)
+    # diagonal consistency with svyvar
+    rv = svyvar(des, "y")[0]
+    rc = svycov(des, "y", "y")[0]
+    np.testing.assert_allclose(rc.estimate, rv.estimate, rtol=1e-10)
+    np.testing.assert_allclose(rc.variance, rv.variance, rtol=1e-8)
+    # grouped
+    rows = {g.key: g for g in svycov(des, "x1", "y", group_cols=["g"])}
+    for gv, sub in pdf.groupby("g"):
+        xv, yv, wv = sub.x1.to_numpy(), sub.y.to_numpy(), sub.w.to_numpy()
+        mxg = (wv * xv).sum() / wv.sum()
+        myg = (wv * yv).sum() / wv.sum()
+        Cg = (wv * (xv - mxg) * (yv - myg)).sum() / wv.sum()
+        np.testing.assert_allclose(rows[(gv,)].estimate, Cg, rtol=1e-10)

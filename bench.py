@@ -129,6 +129,7 @@ HEADLINE = [
     "token_budget_mixture",
     "salted_join_orders",
     "line_lang_mix",
+    "svycov_events",
     "mc_stratified_study",
     "mc_contaminated_study",
     "mc_nmar_v2_study",

@@ -795,3 +795,36 @@ def test_svycov_matches_numpy_linearization(small_df):
         myg = (wv * yv).sum() / wv.sum()
         Cg = (wv * (xv - mxg) * (yv - myg)).sum() / wv.sum()
         np.testing.assert_allclose(rows[(gv,)].estimate, Cg, rtol=1e-10)
+
+
+def test_svycov_stratified_and_fpc(small_df):
+    """r7: svycov's stratified pieces (global mx/my/C, per-stratum df
+    correction) and the fpc scaling, against a direct numpy replay."""
+    from data_integration_est_spark.kernels.stats import svycov
+
+    df, pdf = small_df
+    sdes = SurveyDesign(df=df, weight_col="w", strata_col="g")
+    r = svycov(sdes, "x1", "y")[0]
+    x, y, w = pdf.x1.to_numpy(), pdf.y.to_numpy(), pdf.w.to_numpy()
+    g = pdf.g.to_numpy()
+    mx = (w * x).sum() / w.sum()
+    my = (w * y).sum() / w.sum()
+    C = (w * (x - mx) * (y - my)).sum() / w.sum()
+    u = w * ((x - mx) * (y - my) - C) / w.sum()
+    v = 0.0
+    for h in np.unique(g):
+        mk = g == h
+        n_h = int(mk.sum())
+        v += n_h / (n_h - 1) * ((u[mk] ** 2).sum() - u[mk].sum() ** 2 / n_h)
+    np.testing.assert_allclose(r.estimate, C, rtol=1e-10)
+    np.testing.assert_allclose(r.variance, v, rtol=1e-8)
+    # fpc scales the unstratified variance by exactly (1 - n/N)
+    fdes = SurveyDesign(
+        df=df.withColumn("N", F.lit(4000.0)), weight_col="w", fpc_col="N"
+    )
+    plain = svycov(SurveyDesign(df=df, weight_col="w"), "x1", "y")[0]
+    fr = svycov(fdes, "x1", "y")[0]
+    n = len(pdf)
+    np.testing.assert_allclose(
+        fr.variance, (1 - n / 4000.0) * plain.variance, rtol=1e-12
+    )

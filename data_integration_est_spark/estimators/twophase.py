@@ -46,46 +46,22 @@ class TwoPhaseResult:
         return self.se * self.se
 
 
-def twophase_regression_mean(
-    df: DataFrame,
-    y_col: str,
-    x_col: str,
-    phase2_col: str,
-    N: float | None = None,
-) -> TwoPhaseResult:
-    """Double-sampling regression estimate of the mean of ``y_col``.
-
-    ``df`` holds the PHASE-1 sample (x observed on every row);
-    ``phase2_col`` is the 0/1 phase-2 membership indicator; ``y_col``
-    is used only on phase-2 rows (it may be null elsewhere).  ``N`` is
-    the population size behind phase 1 (None = infinite: no phase-1
-    FPC).  Raises on degenerate designs (n2 < 3, zero x-variance)."""
-    x = F.col(x_col).cast("double")
-    y = F.col(y_col).cast("double")
-    p2 = F.col(phase2_col).cast("int")
-    row = df.agg(
-        F.count(F.lit(1)).alias("n1"),
-        F.sum(x).alias("sx1"),
-        F.sum(p2).alias("n2"),
-        F.sum(F.when((p2 == 1) & y.isNull(), 1).otherwise(0)).alias("n2_miss"),
-        F.sum(F.when(p2 == 1, x)).alias("sx2"),
-        F.sum(F.when(p2 == 1, y)).alias("sy2"),
-        F.sum(F.when(p2 == 1, x * x)).alias("sxx2"),
-        F.sum(F.when(p2 == 1, x * y)).alias("sxy2"),
-        F.sum(F.when(p2 == 1, y * y)).alias("syy2"),
-    ).collect()[0]
+def _twophase_from_moments(row: dict, key_desc: str, N: float | None) -> TwoPhaseResult:
+    """Driver arithmetic on one group's 10 moment scalars."""
     n1 = int(row["n1"])
     n2 = int(row["n2"] or 0)
     if int(row["n2_miss"] or 0):
         raise ValueError(
-            f"twophase: {row['n2_miss']} phase-2 row(s) have null y — "
-            "phase-2 nonresponse is a different problem (impute or "
-            "reweight first); refusing to silently misalign the moments"
+            f"twophase{key_desc}: {row['n2_miss']} phase-2 row(s) have "
+            "null y — phase-2 nonresponse is a different problem (impute "
+            "or reweight first); refusing to silently misalign the moments"
         )
     if n2 < 3:
-        raise ValueError(f"twophase: phase-2 sample too small (n2={n2})")
+        raise ValueError(f"twophase{key_desc}: phase-2 sample too small (n2={n2})")
     if n2 > n1:
-        raise ValueError("twophase: phase-2 indicator marks more rows than phase 1")
+        raise ValueError(
+            f"twophase{key_desc}: phase-2 indicator marks more rows than phase 1"
+        )
     sx1 = float(row["sx1"] or 0.0)
     sx2 = float(row["sx2"] or 0.0)
     sy2 = float(row["sy2"] or 0.0)
@@ -98,7 +74,7 @@ def twophase_regression_mean(
     ybar2 = sy2 / n2
     ssx = sxx2 - n2 * xbar2 * xbar2
     if ssx <= 0.0:
-        raise ValueError("twophase: zero x-variance in phase 2")
+        raise ValueError(f"twophase{key_desc}: zero x-variance in phase 2")
     ssxy = sxy2 - n2 * xbar2 * ybar2
     ssy = syy2 - n2 * ybar2 * ybar2
     b = ssxy / ssx
@@ -114,3 +90,52 @@ def twophase_regression_mean(
     return TwoPhaseResult(
         estimate=float(est), se=float(v ** 0.5), b=float(b), n1=n1, n2=n2
     )
+
+
+def twophase_regression_mean(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    phase2_col: str,
+    N: float | None = None,
+    group_cols: list[str] | None = None,
+) -> TwoPhaseResult | dict[tuple, TwoPhaseResult]:
+    """Double-sampling regression estimate of the mean of ``y_col``.
+
+    ``df`` holds the PHASE-1 sample (x observed on every row);
+    ``phase2_col`` is the 0/1 phase-2 membership indicator; ``y_col``
+    is used only on phase-2 rows (it may be null elsewhere).  ``N`` is
+    the population size behind phase 1 (None = infinite: no phase-1
+    FPC).  Raises on degenerate designs (n2 < 3, zero x-variance).
+
+    ``group_cols`` fits every stratum/domain in ONE grouped moment pass
+    (the per-group estimator is applied independently per key — a
+    per-stratum double-sampling study); returns ``{key_tuple:
+    TwoPhaseResult}``.  Ungrouped (the default) returns the single
+    ``TwoPhaseResult`` unchanged.
+    """
+    group_cols = list(group_cols or [])
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    p2 = F.col(phase2_col).cast("int")
+    aggs = [
+        F.count(F.lit(1)).alias("n1"),
+        F.sum(x).alias("sx1"),
+        F.sum(p2).alias("n2"),
+        F.sum(F.when((p2 == 1) & y.isNull(), 1).otherwise(0)).alias("n2_miss"),
+        F.sum(F.when(p2 == 1, x)).alias("sx2"),
+        F.sum(F.when(p2 == 1, y)).alias("sy2"),
+        F.sum(F.when(p2 == 1, x * x)).alias("sxx2"),
+        F.sum(F.when(p2 == 1, x * y)).alias("sxy2"),
+        F.sum(F.when(p2 == 1, y * y)).alias("syy2"),
+    ]
+    if not group_cols:
+        row = df.agg(*aggs).collect()[0]
+        return _twophase_from_moments(row.asDict(), "", N)
+    rows = df.groupBy(*group_cols).agg(*aggs).collect()
+    return {
+        tuple(r[c] for c in group_cols): _twophase_from_moments(
+            r.asDict(), f"[{tuple(r[c] for c in group_cols)!r}]", N
+        )
+        for r in rows
+    }

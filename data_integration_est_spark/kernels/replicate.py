@@ -265,6 +265,7 @@ def brr_mean(
     weight_col: str | None = None,
     fay_rho: float = 0.0,
     max_strata: int = 1024,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Weighted-mean point estimate with balanced-repeated-replication
     SE (``survey::svrepdesign(type="BRR")`` / ``type="Fay"``) — the
@@ -285,17 +286,27 @@ def brr_mean(
 
         V = sum_r (theta_r - theta)^2 / (R * k^2)
 
-    Scale shape: ONE map-side-combined pass builds the (stratum, psu)
-    sums — a 2H-row table; all R replicate estimates are driver
-    arithmetic on it (H <= ``max_strata`` guard, so driver state is
-    bounded and NO per-replicate rescans happen).  The sign function is
-    pure integer bit math, replayable verbatim in any SQL engine
-    (``bit_count``), which is what the gate oracle does.
+    Scale shape: ONE map-side-combined pass builds the (group, stratum,
+    psu) sums — a groups x 2H-row table; all R replicate estimates are
+    driver numpy arithmetic on it (H <= ``max_strata`` guard, so driver
+    state is bounded and NO per-replicate rescans happen).  The sign
+    function is pure integer bit math, replayable verbatim in any SQL
+    engine (``bit_count``), which is what the gate oracle does.
 
-    Returns one row: (mean, se_brr, n_replicates, n_strata).
+    ``group_cols`` gives domain (per-group) estimates under the SAME
+    global replicate design (``survey``'s svyby-over-svrepdesign
+    semantics): the Hadamard columns and R come from the FULL table's
+    strata, and a domain simply contributes zero sums to strata it does
+    not touch.  PSU structure is validated globally, not per domain.
+
+    Returns one row per group: (group_cols..., mean, se_brr,
+    n_replicates, n_strata); ungrouped = one row, same columns.
     """
+    import numpy as np
+
     if not (0.0 <= fay_rho < 1.0):
         raise ValueError("fay_rho must be in [0, 1)")
+    group_cols = list(group_cols or [])
     w = (
         F.col(weight_col).cast("double")
         if weight_col is not None
@@ -305,12 +316,13 @@ def brr_mean(
     wy = w * y
     cells = (
         df.select(
+            *group_cols,
             F.col(strata_col).cast("long").alias("__h__"),
             F.col(psu_col).cast("long").alias("__p__"),
             wy.alias("__wy__"),
             F.when(wy.isNotNull(), w).alias("__w__"),
         )
-        .groupBy("__h__", "__p__")
+        .groupBy(*group_cols, "__h__", "__p__")
         .agg(F.sum("__wy__").alias("swy"), F.sum("__w__").alias("sw"))
         .collect()
     )
@@ -319,47 +331,71 @@ def brr_mean(
     if n_h > max_strata:
         raise ValueError(
             f"brr_mean: {n_h} strata exceeds max_strata={max_strata} "
-            "(driver holds 2 sums per stratum; raise the guard only "
-            "knowingly)"
+            "(driver holds 2 sums per stratum per group; raise the "
+            "guard only knowingly)"
         )
-    by_cell = {(r["__h__"], r["__p__"]): r for r in cells}
+    # PSU structure is a property of the DESIGN — validate on the union
+    # over groups (a domain missing one PSU of a stratum is fine).
+    psus_of: dict[int, set] = {}
+    for r in cells:
+        psus_of.setdefault(r["__h__"], set()).add(r["__p__"])
     for h in strata:
-        psus = {p for (hh, p) in by_cell if hh == h}
-        if psus != {0, 1}:
+        if psus_of[h] != {0, 1}:
             raise ValueError(
-                f"brr_mean: stratum {h!r} has PSUs {sorted(psus)}; BRR "
-                "requires exactly two PSUs coded 0 and 1 per stratum"
+                f"brr_mean: stratum {h!r} has PSUs {sorted(psus_of[h])}; "
+                "BRR requires exactly two PSUs coded 0 and 1 per stratum"
             )
     # column index per stratum: 1..n_h in sorted-stratum order
     col_of = {h: i + 1 for i, h in enumerate(strata)}
+    idx_of = {h: i for i, h in enumerate(strata)}
     R = 4
     while R <= n_h:
         R *= 2
     k = 1.0 - fay_rho
-    Twy = sum(r["swy"] or 0.0 for r in cells)
-    Tw = sum(r["sw"] or 0.0 for r in cells)
-    theta = Twy / Tw
-    v = 0.0
-    for rep in range(R):
-        num = 0.0
-        den = 0.0
-        for r in cells:
-            s = -1.0 if bin(rep & col_of[r["__h__"]]).count("1") % 2 else 1.0
-            f = 1.0 + k * s * (1.0 - 2.0 * r["__p__"])
-            num += f * (r["swy"] or 0.0)
-            den += f * (r["sw"] or 0.0)
-        v += (num / den - theta) ** 2
-    v /= R * k * k
+    # Sylvester-Hadamard sign matrix S[r, h] = (-1)^popcount(r & col_h),
+    # vectorized: popcount via a bits-unpack sum (cols < 2^ceil(log2 R)).
+    reps = np.arange(R, dtype=np.int64)[:, None]
+    cols = np.array([col_of[h] for h in strata], dtype=np.int64)[None, :]
+    masked = reps & cols
+    nbits = max(1, int(R).bit_length())
+    pop = (
+        (masked[..., None] >> np.arange(nbits, dtype=np.int64)) & 1
+    ).sum(axis=-1)
+    S = np.where(pop % 2 == 1, -1.0, 1.0)  # (R, n_h)
+    # replicate factor per (stratum, psu): f[r, h, p] = 1 + k*S*(1-2p)
+    F0 = 1.0 + k * S  # psu 0
+    F1 = 1.0 - k * S  # psu 1
+
+    by_key: dict[tuple, np.ndarray] = {}
+    for r in cells:
+        key = tuple(r[c] for c in group_cols)
+        m = by_key.setdefault(key, np.zeros((2, n_h, 2)))
+        j = idx_of[r["__h__"]]
+        p = int(r["__p__"])
+        m[0, j, p] = r["swy"] or 0.0
+        m[1, j, p] = r["sw"] or 0.0
+
+    out_rows = []
+    for key in sorted(by_key, key=lambda t: tuple(map(str, t))):
+        m = by_key[key]
+        Twy, Tw = float(m[0].sum()), float(m[1].sum())
+        theta = Twy / Tw
+        num = F0 @ m[0, :, 0] + F1 @ m[0, :, 1]  # (R,)
+        den = F0 @ m[1, :, 0] + F1 @ m[1, :, 1]
+        v = float(((num / den - theta) ** 2).sum()) / (R * k * k)
+        out_rows.append(key + (round(theta, 6), round(v ** 0.5, 6), R, n_h))
+
     from pyspark.sql.types import (
         DoubleType, LongType, StructField, StructType,
     )
 
-    return df.sparkSession.createDataFrame(
-        [(round(theta, 6), round(v ** 0.5, 6), R, n_h)],
-        StructType([
-            StructField("mean", DoubleType(), True),
-            StructField("se_brr", DoubleType(), True),
-            StructField("n_replicates", LongType(), False),
-            StructField("n_strata", LongType(), False),
-        ]),
+    key_fields = (
+        list(df.select(*group_cols).schema.fields) if group_cols else []
     )
+    schema = StructType(key_fields + [
+        StructField("mean", DoubleType(), True),
+        StructField("se_brr", DoubleType(), True),
+        StructField("n_replicates", LongType(), False),
+        StructField("n_strata", LongType(), False),
+    ])
+    return df.sparkSession.createDataFrame(out_rows, schema)

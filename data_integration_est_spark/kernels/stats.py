@@ -414,8 +414,17 @@ def svyratio(
     so everything is ONE distributed pass per group; only O(groups)
     scalars reach the driver.  Stratified designs (``strata_col`` set)
     collect the same moments one level finer and sum the df-corrected
-    per-stratum variance pieces — the svymean/svytotal pattern."""
+    per-stratum variance pieces — the svymean/svytotal pattern.
+
+    Calibrated designs (r8): GREG-residual linearization — the same
+    engine-normative semantics as the calibrated svymean/svytotal:
+    the linearized variable t_i = y_i - R x_i is residualized against
+    the calibration columns, e_i = t_i - xc_i'B with B solving
+    (Σ d xc xc') B = Σ d xc t over the pre-calibration weights d;
+    influence z_i = w_i e_i / Σ(w x)."""
     group_cols = list(group_cols or [])
+    if design.is_calibrated and design.calibration_cols:
+        return _svyratio_calibrated(design, num_col, den_col, group_cols)
     strat = design.strata_col
     fpc = design.fpc_col
     df = design.df.na.drop(
@@ -482,6 +491,114 @@ def svyratio(
             else:
                 v = f * n / (n - 1.0) * (pieces[0][2] - pieces[0][1] ** 2 / n)
         out.append(EstimateRow(key=k, estimate=float(R), variance=float(v), n=n))
+    return out
+
+
+def _svyratio_calibrated(
+    design: SurveyDesign, num_col: str, den_col: str, group_cols: list[str]
+) -> list[EstimateRow]:
+    """GREG-residual ratio variance: ONE pass collecting, per (group,
+    stratum) cell, the w-sums of (y, x, xc_j), the d-Gram of the
+    calibration columns against (y, x), and the w²-Gram of the basis
+    [y, x, xc...]; then driver algebra — R and B are linear/solvable in
+    those moments, and the influence z = w(y - Rx - xc'B)/Σwx is a
+    quadratic form with coefficient vector c = [1, -R, -B]/Σwx."""
+    strat = design.strata_col
+    fpc = design.fpc_col
+    xcols = list(design.calibration_cols)
+    kx = len(xcols)
+    subset = list(dict.fromkeys(
+        [num_col, den_col, design.weight_col, design.base_weight_col]
+        + xcols + ([strat] if strat else []) + ([fpc] if fpc else [])
+    ))
+    df = design.df.na.drop(subset=subset)
+    w = F.col(design.weight_col).cast("double")
+    d = F.col(design.base_weight_col).cast("double")
+    y = F.col(num_col).cast("double")
+    x = F.col(den_col).cast("double")
+    xs = [F.col(c).cast("double") for c in xcols]
+    w2 = w * w
+    z = [y, x] + xs  # w²-Gram basis
+    aggs: list[Column] = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(w * y).alias("swy"),
+        F.sum(w * x).alias("swx"),
+        *[F.sum(w * xs[j]).alias(f"swc_{j}") for j in range(kx)],
+        *([F.max(F.col(fpc).cast("double")).alias("__N__")] if fpc else []),
+    ]
+    for i in range(len(z)):
+        for j in range(i, len(z)):
+            aggs.append(F.sum(w2 * z[i] * z[j]).alias(f"q_{i}_{j}"))
+    for i in range(kx):
+        for j in range(i, kx):
+            aggs.append(F.sum(d * xs[i] * xs[j]).alias(f"g_{i}_{j}"))
+        aggs.append(F.sum(d * xs[i] * y).alias(f"gy_{i}"))
+        aggs.append(F.sum(d * xs[i] * x).alias(f"gx_{i}"))
+    res = _collect_keyed(df, group_cols + ([strat] if strat else []), aggs)
+
+    def _f(r, name):
+        v = r[name]
+        return 0.0 if v is None else float(v)
+
+    if strat:
+        grouped: dict[tuple, list] = {}
+        for key, r in res.items():
+            grouped.setdefault(key[:-1], []).append(r)
+        items = [(k, rows) for k, rows in grouped.items()]
+    else:
+        items = [(k, [r]) for k, r in res.items()]
+
+    out: list[EstimateRow] = []
+    kz = kx + 2
+    for key, rows in items:
+        n = sum(int(r["n"]) for r in rows)
+        swy = sum(_f(r, "swy") for r in rows)
+        swx = sum(_f(r, "swx") for r in rows)
+        if swx == 0.0:
+            out.append(EstimateRow(key=key, estimate=float("nan"),
+                                   variance=float("nan"), n=n))
+            continue
+        R = swy / swx
+        G = np.zeros((kx, kx))
+        rhs = np.zeros(kx)
+        for r in rows:
+            for i in range(kx):
+                for j in range(i, kx):
+                    v = _f(r, f"g_{i}_{j}")
+                    G[i, j] += v
+                    if j != i:
+                        G[j, i] += v
+                rhs[i] += _f(r, f"gy_{i}") - R * _f(r, f"gx_{i}")
+        B = _solve_stacked(
+            G[None, ...], rhs[None, :, None], "svyratio residual projection"
+        ).ravel()
+        c = np.concatenate(([1.0, -R], -B)) / swx
+        pieces = []
+        for r in rows:
+            s1 = (
+                _f(r, "swy") - R * _f(r, "swx")
+                - sum(B[j] * _f(r, f"swc_{j}") for j in range(kx))
+            ) / swx
+            q = np.zeros((kz, kz))
+            for i in range(kz):
+                for j in range(i, kz):
+                    q[i, j] = q[j, i] = _f(r, f"q_{i}_{j}")
+            s2 = float(c @ q @ c)
+            pieces.append((
+                int(r["n"]), s1, s2,
+                _fpc_factor(int(r["n"]), float(r["__N__"]) if fpc else None),
+            ))
+        if strat:
+            v = _strat_var(pieces)
+        else:
+            f = pieces[0][3]
+            if f == 0.0:
+                v = 0.0
+            elif n < 2:
+                v = float("nan")
+            else:
+                v = f * n / (n - 1.0) * (pieces[0][2] - pieces[0][1] ** 2 / n)
+        out.append(EstimateRow(key=key, estimate=float(R), variance=float(v), n=n))
     return out
 
 
@@ -821,8 +938,17 @@ def svyvar(
     ONE distributed pass: everything is algebra in the uncentered
     moments sum w y^k (k<=2) and sum w^2 y^k (k<=4) — same pattern as
     ``svymean``/``svyratio``; only O(groups x strata) scalars reach the
-    driver."""
+    driver.
+
+    Calibrated designs (r8): GREG-residual linearization — same
+    engine-normative semantics as the calibrated svymean/svytotal/
+    svyratio: the linearized variable h_i = (y_i - m)^2 - V is
+    residualized against the calibration columns, e_i = h_i - xc_i'B
+    with B solving (Σ d xc xc') B = Σ d xc h over the pre-calibration
+    weights d; influence z_i = w_i e_i / Σw."""
     group_cols = list(group_cols or [])
+    if design.is_calibrated and design.calibration_cols:
+        return _svyvar_calibrated(design, y_col, group_cols)
     strat = design.strata_col
     fpc = design.fpc_col
     df = design.df.na.drop(
@@ -886,6 +1012,127 @@ def svyvar(
                 var = float("nan")
             else:
                 var = f * n / (n - 1.0) * (s2 - s1 * s1 / n)
+        out.append(EstimateRow(key=key, estimate=float(V), variance=float(var), n=n))
+    return out
+
+
+def _svyvar_calibrated(
+    design: SurveyDesign, y_col: str, group_cols: list[str]
+) -> list[EstimateRow]:
+    """GREG-residual variance of the svyvar functional: the linearized
+    variable h = (y-m)² - V expands in uncentered moments (m, V are
+    ratios of w-sums), so ONE pass collects, per (group, stratum) cell:
+    w·y^k (k≤2), w·xc_j, d-Gram of xc against (y², y, 1), and the
+    w²-moments needed for the quadratic form of e = h - xc'B — w²y^k
+    (k≤4), w²y^k·xc_j (k≤2), w²xc_i·xc_j.  Driver algebra then builds
+    B, the per-stratum influence sums, and the df-corrected variance."""
+    strat = design.strata_col
+    fpc = design.fpc_col
+    xcols = list(design.calibration_cols)
+    kx = len(xcols)
+    subset = list(dict.fromkeys(
+        [y_col, design.weight_col, design.base_weight_col]
+        + xcols + ([strat] if strat else []) + ([fpc] if fpc else [])
+    ))
+    df = design.df.na.drop(subset=subset)
+    w = F.col(design.weight_col).cast("double")
+    d = F.col(design.base_weight_col).cast("double")
+    y = F.col(y_col).cast("double")
+    xs = [F.col(c).cast("double") for c in xcols]
+    w2 = w * w
+    aggs: list[Column] = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(w).alias("sw"),
+        F.sum(w * y).alias("swy"),
+        F.sum(w * y * y).alias("swy2"),
+        *[F.sum(w * xs[j]).alias(f"swc_{j}") for j in range(kx)],
+        *[F.sum(w2 * F.pow(y, k)).alias(f"s{k}") for k in range(5)],
+        *([F.max(F.col(fpc).cast("double")).alias("__N__")] if fpc else []),
+    ]
+    for j in range(kx):
+        aggs.append(F.sum(d * xs[j] * y * y).alias(f"gy2_{j}"))
+        aggs.append(F.sum(d * xs[j] * y).alias(f"gy_{j}"))
+        aggs.append(F.sum(d * xs[j]).alias(f"g1_{j}"))
+        aggs.append(F.sum(w2 * xs[j] * y * y).alias(f"cy2_{j}"))
+        aggs.append(F.sum(w2 * xs[j] * y).alias(f"cy_{j}"))
+        aggs.append(F.sum(w2 * xs[j]).alias(f"c1_{j}"))
+        for i in range(j, kx):
+            aggs.append(F.sum(d * xs[j] * xs[i]).alias(f"g_{j}_{i}"))
+            aggs.append(F.sum(w2 * xs[j] * xs[i]).alias(f"p_{j}_{i}"))
+    res = _collect_keyed(df, group_cols + ([strat] if strat else []), aggs)
+
+    def _f(r, name):
+        v = r[name]
+        return 0.0 if v is None else float(v)
+
+    if strat:
+        grouped: dict[tuple, list] = {}
+        for key, r in res.items():
+            grouped.setdefault(key[:-1], []).append(r)
+        items = [(k, rows) for k, rows in grouped.items()]
+    else:
+        items = [(k, [r]) for k, r in res.items()]
+
+    out: list[EstimateRow] = []
+    for key, rows in items:
+        n = sum(int(r["n"]) for r in rows)
+        W = sum(_f(r, "sw") for r in rows)
+        m = sum(_f(r, "swy") for r in rows) / W
+        V = sum(_f(r, "swy2") for r in rows) / W - m * m
+        c0 = m * m - V
+        G = np.zeros((kx, kx))
+        rhs = np.zeros(kx)
+        for r in rows:
+            for j in range(kx):
+                for i in range(j, kx):
+                    v = _f(r, f"g_{j}_{i}")
+                    G[j, i] += v
+                    if i != j:
+                        G[i, j] += v
+                rhs[j] += (
+                    _f(r, f"gy2_{j}") - 2.0 * m * _f(r, f"gy_{j}")
+                    + c0 * _f(r, f"g1_{j}")
+                )
+        B = _solve_stacked(
+            G[None, ...], rhs[None, :, None], "svyvar residual projection"
+        ).ravel()
+        pieces = []
+        for r in rows:
+            # Σ_h w·e  with e = (y-m)² - V - xc'B
+            s1 = (
+                _f(r, "swy2") - 2.0 * m * _f(r, "swy") + c0 * _f(r, "sw")
+                - sum(B[j] * _f(r, f"swc_{j}") for j in range(kx))
+            ) / W
+            # Σ_h w²·e²: A - 2 B'C + B'P B in expanded moments
+            A = (
+                _f(r, "s4") - 4.0 * m * _f(r, "s3")
+                + (4.0 * m * m + 2.0 * c0) * _f(r, "s2")
+                - 4.0 * m * c0 * _f(r, "s1") + c0 * c0 * _f(r, "s0")
+            )
+            C = np.array([
+                _f(r, f"cy2_{j}") - 2.0 * m * _f(r, f"cy_{j}")
+                + c0 * _f(r, f"c1_{j}")
+                for j in range(kx)
+            ])
+            P = np.zeros((kx, kx))
+            for j in range(kx):
+                for i in range(j, kx):
+                    P[j, i] = P[i, j] = _f(r, f"p_{j}_{i}")
+            s2 = float(A - 2.0 * B @ C + B @ P @ B) / (W * W)
+            pieces.append((
+                int(r["n"]), s1, s2,
+                _fpc_factor(int(r["n"]), float(r["__N__"]) if fpc else None),
+            ))
+        if strat:
+            var = _strat_var(pieces)
+        else:
+            f = pieces[0][3]
+            if f == 0.0:
+                var = 0.0
+            elif n < 2:
+                var = float("nan")
+            else:
+                var = f * n / (n - 1.0) * (pieces[0][2] - pieces[0][1] ** 2 / n)
         out.append(EstimateRow(key=key, estimate=float(V), variance=float(var), n=n))
     return out
 
@@ -964,42 +1211,95 @@ def design_effect(
     y_col: str,
     group_cols: list[str] | None = None,
     with_replacement: bool = False,
+    statistic: str = "mean",
+    den_col: str | None = None,
 ) -> list[EstimateRow]:
-    """Design effect of the weighted mean — ``survey::svymean(deff=)``'s
-    concept: DEFF = V_design(mean) / V_srs(mean), the variance cost (or
+    """Design effect — ``survey::svymean/svytotal/svyratio(deff=)``'s
+    concept: DEFF = V_design(stat) / V_srs(stat), the variance cost (or
     gain) of the actual design against a simple random sample of the
     same size.  Engine-normative SRS denominator (documented here, as
     with the §4.3-2 variance formulas):
 
-        V_srs = (1 - n/W) * S2 / n          (without replacement;
-                                             W = sum of weights = N-hat)
-        V_srs = S2 / n                      (``with_replacement=True``)
-        S2    = [sum w (y - m)^2 / sum w] * W/(W - 1)
+        V_srs(mean)  = f * S2 / n
+        V_srs(total) = W^2 * f * S2 / n
+        V_srs(ratio) = f * S2_d / n,  d_i = (y_i - R x_i) / mx
+        f = (1 - n/W)  (without replacement; W = sum of weights = N-hat)
+        f = 1          (``with_replacement=True``)
+        S2 = [sum w (y - m)^2 / sum w] * W/(W - 1)
 
     i.e. the svyvar population-variance functional with a Bessel-style
-    N-hat correction.  Returns EstimateRows whose ``estimate`` is the
-    DEFF, ``variance`` the design variance it was computed from, and
-    ``n`` the group size.  Two kernel calls = two distributed passes
-    (svymean's moment pass + svyvar's); O(groups) driver scalars."""
-    means = {r.key: r for r in svymean(design, y_col, group_cols=group_cols)}
-    svars = {r.key: r for r in svyvar(design, y_col, group_cols=group_cols)}
+    N-hat correction; the ratio denominator is the SRS variance of the
+    linearized variable (population residual moments, same W/(W-1)
+    correction).  ``statistic`` picks 'mean' | 'total' | 'ratio'
+    ('ratio' needs ``den_col``; ``y_col`` is the numerator).  Returns
+    EstimateRows whose ``estimate`` is the DEFF, ``variance`` the
+    design variance it was computed from, and ``n`` the group size.
+    Two kernel calls = two distributed passes (the estimator kernel's
+    moment pass + one SRS-moment pass); O(groups) driver scalars."""
+    group_cols = list(group_cols or [])
+    if statistic not in ("mean", "total", "ratio"):
+        raise ValueError("statistic must be 'mean', 'total', or 'ratio'")
+    if statistic == "ratio" and den_col is None:
+        raise ValueError("statistic='ratio' needs den_col")
     w = F.col(design.weight_col).cast("double")
     y = F.col(y_col).cast("double")
-    sums = _collect_keyed(
-        design.df.na.drop(subset=[y_col, design.weight_col]),
-        list(group_cols or []),
-        [F.sum(w).alias("__W__"), F.count(F.lit(1)).alias("__n__")],
-    )
+
+    if statistic == "ratio":
+        x = F.col(den_col).cast("double")
+        des = {r.key: r for r in
+               svyratio(design, y_col, den_col, group_cols=group_cols)}
+        sums = _collect_keyed(
+            design.df.na.drop(subset=[y_col, den_col, design.weight_col]),
+            group_cols,
+            [
+                F.sum(w).alias("__W__"),
+                F.count(F.lit(1)).alias("__n__"),
+                F.sum(w * x).alias("__swx__"),
+                F.sum(w * y).alias("__swy__"),
+                F.sum(w * x * x).alias("__swxx__"),
+                F.sum(w * y * y).alias("__swyy__"),
+                F.sum(w * x * y).alias("__swxy__"),
+            ],
+        )
+    else:
+        kern = svymean if statistic == "mean" else svytotal
+        des = {r.key: r for r in kern(design, y_col, group_cols=group_cols)}
+        svars = {r.key: r for r in svyvar(design, y_col, group_cols=group_cols)}
+        sums = _collect_keyed(
+            design.df.na.drop(subset=[y_col, design.weight_col]),
+            group_cols,
+            [F.sum(w).alias("__W__"), F.count(F.lit(1)).alias("__n__")],
+        )
+
     out = []
-    for key, m in means.items():
+    for key, d in des.items():
         W = float(sums[key]["__W__"])
         n = int(sums[key]["__n__"])
-        S2 = svars[key].estimate * (W / (W - 1.0)) if W > 1.0 else float("nan")
         f = 1.0 if with_replacement else max(0.0, 1.0 - n / W)
-        v_srs = f * S2 / n if n else float("nan")
-        deff = m.variance / v_srs if v_srs and v_srs > 0 else float("nan")
+        if statistic == "ratio":
+            r = sums[key]
+            swx, swy = float(r["__swx__"] or 0.0), float(r["__swy__"] or 0.0)
+            mx, my = swx / W, swy / W
+            vx = float(r["__swxx__"] or 0.0) / W - mx * mx
+            vy = float(r["__swyy__"] or 0.0) / W - my * my
+            cxy = float(r["__swxy__"] or 0.0) / W - mx * my
+            if swx == 0.0 or mx == 0.0 or W <= 1.0:
+                out.append(EstimateRow(key=key, estimate=float("nan"),
+                                       variance=float(d.variance), n=n))
+                continue
+            ratio = swy / swx
+            s2d = ((vy - 2.0 * ratio * cxy + ratio * ratio * vx)
+                   / (mx * mx)) * (W / (W - 1.0))
+            v_srs = f * s2d / n if n else float("nan")
+        else:
+            S2 = (svars[key].estimate * (W / (W - 1.0))
+                  if W > 1.0 else float("nan"))
+            v_srs = f * S2 / n if n else float("nan")
+            if statistic == "total":
+                v_srs *= W * W
+        deff = d.variance / v_srs if v_srs and v_srs > 0 else float("nan")
         out.append(EstimateRow(key=key, estimate=float(deff),
-                               variance=float(m.variance), n=n))
+                               variance=float(d.variance), n=n))
     return out
 
 

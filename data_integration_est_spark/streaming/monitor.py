@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -67,14 +68,19 @@ def _monitor_fn(lo: float, hi: float, bins: int, qs: tuple):
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (k,) = key
-        counts = list(state.get[0]) if state.exists else [0] * bins
+        counts = np.asarray(
+            state.get[0] if state.exists else [0] * bins, dtype=np.int64
+        )
         for pdf in pdfs:
-            for v in pdf["value"]:
-                if v is None or pd.isna(v):
-                    continue
-                bi = int((float(v) - lo) / width)
-                bi = 0 if bi < 0 else (bins - 1 if bi >= bins else bi)
-                counts[bi] += 1
+            v = pdf["value"].to_numpy(dtype=float)
+            v = v[~np.isnan(v)]
+            if v.size:
+                # floor-div then clamp — same bin rule as the batch twin
+                bi = np.clip(
+                    np.floor((v - lo) / width).astype(np.int64), 0, bins - 1
+                )
+                counts += np.bincount(bi, minlength=bins)
+        counts = [int(c) for c in counts]
         state.update((counts,))
         n, ests = _read_off(counts, lo, width, bins, qs)
         yield pd.DataFrame(

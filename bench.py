@@ -130,6 +130,13 @@ HEADLINE = [
     "salted_join_orders",
     "line_lang_mix",
     "svycov_events",
+    # round-8: grouped BRR/two-phase, total-deff, calibrated-design
+    # svyratio/svyvar — the new gate rows join the headline immediately
+    "brr_mean_by_events",
+    "twophase_by_orders",
+    "deff_total_events",
+    "svyratio_cal_events",
+    "svyvar_cal_events",
     "mc_stratified_study",
     "mc_contaminated_study",
     "mc_nmar_v2_study",

@@ -299,3 +299,70 @@ def test_quantile_monitor_validates(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="lo < hi"):
         sm.quantile_monitor_batch(df, "v", "k", lo=5.0, hi=5.0)
+
+
+def test_quantile_monitor_grouped_fuzz(spark, tmp_path):
+    """r8 fuzz (r7 VERDICT ask #7): randomized bin edges, bin counts,
+    key cardinality, out-of-range mass on BOTH sides, and null values —
+    stream-after-drain must equal the batch twin EXACTLY for every
+    config (the histogram monoid is commutative, so arrival order and
+    batch boundaries cannot matter), and out-of-range mass must land in
+    the edge bins."""
+    import numpy as np
+
+    from data_integration_est_spark.streaming import docs as sd
+    from data_integration_est_spark.streaming import monitor as sm
+
+    rng = np.random.RandomState(88)
+    for trial in range(3):
+        lo = float(rng.uniform(-50, 10))
+        hi = lo + float(rng.uniform(5, 200))
+        bins = int(rng.randint(2, 90))
+        nkeys = int(rng.randint(1, 5))
+        n = 1200
+        # one third in-range, one third spread far outside, some nulls
+        vals = np.where(
+            rng.uniform(size=n) < 0.33,
+            rng.uniform(lo - 300, hi + 300, n),
+            rng.uniform(lo, hi, n),
+        )
+        null_mask = rng.uniform(size=n) < 0.05
+        rows = [
+            (i, f"k{i % nkeys}",
+             None if null_mask[i] else float(vals[i]))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, score double"
+        )
+        path = str(tmp_path / f"qmf{trial}")
+        # several files so the stream sees multiple triggers
+        df.repartition(4).write.parquet(path)
+
+        qs = (0.1, 0.5, 0.9)
+        batch = sm.quantile_monitor_batch(
+            spark.read.parquet(path), "score", "source",
+            lo=lo, hi=hi, bins=bins, qs=qs,
+        )
+        stream_df = sm.quantile_monitor_stream(
+            sd.read_doc_stream(spark, path, max_files_per_trigger=1),
+            "score", "source", lo=lo, hi=hi, bins=bins, qs=qs,
+        )
+        out = se.run_to_memory(
+            stream_df, f"qmon_fuzz_{trial}", output_mode="update"
+        )
+        latest = {}
+        for r in out.collect():
+            if r["key"] not in latest or r["n"] > latest[r["key"]]["n"]:
+                latest[r["key"]] = r
+        want = {r["key"]: r for r in batch.collect()}
+        assert set(latest) == set(want), (trial, lo, hi, bins)
+        for k in want:
+            assert tuple(latest[k]) == tuple(want[k]), (trial, k, lo, hi, bins)
+        # out-of-range mass clamps to the fences: every estimate stays
+        # inside [lo, hi)
+        width = (hi - lo) / bins
+        for k, r in want.items():
+            for col in ("q10", "q50", "q90"):
+                if r[col] is not None:
+                    assert lo - 1e-9 <= r[col] <= hi - width + 1e-9

@@ -389,6 +389,80 @@ def probe_r7_ops(spark, sf_dir: str):
         }))
 
 
+def probe_r8_ops(spark, sf_dir: str):
+    """r8: duplicated-span removal at the REALISTIC min_len (Lee et al.
+    2022 deduplicate ~50-token spans; the r7 probe ran L=8) — records
+    the window-key count at L=8 vs L=50 (the explosion factor a user
+    actually pays) and the 1x/10x wall factor at L=50 — plus the
+    grouped BRR kernel at 1x/10x (one keyed pass, R replicates as
+    driver numpy arithmetic regardless of data size)."""
+    from data_integration_est_spark.kernels.replicate import brr_mean
+    from data_integration_est_spark.ops.dedup import duplicated_span_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    dmax = docs.agg(F.max("doc_id")).collect()[0][0]
+
+    def corpus(mult: int):
+        parts = [
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * (dmax + 1)))
+            for i in range(mult)
+        ]
+        out = parts[0]
+        for pp in parts[1:]:
+            out = out.unionByName(pp)
+        return out
+
+    # window-key volume per min_len: sum_docs max(0, T - L + 1)
+    toks = docs.select(
+        F.size(F.split(F.col("text"), r"\s+")).alias("T")
+    )
+    keys = {
+        L: toks.agg(
+            F.sum(F.greatest(F.col("T") - F.lit(L - 1), F.lit(0)))
+        ).collect()[0][0]
+        for L in (8, 50)
+    }
+    print(json.dumps({
+        "probe": "span_dedup_window_keys",
+        "keys_L8": int(keys[8]), "keys_L50": int(keys[50]),
+        "L8_over_L50": round(keys[8] / max(1, keys[50]), 2),
+    }))
+
+    def span50(m):
+        return duplicated_span_dedup(corpus(m), min_len=50).agg(
+            F.sum("n_removed")).collect()[0][0]
+
+    t1 = _timed(f"span_dedup_L50_x1_{n}docs", lambda: span50(1))
+    t10 = _timed(f"span_dedup_L50_x10_{10 * n}docs", lambda: span50(10))
+    print(json.dumps({
+        "probe": "span_dedup_L50_scale_factor_10x", "factor": round(t10 / t1, 2)
+    }))
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ne = ev.count()
+
+    def brr_by(m):
+        base = ev
+        for i in range(1, m):
+            base = base.unionByName(ev)
+        base = (
+            base.withColumn("h", F.col("event_id") % 32)
+            .withColumn("p", F.pmod(F.floor(F.col("event_id") / 32), F.lit(2)))
+            .withColumn("w", 1.0 + (F.col("event_id") % 10).cast("double"))
+        )
+        return brr_mean(
+            base, "value", "h", "p", weight_col="w",
+            group_cols=["event_type"],
+        ).count()
+
+    b1 = _timed(f"brr_by_x1_{ne}rows", lambda: brr_by(1))
+    b10 = _timed(f"brr_by_x10_{10 * ne}rows", lambda: brr_by(10))
+    print(json.dumps({
+        "probe": "brr_grouped_scale_factor_10x", "factor": round(b10 / b1, 2)
+    }))
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -410,6 +484,8 @@ def main() -> None:
         probe_pq_realistic(spark, sf_dir)
     if which in ("r7", "all"):
         probe_r7_ops(spark, sf_dir)
+    if which in ("r8", "all"):
+        probe_r8_ops(spark, sf_dir)
 
 
 if __name__ == "__main__":

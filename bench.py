@@ -137,6 +137,9 @@ HEADLINE = [
     "deff_total_events",
     "svyratio_cal_events",
     "svyvar_cal_events",
+    "semdedup_stats",
+    "quality_classifier_cut",
+    "hll_distinct_users",
     "mc_stratified_study",
     "mc_contaminated_study",
     "mc_nmar_v2_study",

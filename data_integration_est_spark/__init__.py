@@ -84,6 +84,11 @@ from data_integration_est_spark.ops.pii import pii_scan
 from data_integration_est_spark.ops.quality_rep import repetition_stats
 from data_integration_est_spark.ops.range_join import range_join_points
 from data_integration_est_spark.kernels.linalg import calibrate, calibrate_bounded, calibrate_raking
+from data_integration_est_spark.ops.quality_model import classifier_quality_cut
+from data_integration_est_spark.ops.semdedup import semdedup, semdedup_flags
+from data_integration_est_spark.ops.sketches import (
+    hll_count_distinct, hll_estimate, hll_merge, hll_registers,
+)
 from data_integration_est_spark.session import get_spark
 from data_integration_est_spark.streaming.docs import curate_docs, ingest_summary
 
@@ -170,6 +175,13 @@ __all__ = [
     "trigram_logprob_scores",
     "line_language_mix",
     "repetition_stats",
+    "semdedup",
+    "semdedup_flags",
+    "classifier_quality_cut",
+    "hll_count_distinct",
+    "hll_registers",
+    "hll_estimate",
+    "hll_merge",
     "get_spark",
 ]
 

@@ -1,0 +1,214 @@
+"""Round-8 LLM-pipeline ops: SemDeDup, model-based quality cut,
+portable HyperLogLog — numpy/exact oracles."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rng = np.random.default_rng(5)
+    n, dim = 120, 16
+    base = rng.normal(size=(n, dim))
+    # plant near-duplicates: rows 100-119 are jittered copies of 0-19
+    base[100:] = base[:20] + rng.normal(scale=0.01, size=(20, dim))
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": [list(map(float, v)) for v in base]}
+    )
+    return spark.createDataFrame(pdf), base
+
+
+def _numpy_semdedup(V, centroids, threshold):
+    """Oracle replay of the documented engine semantics."""
+    C = np.asarray(centroids, dtype=float)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    sims = V @ Cn.T
+    cl = np.argmax(sims, axis=1)  # first max on ties, like the engine fold
+    nrm = np.linalg.norm(V, axis=1)
+    csim = sims[np.arange(len(V)), cl] / nrm
+    dup = np.zeros(len(V), dtype=bool)
+    rank = {}
+    for c in np.unique(cl):
+        idx = np.where(cl == c)[0]
+        order = idx[np.lexsort((idx, -csim[idx]))]  # csim desc, id asc
+        Vn = V[order] / nrm[order, None]
+        G = np.round(Vn @ Vn.T, 6)
+        for i in range(1, len(order)):
+            if (G[i, :i] >= threshold).any():
+                dup[order[i]] = True
+        for r, j in enumerate(order):
+            rank[j] = r + 1
+    return cl, dup, rank
+
+
+def test_semdedup_matches_numpy(vec_df):
+    from data_integration_est_spark.ops.semdedup import (
+        deterministic_centroids, semdedup_flags,
+    )
+
+    df, V = vec_df
+    cents = deterministic_centroids(df, k=3, n_iter=2)
+    fl = {r["vec_id"]: r for r in
+          semdedup_flags(df, threshold=0.95, centroids=cents).collect()}
+    cl, dup, rank = _numpy_semdedup(V, cents, 0.95)
+    assert len(fl) == len(V)
+    for i in range(len(V)):
+        assert fl[i]["cluster"] == cl[i], i
+        assert fl[i]["is_semdup"] == bool(dup[i]), i
+        assert fl[i]["c_rank"] == rank[i], i
+    # each planted twin pair (j, 100+j) has cosine ~ 0.9999: whichever
+    # ranks lower is flagged — at least one of each pair must be a dup
+    # whenever the two land in the same cluster (which is nearly always)
+    caught = sum(
+        fl[j]["is_semdup"] or fl[100 + j]["is_semdup"] for j in range(20)
+    )
+    assert caught >= 18
+
+
+def test_semdedup_survivors_and_trained_path(vec_df):
+    from data_integration_est_spark.ops.semdedup import semdedup
+
+    df, V = vec_df
+    kept = semdedup(df, threshold=0.95, k=3, n_iter=2)
+    assert set(kept.columns) == {"vec_id", "embedding"}
+    n = kept.count()
+    assert 0 < n < 120  # planted dups removed, most rows survive
+    # determinism: same call, same survivor set
+    ids1 = {r["vec_id"] for r in kept.collect()}
+    ids2 = {r["vec_id"] for r in
+            semdedup(df, threshold=0.95, k=3, n_iter=2).collect()}
+    assert ids1 == ids2
+
+
+def test_lloyd_deterministic_centroids_fixpoint(spark):
+    """Two clearly-separated blobs: 2-means from the two lowest ids (one
+    planted in each blob) must recover the blob means exactly."""
+    from data_integration_est_spark.ops.semdedup import (
+        deterministic_centroids,
+    )
+
+    rng = np.random.default_rng(9)
+    a = rng.normal(loc=(10, 0, 0), scale=0.1, size=(40, 3))
+    b = rng.normal(loc=(-10, 0, 0), scale=0.1, size=(40, 3))
+    rows = [(0, list(map(float, a[0])))] + [(1, list(map(float, b[0])))]
+    rows += [(i + 2, list(map(float, v))) for i, v in enumerate(np.vstack([a[1:], b[1:]]))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = deterministic_centroids(df, k=2, n_iter=3)
+    got = sorted(np.asarray(cents)[:, 0])
+    assert got[0] == pytest.approx(-10, abs=0.2)
+    assert got[1] == pytest.approx(10, abs=0.2)
+
+
+def test_classifier_quality_cut_matches_numpy(spark):
+    from data_integration_est_spark.ops.quality_model import (
+        classifier_quality_cut,
+    )
+    from tests import oracle_np
+
+    rng = np.random.default_rng(17)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n),
+            "source": [f"s{i % 5}" for i in range(n)],
+            "f1": rng.normal(size=n),
+            "f2": rng.normal(size=n),
+        }
+    )
+    logits = -0.5 + 1.2 * pdf.f1 - 0.8 * pdf.f2
+    pdf["y"] = (rng.uniform(size=n) < 1 / (1 + np.exp(-logits))).astype(float)
+    df = spark.createDataFrame(pdf)
+    kept, fit = classifier_quality_cut(df, ["f1", "f2"], "y", 0.4,
+                                       key_cols="source")
+    X = np.column_stack([np.ones(n), pdf.f1, pdf.f2])
+    beta = oracle_np.irls_logistic(X, pdf.y.to_numpy())
+    np.testing.assert_allclose(fit.coef_for(()), beta, rtol=1e-7)
+    # survivor set: per-source top ceil(0.4 * 80) = 32 by score
+    scores = X @ beta
+    want = set()
+    for s in pdf.source.unique():
+        idx = pdf.index[pdf.source == s].to_numpy()
+        order = idx[np.lexsort((idx, -scores[idx]))]
+        want.update(pdf.doc_id[order[: math.ceil(0.4 * len(order))]])
+    got = {r["doc_id"] for r in kept.collect()}
+    assert got == want
+    assert "quality_score" in kept.columns
+
+
+def test_classifier_cut_scores_unlabeled_rows(spark):
+    """DCLM shape: rows with null labels are scored and cut but not
+    trained on."""
+    from data_integration_est_spark.ops.quality_model import (
+        classifier_quality_cut,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 200
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n),
+            "source": ["a"] * n,
+            "f1": rng.normal(size=n),
+        }
+    )
+    # noisy labels (perfect separation would — correctly — be refused)
+    noisy = (pdf.f1 + rng.normal(scale=1.0, size=n) > 0).astype(float)
+    pdf["y"] = np.where(pdf.doc_id % 2 == 0, noisy, np.nan)
+    df = spark.createDataFrame(pdf)
+    kept, fit = classifier_quality_cut(df, ["f1"], "y", 0.5,
+                                       key_cols="source", max_iter=50)
+    assert kept.count() == 100  # half of ALL rows, not half the labeled
+    assert fit.coef_for(())[1] > 0  # learned the positive slope
+
+
+def test_hll_error_and_merge(spark):
+    from data_integration_est_spark.ops.sketches import (
+        hll_count_distinct, hll_estimate, hll_merge, hll_registers,
+    )
+
+    for true_n in (500, 20_000):
+        df = spark.range(0, 3 * true_n).select(
+            (F.col("id") % true_n).alias("u")
+        )
+        est = hll_count_distinct(df, "u", p=12).collect()[0][0]
+        # 1.04/sqrt(4096) ~ 1.6% std err; allow 5 sigma
+        assert abs(est - true_n) / true_n < 0.08, (true_n, est)
+    # merge == direct on overlapping splits
+    df = spark.range(0, 10_000).select((F.col("id") % 4_000).alias("u"))
+    a, b = df.filter("u < 2500"), df.filter("u >= 1500")
+    merged = hll_estimate(
+        hll_merge(hll_registers(a, "u", p=11), hll_registers(b, "u", p=11)),
+        11,
+    ).collect()[0][0]
+    direct = hll_count_distinct(df, "u", p=11).collect()[0][0]
+    assert merged == direct
+
+
+def test_hll_grouped_and_guards(spark):
+    from data_integration_est_spark.ops.sketches import (
+        hll_count_distinct, hll_registers,
+    )
+
+    df = spark.range(0, 9_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 1_000).alias("u"),
+        F.when(F.col("id") % 7 == 0, None).otherwise(F.col("id") % 50).alias("v"),
+    )
+    rows = {r["g"]: r["hll_estimate"]
+            for r in hll_count_distinct(df, "u", p=12, group_cols=["g"]).collect()}
+    assert set(rows) == {"0", "1", "2"}
+    for g, e in rows.items():
+        # step 3 is coprime to 1000, so each group covers ALL 1000
+        # residues of u over a 9000-id span
+        assert abs(e - 1000) / 1000 < 0.1, (g, e)
+    # nulls skipped: estimate reflects the 50 non-null values
+    e50 = hll_count_distinct(df, "v", p=12).collect()[0][0]
+    assert abs(e50 - 50) < 10
+    with pytest.raises(ValueError):
+        hll_registers(df, "u", p=2)

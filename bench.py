@@ -140,6 +140,8 @@ HEADLINE = [
     "semdedup_stats",
     "quality_classifier_cut",
     "hll_distinct_users",
+    "stream_cardinality_summary",
+    "cv_logistic_orders",
     "mc_stratified_study",
     "mc_contaminated_study",
     "mc_nmar_v2_study",

@@ -84,6 +84,7 @@ from data_integration_est_spark.ops.pii import pii_scan
 from data_integration_est_spark.ops.quality_rep import repetition_stats
 from data_integration_est_spark.ops.range_join import range_join_points
 from data_integration_est_spark.kernels.linalg import calibrate, calibrate_bounded, calibrate_raking
+from data_integration_est_spark.ops.crossval import kfold_cv_logistic
 from data_integration_est_spark.ops.quality_model import classifier_quality_cut
 from data_integration_est_spark.ops.semdedup import semdedup, semdedup_flags
 from data_integration_est_spark.ops.sketches import (
@@ -178,6 +179,7 @@ __all__ = [
     "semdedup",
     "semdedup_flags",
     "classifier_quality_cut",
+    "kfold_cv_logistic",
     "hll_count_distinct",
     "hll_registers",
     "hll_estimate",

@@ -47,6 +47,30 @@ def _hash60(col: Column) -> Column:
     ).cast("long")
 
 
+def bucket_rho_cols(col: str, p: int) -> tuple[Column, Column]:
+    """(bucket, rho) column expressions for one value column — shared by
+    the batch register builder and the streaming cardinality monitor.
+
+    Exact integer bit ops only (float division would lose bits above
+    2^53); rho via the binary-string length: bin(rest) has no leading
+    zeros, so used_bits = length(bin(rest)) and rho = rest_bits − used
+    + 1, with rest = 0 (all zeros) -> rest_bits + 1.  String ops are
+    deterministic and identical across engines (DuckDB has bin too)."""
+    if not (4 <= p <= 18):
+        raise ValueError("p must be in [4, 18]")
+    m = 1 << p
+    rest_bits = _HASH_BITS - p
+    h = _hash60(F.col(col))
+    bucket = h.bitwiseAND(F.lit(m - 1)).cast("long")
+    rest = F.shiftright(h, p).cast("long")
+    rho = (
+        F.when(rest == 0, F.lit(rest_bits + 1))
+        .otherwise(F.lit(rest_bits + 1) - F.length(F.bin(rest)))
+        .cast("int")
+    )
+    return bucket, rho
+
+
 def hll_registers(
     df: DataFrame,
     col: str,
@@ -59,24 +83,8 @@ def hll_registers(
     Nulls are skipped (SQL distinct semantics).  Output columns:
     ``group_cols... , bucket, rho`` — a mergeable sketch table (merge =
     max per bucket, ``hll_merge``)."""
-    if not (4 <= p <= 18):
-        raise ValueError("p must be in [4, 18]")
     group_cols = list(group_cols or [])
-    m = 1 << p
-    rest_bits = _HASH_BITS - p
-    h = _hash60(F.col(col))
-    # exact integer bit ops (float division would lose bits above 2^53)
-    bucket = h.bitwiseAND(F.lit(m - 1)).cast("long")
-    rest = F.shiftright(h, p).cast("long")
-    # rho via the binary-string length: bin(rest) has no leading zeros,
-    # so used_bits = length(bin(rest)); rho = rest_bits - used + 1.
-    # rest = 0 (all zeros) -> rho = rest_bits + 1.  String ops are
-    # deterministic and identical across engines (DuckDB has bin too).
-    rho = (
-        F.when(rest == 0, F.lit(rest_bits + 1))
-        .otherwise(F.lit(rest_bits + 1) - F.length(F.bin(rest)))
-        .cast("int")
-    )
+    bucket, rho = bucket_rho_cols(col, p)
     return (
         df.filter(F.col(col).isNotNull())
         .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
@@ -107,6 +115,18 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+def read_off_estimate(s_nonzero: float, n_buckets: int, m: int) -> float:
+    """Harmonic-mean estimate from (Σ 2^-rho over NON-ZERO registers,
+    count of non-zero registers): absent registers contribute 2^0 = 1;
+    linear counting below 2.5m when zero registers remain."""
+    s = s_nonzero + (m - n_buckets)
+    v = m - n_buckets
+    e = _alpha(m) * m * m / s
+    if e <= 2.5 * m and v > 0:
+        e = m * math.log(m / v)
+    return float(e)
+
+
 def hll_estimate(
     registers: DataFrame, p: int, group_cols: list[str] | None = None
 ) -> DataFrame:
@@ -123,12 +143,10 @@ def hll_estimate(
     rows = agg.collect()
     out = []
     for r in rows:
-        s = float(r["__s__"] or 0.0) + (m - int(r["__nb__"]))  # empty: 2^0
-        v = m - int(r["__nb__"])  # zero registers
-        e = _alpha(m) * m * m / s
-        if e <= 2.5 * m and v > 0:
-            e = m * math.log(m / v)
-        out.append(tuple(r[c] for c in group_cols) + (float(e),))
+        e = read_off_estimate(
+            float(r["__s__"] or 0.0), int(r["__nb__"]), m
+        )
+        out.append(tuple(r[c] for c in group_cols) + (e,))
     spark = registers.sparkSession
     from pyspark.sql.types import DoubleType, StructField, StructType
 

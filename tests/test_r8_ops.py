@@ -212,3 +212,43 @@ def test_hll_grouped_and_guards(spark):
     assert abs(e50 - 50) < 10
     with pytest.raises(ValueError):
         hll_registers(df, "u", p=2)
+
+
+def test_kfold_cv_logistic_matches_numpy(spark):
+    """r8: leave-one-fold-out CV via fold explosion + ONE grouped IRLS
+    == k separate numpy IRLS fits and holdout metrics."""
+    from data_integration_est_spark.ops.crossval import kfold_cv_logistic
+    from tests import oracle_np
+
+    rng = np.random.default_rng(29)
+    n, k = 600, 3
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n),
+            "f1": rng.normal(size=n),
+            "f2": rng.normal(size=n),
+        }
+    )
+    logits = 0.3 + 0.9 * pdf.f1 - 1.1 * pdf.f2
+    pdf["y"] = (rng.uniform(size=n) < 1 / (1 + np.exp(-logits))).astype(float)
+    df = spark.createDataFrame(pdf)
+    got = {r["fold"]: r for r in
+           kfold_cv_logistic(df, "y", ["f1", "f2"], "id", k=k).collect()}
+    assert set(got) == {0, 1, 2}
+    X = np.column_stack([np.ones(n), pdf.f1, pdf.f2])
+    yv = pdf.y.to_numpy()
+    fold = (pdf.id % k).to_numpy()
+    for j in range(k):
+        tr, te = fold != j, fold == j
+        beta = oracle_np.irls_logistic(X[tr], yv[tr])
+        p = 1 / (1 + np.exp(-(X[te] @ beta)))
+        ll = -np.mean(yv[te] * np.log(p) + (1 - yv[te]) * np.log(1 - p))
+        acc = np.mean((p >= 0.5) == yv[te])
+        br = np.mean((yv[te] - p) ** 2)
+        assert got[j]["n_train"] == int(tr.sum())
+        assert got[j]["n_test"] == int(te.sum())
+        assert got[j]["logloss"] == pytest.approx(ll, abs=2e-6)
+        assert got[j]["brier"] == pytest.approx(br, abs=2e-6)
+        assert got[j]["accuracy"] == pytest.approx(acc, abs=2e-6)
+    with pytest.raises(ValueError):
+        kfold_cv_logistic(df, "y", ["f1"], "id", k=1)

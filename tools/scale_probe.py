@@ -462,6 +462,54 @@ def probe_r8_ops(spark, sf_dir: str):
         "probe": "brr_grouped_scale_factor_10x", "factor": round(b10 / b1, 2)
     }))
 
+    # SemDeDup: 10x vectors at FIXED k multiplies per-cluster pair work
+    # by 100x (the quadratic term) — so the honest probe scales k with N
+    # (the paper's operating rule: cluster size ~ N/k stays constant).
+    from data_integration_est_spark.ops.semdedup import (
+        deterministic_centroids, semdedup_flags,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nv = emb.count()
+    vmax = emb.agg(F.max("vec_id")).collect()[0][0]
+
+    def vecs(mult: int):
+        parts = [
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * (vmax + 1)))
+            for i in range(mult)
+        ]
+        out = parts[0]
+        for pp in parts[1:]:
+            out = out.unionByName(pp)
+        return out
+
+    def sem(mult: int, k: int):
+        d = vecs(mult)
+        cents = deterministic_centroids(d, k=k, n_iter=2)
+        return semdedup_flags(d, threshold=0.95, centroids=cents).filter(
+            "is_semdup").count()
+
+    s1 = _timed(f"semdedup_x1_{nv}vecs_k4", lambda: sem(1, 4))
+    s10 = _timed(f"semdedup_x10_{10 * nv}vecs_k40", lambda: sem(10, 40))
+    print(json.dumps({
+        "probe": "semdedup_scale_factor_10x_k_scaled",
+        "factor": round(s10 / s1, 2),
+    }))
+
+    # portable HLL: one keyed pass, at most 2^p rows out per group
+    from data_integration_est_spark.ops.sketches import hll_count_distinct
+
+    h1 = _timed(f"hll_x1_{ne}rows", lambda: hll_count_distinct(
+        ev, "user_id", p=12).collect())
+    ev10 = ev
+    for _ in range(9):
+        ev10 = ev10.unionByName(ev)
+    h10 = _timed(f"hll_x10_{10 * ne}rows", lambda: hll_count_distinct(
+        ev10, "user_id", p=12).collect())
+    print(json.dumps({
+        "probe": "hll_scale_factor_10x", "factor": round(h10 / h1, 2)
+    }))
+
 
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"

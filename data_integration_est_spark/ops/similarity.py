@@ -304,8 +304,16 @@ def kmeans_centroids(
     seed: int = 42,
     init: str = "kmeans||",
     init_rounds: int = 2,
+    sample_frac: float | None = None,
 ) -> list[list[float]]:
     """Spherical k-means (cosine) via distributed Lloyd iterations.
+
+    ``sample_frac`` trains init + Lloyd on a Bernoulli sample of the
+    corpus (deterministic given ``seed``) — the standard billion-vector
+    practice (FAISS trains coarse quantizers on ~256 vectors/centroid,
+    not the full corpus); assignment of the FULL corpus to the returned
+    centroids is unchanged.  Cuts training cost by 1/frac at a centroid
+    perturbation that downstream recall probes tolerate.
 
     Per iteration: ONE groupBy pass assigns every vector to its nearest
     centroid (centroids broadcast as a folded literal matrix) and computes
@@ -318,6 +326,15 @@ def kmeans_centroids(
     the dominant cost.  Init: ``"kmeans||"`` (default, see
     ``kmeans_parallel_init``) or ``"hash"`` — the k rows with smallest
     xxhash64(id, seed) (deterministic but distance-blind)."""
+    if sample_frac is not None:
+        if not (0.0 < sample_frac <= 1.0):
+            raise ValueError(f"sample_frac must be in (0, 1], got {sample_frac}")
+        # hash-Bernoulli, not df.sample(): replayable on any cluster /
+        # partitioning, same contract as the engine's hash splits
+        corpus = corpus.filter(
+            (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed ^ 0x5EED)), F.lit(1_000_003)))
+            < F.lit(int(sample_frac * 1_000_003))
+        )
     if init == "kmeans||":
         centroids = kmeans_parallel_init(
             corpus, vec_col=vec_col, id_col=id_col, k=k, seed=seed,

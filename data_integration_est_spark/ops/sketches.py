@@ -41,7 +41,12 @@ _HASH_BITS = 60
 
 def _hash60(col: Column) -> Column:
     """60-bit integer hash from the md5 hex prefix — bit-identical in
-    any engine with md5 + hex->int conversion."""
+    any engine with md5 + hex->int conversion.
+
+    Portability caveat: the value is md5'd through its STRING rendering,
+    which engines agree on for integers and strings but not necessarily
+    for floats ('1.0' vs '1'); hash integer/string keys (ids, tokens,
+    urls) — the distinct-counting use case — or pre-format floats."""
     return F.conv(
         F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
     ).cast("long")

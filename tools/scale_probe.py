@@ -484,10 +484,19 @@ def probe_r8_ops(spark, sf_dir: str):
         return out
 
     def sem(mult: int, k: int):
-        d = vecs(mult)
-        cents = deterministic_centroids(d, k=k, n_iter=2)
-        return semdedup_flags(d, threshold=0.95, centroids=cents).filter(
-            "is_semdup").count()
+        # persist the working set first: Lloyd + assignment are 4+ jobs
+        # over the same corpus, and an unpersisted multi-branch union
+        # re-compiles the k x dim assignment expression per branch per
+        # job (measured 4x wall at k=40) — cache it like any iterative
+        # algorithm's input
+        d = vecs(mult).persist()
+        d.count()
+        try:
+            cents = deterministic_centroids(d, k=k, n_iter=2)
+            return semdedup_flags(d, threshold=0.95, centroids=cents).filter(
+                "is_semdup").count()
+        finally:
+            d.unpersist()
 
     s1 = _timed(f"semdedup_x1_{nv}vecs_k4", lambda: sem(1, 4))
     s10 = _timed(f"semdedup_x10_{10 * nv}vecs_k40", lambda: sem(10, 40))

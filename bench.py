@@ -145,6 +145,14 @@ HEADLINE = [
     "mc_stratified_study",
     "mc_contaminated_study",
     "mc_nmar_v2_study",
+    # round-8 (late): probabilistic linkage, small-area estimation,
+    # NN mass imputation, profiling, snapshot diff / SCD2
+    "fs_linkage_patterns",
+    "fay_herriot_nations",
+    "nn_mass_impute_orders",
+    "profile_orders",
+    "snapshot_diff_orders",
+    "scd2_orders_history",
     # statistical estimators (GREG calibration / OLS / DR pipelines)
     "regdi_c0",
     "regdi_aux",

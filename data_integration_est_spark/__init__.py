@@ -90,6 +90,11 @@ from data_integration_est_spark.ops.semdedup import semdedup, semdedup_flags
 from data_integration_est_spark.ops.sketches import (
     hll_count_distinct, hll_estimate, hll_merge, hll_registers,
 )
+from data_integration_est_spark.estimators.sae import fay_herriot
+from data_integration_est_spark.ops.fs_linkage import fs_classify, fs_em
+from data_integration_est_spark.ops.nn_impute import nn_impute, nn_mass_mean
+from data_integration_est_spark.ops.profile import profile
+from data_integration_est_spark.ops.scd import scd2_merge, snapshot_diff
 from data_integration_est_spark.session import get_spark
 from data_integration_est_spark.streaming.docs import curate_docs, ingest_summary
 
@@ -184,6 +189,14 @@ __all__ = [
     "hll_registers",
     "hll_estimate",
     "hll_merge",
+    "fay_herriot",
+    "fs_em",
+    "fs_classify",
+    "nn_impute",
+    "nn_mass_mean",
+    "profile",
+    "snapshot_diff",
+    "scd2_merge",
     "get_spark",
 ]
 

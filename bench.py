@@ -175,6 +175,35 @@ HEADLINE = [
 # row); resolved here instead of the gate registry.
 REPS_OVERRIDE = {"mc_grid_full": 1}
 
+# The driver records only the LAST 2000 characters of bench stdout and
+# json-parses that tail; with 115 per-query timings the single JSON line
+# is ~3 KB, so its head (including the opening brace) was cut off and
+# BENCH_r0{6..9}.json all carry ``"parsed": null``.  Fix: every HEADLINE
+# query still runs and counts toward ``value``, and the FULL per-query
+# dict goes to ``BENCH_FULL.json`` (cwd) + stderr, but the stdout line's
+# ``queries`` dict is trimmed to the subset below — family
+# representatives, the nine reference-parity estimators, and every row
+# implicated in the r9 regression adjudication — sized to keep the line
+# comfortably under 2000 chars.
+STDOUT_DROP = {
+    # near-duplicate family members (representative kept in HEADLINE)
+    "stream_cardinality_summary", "quantile_monitor_summary",
+    "calibrate_bounded_summary", "calibrate_bounded_by",
+    "calibrate_raking_summary", "calibrate_logit_summary",
+    "svyquantile_ci_events", "svychisq_rs_events", "svymean_fpc_events",
+    "svyby_mean_ratio_events", "svyciprop_events", "svyglm_by",
+    "svyglm_poisson", "jackknife_ratio_events", "brr_mean_by_events",
+    "deff_total_events", "mc_stratified_study", "mc_contaminated_study",
+    "mc_nmar_v2_study", "heavy_tokens_by_lang", "trim_weights_summary",
+    "rolling_user_features", "embedding_neardup_lsh",
+    "snapshot_diff_orders", "scd2_orders_history", "fuzzy_linkage",
+    "pack_bins_stats", "doc_ingest_summary", "full_outer_integration",
+    "bigram_quality", "neardup_decontam", "bpe_learn_merges",
+    "line_dedup_stats", "shuffle_shards_stats", "quality_cut_stats",
+    "pairwise_corr_events", "mad_outliers_events", "poststratify_events",
+    "twophase_orders",
+}
+
 
 def _mc_grid_full(spark, sf_dir):
     from data_integration_est_spark.montecarlo import run_nmar_study
@@ -223,14 +252,33 @@ def main() -> None:
         detail = "/".join(f"{r:.3f}" for r in sorted(runs))
         print(f"# {name}: median {dt:.3f}s of [{detail}]", file=sys.stderr)
 
-    print(json.dumps({
+    full = {
         "metric": "suite_wall_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_num,
         "reps": reps,
-    }))
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    line = dict(full)
+    line["queries"] = {
+        k: v for k, v in timings.items() if k not in STDOUT_DROP
+    }
+    line["n_queries"] = len(timings)
+    line["full_file"] = "BENCH_FULL.json"
+    out = json.dumps(line, separators=(",", ":"))
+    if len(out) > 1950:  # never regress back to an unparseable tail
+        print(f"# stdout line {len(out)} chars; trimming more",
+              file=sys.stderr)
+        for k in sorted(line["queries"], key=len, reverse=True):
+            del line["queries"][k]
+            out = json.dumps(line, separators=(",", ":"))
+            if len(out) <= 1950:
+                break
+    print(out)
 
 
 if __name__ == "__main__":

@@ -159,3 +159,74 @@ def pc_np(pop: dict[str, np.ndarray], y_A_col: str | None, y_B_col: str | None,
         t1 = float(np.sum(wB * (pop[y_B_col][iB] - yhat[iB])))
         return {"estimate": (t1 + yhat.sum()) / N}
     raise ValueError(scenario)
+
+
+def clw_np(
+    x: np.ndarray,
+    y: np.ndarray,
+    in_a: np.ndarray,
+    in_b: np.ndarray,
+    d: np.ndarray,
+    n_iter: int = 15,
+    ox: np.ndarray | None = None,
+) -> dict:
+    """Numpy twin of ``estimators/ipw.propensity_weighted_mean``
+    (Chen–Li–Wu 2020): pseudo-likelihood Newton, Hajek IPW, DR mean,
+    and the plug-in sandwich variances.  ``x``/``ox`` are design
+    matrices WITH intercept column; ``d`` may carry garbage (or nan)
+    off A rows and ``y`` off B rows — masked exactly like the engine.
+    """
+    a = in_a.astype(float)
+    b = in_b.astype(float)
+    dd = np.where(a > 0, d, 0.0)          # engine's COALESCE(d, 0)
+    yy = np.where(b > 0, y, 0.0)          # engine's COALESCE(y, 0)
+    X = x
+    Xo = x if ox is None else ox
+    k = X.shape[1]
+
+    theta = np.zeros(k)
+    for _ in range(n_iter):
+        p = 1.0 / (1.0 + np.exp(-(X @ theta)))
+        U = X.T @ (b - a * dd * p)
+        H = (X * (a * dd * p * (1 - p))[:, None]).T @ X
+        theta = theta + np.linalg.solve(H, U)
+    p = 1.0 / (1.0 + np.exp(-(X @ theta)))
+
+    G = (Xo * b[:, None]).T @ Xo
+    beta = np.linalg.solve(G, (Xo * b[:, None]).T @ yy)
+    m = Xo @ beta
+
+    na = a.sum()
+    nhat = (a * dd).sum()
+    sinv = (b / p).sum()
+    mu_ipw = (b * yy / p).sum() / sinv
+    mu_dr = ((b * (yy - m) / p).sum() + (a * dd * m).sum()) / nhat
+
+    H = (X * (a * dd * p * (1 - p))[:, None]).T @ X
+    # IPW sandwich
+    g_ipw = -(X * (b * (1 - p) / p * (yy - mu_ipw))[:, None]).sum(axis=0)
+    b_ipw = np.linalg.solve(H, g_ipw)
+    infl_b = (yy - mu_ipw) / p + X @ b_ipw
+    vb = (b * (1 - p) * infl_b**2).sum()
+    z = a * dd * p * (X @ b_ipw)
+    va = na / (na - 1) * ((a * z**2).sum() - (a * z).sum() ** 2 / na)
+    var_ipw = (vb + va) / sinv**2
+    # DR sandwich
+    gt = -(X * (b * (1 - p) / p * (yy - m))[:, None]).sum(axis=0)
+    bt = np.linalg.solve(H, gt)
+    g_beta = -(Xo * (b / p)[:, None]).sum(axis=0) + (
+        Xo * (a * dd)[:, None]
+    ).sum(axis=0)
+    bb = np.linalg.solve(G, g_beta)
+    infl_bd = (yy - m) / p + X @ bt + (Xo @ bb) * (yy - m)
+    vbd = (b * (1 - p) * infl_bd**2).sum()
+    zd = dd * ((m - mu_dr) - p * (X @ bt))
+    vad = na / (na - 1) * (
+        (a * zd**2).sum() - (a * zd).sum() ** 2 / na
+    )
+    var_dr = (vbd + vad) / nhat**2
+    return {
+        "theta": theta, "beta": beta, "mean_ipw": mu_ipw,
+        "mean_dr": mu_dr, "var_ipw": max(var_ipw, 0.0),
+        "var_dr": max(var_dr, 0.0), "n_hat": nhat, "sinv": sinv,
+    }

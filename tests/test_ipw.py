@@ -135,3 +135,158 @@ class TestGuards:
             propensity_weighted_mean(
                 pop, "y", ["x", "x2"], "in_a", "in_b", weight_A_col="d",
             )
+
+
+def _np_frame(rng, n=4000, null_layout=True):
+    """Build matched (spark-rows, numpy-arrays) for the NATURAL stacked
+    layout: d only on A rows, y only on B rows (round-9 HIGH repro)."""
+    import numpy as np
+
+    x = np.round(rng.uniform(0.0, 4.0, n), 6)
+    y = np.round(2.0 + 3.0 * x + rng.normal(0, 0.5, n), 6)
+    p_true = 1.0 / (1.0 + np.exp(-(-2.0 + 0.8 * x)))
+    in_b = (rng.uniform(size=n) < p_true).astype(int)
+    in_a = (rng.uniform(size=n) < 0.1).astype(int)
+    d = np.full(n, 10.0)
+    rows = [
+        (
+            float(x[i]),
+            float(y[i]) if (in_b[i] or not null_layout) else None,
+            int(in_a[i]),
+            int(in_b[i]),
+            float(d[i]) if (in_a[i] or not null_layout) else None,
+        )
+        for i in range(n)
+    ]
+    return rows, (x, y, in_a, in_b, d)
+
+
+class TestNullWeightLayout:
+    """Round-9 HIGH: ``0 * NULL = NULL`` in the fused score dropped
+    every B-row term whenever ``weight_A_col`` was null on non-A rows
+    (the NATURAL stacked layout) — theta came out wildly wrong with no
+    error.  These pin the coalesced engine against the numpy twin."""
+
+    def _run_both(self, spark, null_layout):
+        import numpy as np
+
+        from oracle_np import clw_np
+
+        rng = np.random.default_rng(77)
+        rows, (x, y, in_a, in_b, d) = _np_frame(
+            rng, null_layout=null_layout
+        )
+        df = spark.createDataFrame(
+            rows, "x double, y double, in_a int, in_b int, d double"
+        )
+        r = propensity_weighted_mean(
+            df, "y", ["x"], "in_a", "in_b", weight_A_col="d", n_iter=15,
+        )
+        X = np.column_stack([np.ones(len(x)), x])
+        o = clw_np(X, y, in_a, in_b, d, n_iter=15)
+        return r, o
+
+    def test_null_layout_matches_numpy_twin(self, spark):
+        r, o = self._run_both(spark, null_layout=True)
+        assert r.theta[0] == pytest.approx(o["theta"][0], rel=1e-9)
+        assert r.theta[1] == pytest.approx(o["theta"][1], rel=1e-9)
+        assert r.mean_ipw == pytest.approx(o["mean_ipw"], rel=1e-9)
+        assert r.mean_dr == pytest.approx(o["mean_dr"], rel=1e-9)
+        assert r.var_ipw == pytest.approx(o["var_ipw"], rel=1e-7)
+        assert r.var_dr == pytest.approx(o["var_dr"], rel=1e-7)
+
+    def test_null_layout_equals_dense_layout(self, spark):
+        rn, _ = self._run_both(spark, null_layout=True)
+        rd, _ = self._run_both(spark, null_layout=False)
+        assert rn.theta == pytest.approx(rd.theta, rel=1e-12)
+        assert rn.mean_ipw == pytest.approx(rd.mean_ipw, rel=1e-12)
+        assert rn.mean_dr == pytest.approx(rd.mean_dr, rel=1e-12)
+        assert rn.se_ipw == pytest.approx(rd.se_ipw, rel=1e-12)
+
+    def test_null_weight_on_a_row_raises(self, spark):
+        pop = _pop(spark).withColumn(
+            "d", F.when(F.col("in_a") == 0, F.col("d"))  # null ON A rows
+        )
+        with pytest.raises(IPWError, match="null on an ind_A=1"):
+            propensity_weighted_mean(
+                pop, "y", ["x"], "in_a", "in_b", weight_A_col="d",
+            )
+
+    def test_null_x_on_sample_row_raises(self, spark):
+        pop = _pop(spark).withColumn(
+            "x", F.when(F.col("in_b") == 0, F.col("x"))
+        )
+        with pytest.raises(IPWError, match="regressor 'x' is null"):
+            propensity_weighted_mean(
+                pop, "y", ["x"], "in_a", "in_b", weight_A_col="d",
+            )
+
+
+class TestSandwichVariance:
+    def test_se_fields_and_twin(self, spark):
+        import numpy as np
+
+        from oracle_np import clw_np
+
+        pop = _pop(spark, n=8000)
+        r = propensity_weighted_mean(
+            pop, "y", ["x"], "in_a", "in_b", weight_A_col="d",
+        )
+        rows = pop.select("x", "y", "in_a", "in_b", "d").collect()
+        x = np.array([w["x"] for w in rows])
+        X = np.column_stack([np.ones(len(x)), x])
+        o = clw_np(
+            X,
+            np.array([w["y"] for w in rows]),
+            np.array([w["in_a"] for w in rows]),
+            np.array([w["in_b"] for w in rows]),
+            np.array([w["d"] for w in rows]),
+        )
+        assert r.se_ipw == pytest.approx(np.sqrt(o["var_ipw"]), rel=1e-7)
+        assert r.se_dr == pytest.approx(np.sqrt(o["var_dr"]), rel=1e-7)
+        assert 0 < r.se_ipw < 1.0 and 0 < r.se_dr < 1.0
+
+    def test_variance_false_skips(self, spark):
+        r = propensity_weighted_mean(
+            _pop(spark), "y", ["x"], "in_a", "in_b",
+            weight_A_col="d", variance=False,
+        )
+        assert r.se_ipw is None and r.se_dr is None
+
+    def test_se_mc_calibration(self):
+        """Design-based MC on the numpy twin: over repeated (B Poisson
+        selection, A SRS) draws from a FIXED population the empirical
+        SD of each estimator must match the mean plug-in SE — the
+        sandwich formula itself is on trial here, not the Spark
+        implementation (pinned to the twin above)."""
+        import numpy as np
+
+        from oracle_np import clw_np
+
+        rng = np.random.default_rng(2026)
+        N, n_a, reps = 3000, 150, 300
+        x = rng.uniform(0.0, 4.0, N)
+        yy = 2.0 + 3.0 * x + rng.normal(0, 1.0, N)
+        X = np.column_stack([np.ones(N), x])
+        p_true = 1.0 / (1.0 + np.exp(-(-2.0 + 0.8 * x)))
+        est = {"ipw": [], "dr": []}
+        ses = {"ipw": [], "dr": []}
+        for _ in range(reps):
+            in_b = (rng.uniform(size=N) < p_true).astype(int)
+            idx_a = rng.choice(N, size=n_a, replace=False)
+            in_a = np.zeros(N, int)
+            in_a[idx_a] = 1
+            d = np.full(N, N / n_a)
+            o = clw_np(X, yy, in_a, in_b, d, n_iter=20)
+            est["ipw"].append(o["mean_ipw"])
+            est["dr"].append(o["mean_dr"])
+            ses["ipw"].append(np.sqrt(o["var_ipw"]))
+            ses["dr"].append(np.sqrt(o["var_dr"]))
+        for kind in ("ipw", "dr"):
+            sd = float(np.std(est[kind], ddof=1))
+            se = float(np.mean(ses[kind]))
+            assert 0.7 < se / sd < 1.4, (kind, se, sd)
+            # and the estimators are unbiased for the pop mean
+            assert abs(np.mean(est[kind]) - yy.mean()) < 3 * sd / np.sqrt(
+                reps
+            ) + 0.02

@@ -61,6 +61,16 @@ def nn_impute(
     exact distance ties prefer the donor at-or-below (smaller x), and
     equal-x donors resolve to the smallest ``donor_id_col`` — a total
     deterministic order, so the result is replayable in any engine.
+
+    Null handling (round-10 fix): donors with a null ``x_col``,
+    ``y_col`` or ``donor_id_col`` are DROPPED before the union — a
+    null-x donor has no position on the matching axis (previously,
+    when such a donor was the only at-or-below candidate, its null
+    distance fell through the tie rule and the recipient silently
+    received that donor's y with ``dist=null`` instead of the true
+    nearest donor), and a donor with no observed outcome or id cannot
+    donate.  Recipients with a null ``x_col`` get null match columns —
+    they keep their row (the caller decides), never a fake match.
     """
     for c in (x_col, *class_cols):
         if c not in recipients.columns:
@@ -78,6 +88,11 @@ def nn_impute(
     x_nn = f"{x_col}{suffix}"
     id_nn = f"{donor_id_col}{suffix}"
 
+    donors = donors.filter(
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(donor_id_col).isNotNull()
+    )
     d2 = donors.select(
         *class_cols,
         F.col(x_col).cast("double").alias("__x__"),
@@ -119,7 +134,9 @@ def nn_impute(
     d_lo = F.abs(F.col("__x__") - F.col("__lo__").getField(x_nn))
     d_hi = F.abs(F.col("__hi__").getField(x_nn) - F.col("__x__"))
     pick: Column = (
-        F.when(F.col("__lo__").isNull(), F.col("__hi__"))
+        F.when(F.col("__x__").isNull(),  # null-x recipient: no match
+               F.lit(None).cast(d2.schema["__carry__"].dataType))
+        .when(F.col("__lo__").isNull(), F.col("__hi__"))
         .when(F.col("__hi__").isNull(), F.col("__lo__"))
         .when(d_hi < d_lo, F.col("__hi__"))
         .otherwise(F.col("__lo__"))  # ties -> below donor (smaller x)
@@ -149,10 +166,23 @@ def nn_mass_mean(
     """The mass-imputation estimator: NN-impute y onto the probability
     sample, then the (weighted) mean of imputed values per group —
     ``sum(w * y_nn) / sum(w)`` over matched recipients.  Returns
-    ``(group_cols..., n_recipients, n_matched, mean_imputed)`` — the
-    n_matched < n_recipients gap surfaces empty donor classes loudly
-    instead of silently averaging over a biased matched subset; callers
-    decide whether a coverage gap invalidates the estimate.
+    ``(group_cols..., n_recipients, n_matched, mean_imputed,
+    se_imputed)`` — the n_matched < n_recipients gap surfaces empty
+    donor classes loudly instead of silently averaging over a biased
+    matched subset; callers decide whether a coverage gap invalidates
+    the estimate.
+
+    ``se_imputed`` is the with-replacement linearized Hajek variance
+    treating matched values as observed (Rivers 2007 §4; Yang & Kim
+    2020 §4.2's mass-imputation review — the matching-error component
+    is o_p(1) when the donor pool is dense relative to the recipient
+    sample, the regime mass imputation targets):
+
+        V = n/(n-1) * sum_i w_i^2 (y_nn_i - mu)^2 / (sum_i w_i)^2
+
+    over the n matched recipients per group, expanded to pure moment
+    sums so the whole estimator stays one aggregation pass.  Null when
+    n_matched < 2.
     """
     imp = nn_impute(
         recipients, donors, x_col, y_col, class_cols, donor_id_col,
@@ -160,10 +190,33 @@ def nn_mass_mean(
     )
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     y = F.col(f"{y_col}_nn").cast("double")
+    wm = F.when(y.isNotNull(), w)
     gb = imp.groupBy(*(group_cols or []))
-    return gb.agg(
+    agg = gb.agg(
         F.count(F.lit(1)).alias("n_recipients"),
         F.sum(y.isNotNull().cast("long")).alias("n_matched"),
-        (F.sum(F.when(y.isNotNull(), w * y)) / F.sum(F.when(y.isNotNull(), w)))
-        .alias("mean_imputed"),
+        F.sum(wm).alias("__sw__"),
+        F.sum(wm * y).alias("__swy__"),
+        F.sum(wm * w).alias("__sw2__"),
+        F.sum(wm * w * y).alias("__sw2y__"),
+        F.sum(wm * w * y * y).alias("__sw2y2__"),
+    )
+    mu = F.col("__swy__") / F.col("__sw__")
+    n = F.col("n_matched").cast("double")
+    var = (
+        n / (n - 1.0)
+        * (
+            F.col("__sw2y2__")
+            - 2.0 * mu * F.col("__sw2y__")
+            + mu * mu * F.col("__sw2__")
+        )
+        / (F.col("__sw__") * F.col("__sw__"))
+    )
+    return agg.select(
+        *(group_cols or []),
+        "n_recipients",
+        "n_matched",
+        mu.alias("mean_imputed"),
+        F.when(F.col("n_matched") >= 2, F.sqrt(F.greatest(var, F.lit(0.0))))
+        .alias("se_imputed"),
     )

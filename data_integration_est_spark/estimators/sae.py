@@ -104,9 +104,16 @@ def fay_herriot(
     xn = [f"__x{i}__" for i in range(p)]
 
     # ---- pass 1: unweighted Gram + psi moments (ONE reduction) ----
+    null_model = F.col("__y__").isNull()
+    for i in range(p):
+        null_model = null_model | F.col(xn[i]).isNull()
     aggs = [F.count(F.lit(1)).alias("m"),
             F.sum(F.when((F.col("__psi__").isNull()) | (F.col("__psi__") <= 0),
                          1).otherwise(0)).alias("bad_psi"),
+            # null y or x areas would be COUNTED in m yet silently
+            # dropped from every null-skipping moment sum — the Grams
+            # and m would disagree (round-9 ADVICE); reject loudly
+            F.sum(F.when(null_model, 1).otherwise(0)).alias("bad_model"),
             F.sum(F.col("__y__") * F.col("__y__")).alias("yy"),
             F.sum("__psi__").alias("spsi"),
             F.sum(F.col("__psi__") * F.col("__psi__")).alias("spsi2")]
@@ -124,6 +131,12 @@ def fay_herriot(
         raise SAEError(
             f"{r['bad_psi']} area(s) with null or non-positive sampling "
             f"variance '{var_col}' — psi_d must be > 0 for every area"
+        )
+    if r["bad_model"]:
+        raise SAEError(
+            f"{r['bad_model']} area(s) with null direct estimate "
+            f"'{y_col}' or null covariate(s) — drop them (or impute) "
+            "before fitting; they cannot enter the FH moment equations"
         )
     if m <= p:
         raise SAEError(f"need more areas than regressors: m={m}, p={p}")

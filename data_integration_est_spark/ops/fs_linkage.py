@@ -81,9 +81,17 @@ def _em_on_counts(
     SAME evaluation order as the SQL oracle: the class-conditional
     likelihood is a left-to-right product over fields, the M-step
     ratios are plain sums over patterns."""
-    m = [init_m] * k
-    u = [init_u] * k
-    p = init_p
+    # Probabilities are clamped to [eps, 1-eps] after every M-step: a
+    # degenerate field (never/always agreeing within a class) otherwise
+    # drives m/u/p to an exact 0 or 1, which zeroes a pattern's total
+    # mass (a + b == 0 -> ZeroDivision) and breaks the log2 match
+    # weights downstream (round-9 ADVICE).  eps = 1e-12 is far below
+    # any real-data frequency, so non-degenerate fits are unaffected.
+    eps = 1e-12
+    clamp = lambda v: min(max(v, eps), 1.0 - eps)  # noqa: E731
+    m = [clamp(init_m)] * k
+    u = [clamp(init_u)] * k
+    p = clamp(init_p)
     for _ in range(n_iter):
         sw = swn = 0.0
         sm = [0.0] * k
@@ -95,6 +103,12 @@ def _em_on_counts(
             for j in range(k):
                 a *= m[j] if gamma[j] else 1.0 - m[j]
                 b *= u[j] if gamma[j] else 1.0 - u[j]
+            if a + b <= 0.0:
+                raise ValueError(
+                    "Fellegi-Sunter EM: pattern "
+                    f"{''.join(map(str, gamma))} has zero mass under "
+                    "both classes — degenerate initialization or data"
+                )
             w = a / (a + b)
             sw += n * w
             swn += n * (1.0 - w)
@@ -103,9 +117,15 @@ def _em_on_counts(
                 if gamma[j]:
                     sm[j] += n * w
                     su[j] += n * (1.0 - w)
-        m = [sm[j] / sw for j in range(k)]
-        u = [su[j] / swn for j in range(k)]
-        p = sw / n_tot
+        if sw <= 0.0 or swn <= 0.0:
+            raise ValueError(
+                "Fellegi-Sunter EM collapsed: all pair mass assigned "
+                "to one class (sw=%r, swn=%r) — the comparison vectors "
+                "carry no match/non-match contrast" % (sw, swn)
+            )
+        m = [clamp(sm[j] / sw) for j in range(k)]
+        u = [clamp(su[j] / swn) for j in range(k)]
+        p = clamp(sw / n_tot)
     return m, u, p
 
 

@@ -55,8 +55,24 @@ def assign_clusters(
     """Add ``cluster`` (0-based nearest-centroid-by-cosine, first max on
     ties) and ``centroid_sim`` (cosine to that centroid) columns.  One
     codegen pass; the k x dim centroid matrix rides the plan as a
-    folded literal (same mechanics as IVF assignment)."""
+    folded literal (same mechanics as IVF assignment).  Above
+    ``_CODEGEN_CENTROID_TERMS`` literal terms (realistic coarse-
+    quantizer k — the r10 probe's k=256 x dim=64 overflowed janino's
+    compiler stack) assignment switches to the Arrow matmul path."""
+    from data_integration_est_spark.ops.similarity import (
+        _CODEGEN_CENTROID_TERMS, assign_nearest_arrow,
+    )
+
     k = len(centroids)
+    if k * len(centroids[0]) > _CODEGEN_CENTROID_TERMS:
+        out = assign_nearest_arrow(df, centroids, vec_col, out_dot="__m__")
+        return (
+            out.withColumn("cluster", F.col("__c__").cast("int"))
+            .withColumn(
+                "centroid_sim", F.col("__m__") / norm_array(F.col(vec_col))
+            )
+            .drop("__c__", "__m__")
+        )
     sims = F.expr(_centroid_sims_sql(vec_col, centroids))
     out = df.withColumn("__sims__", sims)
     cluster = F.expr(

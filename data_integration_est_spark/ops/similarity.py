@@ -188,6 +188,73 @@ def _centroid_sims_sql(vec_name: str, centroids: list[list[float]]) -> str:
     return "array(" + ", ".join(f"({d})" for d in dots) + ")"
 
 
+# Above this many k x dim literal terms the expanded sum-of-products
+# no longer compiles: janino's recursive local-variable-map build blows
+# the compiler stack (measured: k=256, dim=64 = 16,384 terms dies; the
+# r8 probe's k=40, dim=64 = 2,560 compiled fine).  Past the limit the
+# centroid matrix moves into an Arrow-batched numpy matmul instead —
+# the documented "built-ins can't express it" escape hatch, and the
+# realistic-k scale path (FAISS-style coarse quantizers run k in the
+# hundreds-to-thousands).
+_CODEGEN_CENTROID_TERMS = 4096
+
+
+def assign_nearest_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    out_c: str = "__c__",
+    out_dot: str | None = None,
+):
+    """Arrow-batched nearest-centroid assignment (large-k scale path).
+
+    Adds ``out_c`` (0-based argmax cluster, int) and optionally
+    ``out_dot`` (the max dot product against the L2-NORMALIZED centroid
+    — the same quantity as ``array_max(_centroid_sims_sql(...))``).
+    Semantics match the expression path: centroids unit-normalized on
+    the driver, first-max tie rule (np.argmax == the strict-``>`` fold).
+    Only FP summation ORDER differs (BLAS pairwise vs left-to-right),
+    visible solely on exact dot-product ties at ulp level — which is
+    why the small-k gate/oracle paths stay on the codegen expression.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StructField, StructType,
+    )
+
+    C = np.asarray(centroids, dtype=np.float64)
+    nrm = np.linalg.norm(C, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    Cn = C / nrm
+
+    fields = list(df.schema.fields) + [StructField(out_c, IntegerType(), False)]
+    if out_dot:
+        fields.append(StructField(out_dot, DoubleType(), False))
+    schema = StructType(fields)
+    in_cols = df.schema.fieldNames()
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf[in_cols]
+            if len(pdf) == 0:
+                pdf[out_c] = np.empty(0, np.int32)
+                if out_dot:
+                    pdf[out_dot] = np.empty(0, np.float64)
+                yield pdf
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            S = V @ Cn.T
+            c = np.argmax(S, axis=1)
+            pdf = pdf.assign(**{out_c: c.astype(np.int32)})
+            if out_dot:
+                pdf[out_dot] = S[np.arange(len(c)), c]
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
 def _nearest_centroid(vec_name: str, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid by cosine (0-based), as a Column.
 
@@ -252,14 +319,25 @@ def kmeans_parallel_init(
     )
     row_norm = F.greatest(F.expr(f"sqrt({sq})"), F.lit(1e-12))
     for r in range(rounds):
-        sims = _centroid_sims_sql(vec_col, centers)
-        # cosine distance to the nearest current center, clamped at 0
-        d = src.withColumn(
-            "__d__",
-            F.greatest(
-                F.lit(0.0), F.lit(1.0) - F.expr(f"array_max({sims})") / row_norm
-            ),
-        )
+        if len(centers) * dim > _CODEGEN_CENTROID_TERMS:
+            d = assign_nearest_arrow(
+                src, centers, vec_col, out_dot="__m__"
+            ).withColumn(
+                "__d__",
+                F.greatest(
+                    F.lit(0.0), F.lit(1.0) - F.col("__m__") / row_norm
+                ),
+            )
+        else:
+            sims = _centroid_sims_sql(vec_col, centers)
+            # cosine distance to the nearest current center, clamped at 0
+            d = src.withColumn(
+                "__d__",
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0) - F.expr(f"array_max({sims})") / row_norm,
+                ),
+            )
         total = d.agg(F.sum("__d__")).collect()[0][0] or 0.0
         if total <= 0:
             break  # every row coincides with a center already
@@ -274,7 +352,10 @@ def kmeans_parallel_init(
 
     # weight candidates by attraction counts (one pass), then reduce to k
     # with a weighted Lloyd on the driver
-    assign = src.select(_nearest_centroid(vec_col, centers).alias("__c__"))
+    if len(centers) * dim > _CODEGEN_CENTROID_TERMS:
+        assign = assign_nearest_arrow(src, centers, vec_col).select("__c__")
+    else:
+        assign = src.select(_nearest_centroid(vec_col, centers).alias("__c__"))
     counts = {r["__c__"]: r["n"] for r in
               assign.groupBy("__c__").agg(F.count(F.lit(1)).alias("n")).collect()}
     C = np.asarray(centers, dtype=float)
@@ -352,12 +433,18 @@ def kmeans_centroids(
     dim = len(centroids[0])
 
     for _ in range(n_iter):
-        rows = (
-            spread(corpus)
-            .select(
+        base = spread(corpus)
+        if len(centroids) * dim > _CODEGEN_CENTROID_TERMS:
+            assigned = assign_nearest_arrow(
+                base.select(F.col(vec_col)), centroids, vec_col
+            ).select("__c__", F.col(vec_col).alias("__v__"))
+        else:
+            assigned = base.select(
                 _nearest_centroid(vec_col, centroids).alias("__c__"),
                 F.col(vec_col).alias("__v__"),
             )
+        rows = (
+            assigned
             .groupBy("__c__")
             .agg(
                 F.count(F.lit(1)).alias("__n__"),

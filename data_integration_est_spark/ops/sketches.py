@@ -123,7 +123,10 @@ def _alpha(m: int) -> float:
 def read_off_estimate(s_nonzero: float, n_buckets: int, m: int) -> float:
     """Harmonic-mean estimate from (Σ 2^-rho over NON-ZERO registers,
     count of non-zero registers): absent registers contribute 2^0 = 1;
-    linear counting below 2.5m when zero registers remain."""
+    linear counting below 2.5m when zero registers remain.  Scalar
+    form — used by the streaming state handler, which folds registers
+    per key INSIDE an Arrow batch; the batch/plan path uses
+    ``hll_estimate_expr``."""
     s = s_nonzero + (m - n_buckets)
     v = m - n_buckets
     e = _alpha(m) * m * m / s
@@ -132,37 +135,45 @@ def read_off_estimate(s_nonzero: float, n_buckets: int, m: int) -> float:
     return float(e)
 
 
+def hll_estimate_expr(s: Column, nb: Column, m: int) -> Column:
+    """``read_off_estimate`` as a column expression over the per-group
+    moments s = Σ 2^-rho (non-zero registers) and nb = register count —
+    the whole read-off stays inside the plan (no driver round-trip),
+    so per-domain cardinality read-offs scale to O(groups) without
+    O(groups) driver traffic (round-10; was a collect() loop)."""
+    mf = float(m)
+    s_full = s + (F.lit(mf) - nb)          # absent registers: 2^0 = 1
+    v = F.lit(mf) - nb                     # zero-register count
+    e = F.lit(_alpha(m) * mf * mf) / s_full
+    return (
+        F.when((e <= 2.5 * mf) & (v > 0),
+               F.lit(mf) * F.log(F.lit(mf) / v))
+        .otherwise(e)
+    )
+
+
 def hll_estimate(
     registers: DataFrame, p: int, group_cols: list[str] | None = None
 ) -> DataFrame:
     """Read the cardinality estimate off a register table: the harmonic
     mean E = alpha_m * m^2 / sum 2^-M_j (absent buckets count as M=0),
     with the exactly-specified linear-counting small-range correction
-    E <= 2.5m & V>0 -> m ln(m/V).  O(m) per group; one aggregation."""
+    E <= 2.5m & V>0 -> m ln(m/V).  O(m) per group, ONE aggregation,
+    fully lazy: returns the unexecuted plan (order unspecified, like
+    any aggregate — sort at the call site if needed)."""
     group_cols = list(group_cols or [])
     m = 1 << p
-    agg = registers.groupBy(*group_cols).agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__s__"),
-        F.count(F.lit(1)).alias("__nb__"),
-    )
-    rows = agg.collect()
-    out = []
-    for r in rows:
-        e = read_off_estimate(
-            float(r["__s__"] or 0.0), int(r["__nb__"]), m
+    return (
+        registers.groupBy(*group_cols)
+        .agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__s__"),
+            F.count(F.lit(1)).alias("__nb__"),
         )
-        out.append(tuple(r[c] for c in group_cols) + (e,))
-    spark = registers.sparkSession
-    from pyspark.sql.types import DoubleType, StructField, StructType
-
-    key_fields = (
-        list(registers.select(*group_cols).schema.fields) if group_cols else []
-    )
-    schema = StructType(
-        key_fields + [StructField("hll_estimate", DoubleType(), True)]
-    )
-    return spark.createDataFrame(
-        sorted(out, key=lambda t: tuple(map(str, t[:-1]))), schema
+        .select(
+            *group_cols,
+            hll_estimate_expr(F.col("__s__"), F.col("__nb__"), m)
+            .alias("hll_estimate"),
+        )
     )
 
 

@@ -112,33 +112,31 @@ def distinct_monitor_batch(
 ) -> DataFrame:
     """The batch twin — identical registers via the sketch groupBy plus
     the same read-off; the streaming oracle (registers exact, estimate
-    to the emitted 2 dp)."""
-    from data_integration_est_spark.ops.sketches import hll_registers
+    to the emitted 2 dp).  Fully lazy since round 10: the read-off is
+    the ``hll_estimate_expr`` column expression, so per-key estimates
+    never round-trip O(keys) rows through the driver."""
+    from data_integration_est_spark.ops.sketches import (
+        hll_estimate_expr, hll_registers,
+    )
 
     m = 1 << p
     regs = hll_registers(
         df.select(F.col(key_col).cast("string").alias("key"), value_col),
         value_col, p=p, group_cols=["key"],
     )
-    rows = (
+    return (
         regs.groupBy("key")
         .agg(
             F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__s__"),
             F.count(F.lit(1)).alias("__nb__"),
             F.sum(F.col("bucket") * F.col("rho")).alias("__chk__"),
         )
-        .collect()
-    )
-    out = [
-        (
-            r["key"],
-            round(read_off_estimate(float(r["__s__"] or 0.0),
-                                    int(r["__nb__"]), m), 2),
-            int(r["__nb__"]),
-            int(r["__chk__"]),
+        .select(
+            "key",
+            F.round(
+                hll_estimate_expr(F.col("__s__"), F.col("__nb__"), m), 2
+            ).alias("hll_estimate"),
+            F.col("__nb__").cast("long").alias("n_registers"),
+            F.col("__chk__").cast("long").alias("reg_checksum"),
         )
-        for r in rows
-    ]
-    return df.sparkSession.createDataFrame(
-        sorted(out, key=lambda t: str(t[0])), _OUT_SCHEMA
     )

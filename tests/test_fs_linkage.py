@@ -142,3 +142,36 @@ class TestGuards:
         )
         with pytest.raises(ValueError, match="must be 0/1"):
             fs_em(bad, ["g1"])
+
+
+class TestDegenerateEM:
+    """Round-9 ADVICE: without [eps, 1-eps] clamping a field that
+    never (or always) agrees drives m/u to an exact 0/1, zeroing a
+    pattern's class mass (ZeroDivision) and breaking the log2 weights."""
+
+    def test_never_agreeing_field_stays_finite(self, spark):
+        import math
+
+        # g2 never agrees anywhere; g1 carries the real signal
+        pairs = spark.range(400).select(
+            (F.col("id") % 4 == 0).cast("int").alias("g1"),
+            F.lit(0).alias("g2"),
+        )
+        model = fs_em(pairs, ["g1", "g2"], n_iter=200)
+        for v in (*model.m, *model.u, model.p):
+            assert 0.0 < v < 1.0 and math.isfinite(v)
+        out = fs_classify(pairs, model)
+        ws = [r["log2_weight"]
+              for r in out.select("log2_weight").distinct().collect()]
+        assert all(math.isfinite(w) for w in ws)
+
+    def test_always_agreeing_field_stays_finite(self, spark):
+        import math
+
+        pairs = spark.range(400).select(
+            (F.col("id") % 4 == 0).cast("int").alias("g1"),
+            F.lit(1).alias("g2"),
+        )
+        model = fs_em(pairs, ["g1", "g2"], n_iter=200)
+        for v in (*model.m, *model.u, model.p):
+            assert 0.0 < v < 1.0 and math.isfinite(v)

@@ -252,3 +252,104 @@ def test_kfold_cv_logistic_matches_numpy(spark):
         assert got[j]["accuracy"] == pytest.approx(acc, abs=2e-6)
     with pytest.raises(ValueError):
         kfold_cv_logistic(df, "y", ["f1"], "id", k=1)
+
+
+def test_hll_estimate_stays_in_plan(spark):
+    """Round-10: the read-off is a column expression — no collect()
+    round-trip (the plan must be a real aggregate, not a driver-built
+    LocalTableScan) — and it must agree with the scalar
+    read_off_estimate to float precision on every group."""
+    from data_integration_est_spark.ops.sketches import (
+        hll_estimate, hll_registers, read_off_estimate,
+    )
+
+    df = spark.range(0, 30_000).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        (F.col("id") % (F.col("id") % 5 * 700 + 100)).alias("u"),
+    )
+    regs = hll_registers(df, "u", p=9, group_cols=["g"])
+    est = hll_estimate(regs, 9, group_cols=["g"])
+    plan = est._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalTableScan" not in plan and "Aggregate" in plan
+    # scalar replay over the same registers
+    m = 1 << 9
+    moments = regs.groupBy("g").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+        F.count(F.lit(1)).alias("nb"),
+    ).collect()
+    want = {r["g"]: read_off_estimate(float(r["s"]), int(r["nb"]), m)
+            for r in moments}
+    got = {r["g"]: r["hll_estimate"] for r in est.collect()}
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g] == pytest.approx(want[g], rel=1e-12), g
+
+
+def test_distinct_monitor_batch_stays_in_plan(spark):
+    from data_integration_est_spark.streaming.cardinality import (
+        distinct_monitor_batch,
+    )
+
+    df = spark.range(0, 8_000).select(
+        (F.col("id") % 2).cast("string").alias("k"),
+        (F.col("id") % 900).alias("v"),
+    )
+    out = distinct_monitor_batch(df, "v", "k", p=10)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalTableScan" not in plan and "Aggregate" in plan
+    rows = {r["key"]: r for r in out.collect()}
+    assert set(rows) == {"0", "1"}
+    for k, r in rows.items():
+        # 900 is even, so each parity class sees only 450 residues
+        assert abs(r["hll_estimate"] - 450) / 450 < 0.12
+        assert r["n_registers"] > 0 and r["reg_checksum"] > 0
+
+
+def test_assign_clusters_arrow_path_matches_expression(spark, monkeypatch):
+    """The large-k Arrow matmul assignment must agree with the codegen
+    expression path away from dot-product ties (same argmax, same
+    centroid_sim to float tolerance).  Force the arrow path by dropping
+    the threshold, then compare against the expression path on the
+    same centroids."""
+    import data_integration_est_spark.ops.similarity as sim
+    from data_integration_est_spark.ops.semdedup import assign_clusters
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            ((F.col("id") * (j + 3)) % 17 - 8.0).cast("double")
+            for j in range(8)
+        ]).alias("embedding"),
+    )
+    cents = [[float((i * (j + 2)) % 11 - 5) for j in range(8)]
+             for i in range(6)]
+    expr_rows = {r["vec_id"]: r for r in
+                 assign_clusters(df, cents).collect()}
+    monkeypatch.setattr(sim, "_CODEGEN_CENTROID_TERMS", 1)
+    arrow_rows = {r["vec_id"]: r for r in
+                  assign_clusters(df, cents).collect()}
+    assert set(expr_rows) == set(arrow_rows)
+    for vid in expr_rows:
+        assert expr_rows[vid]["cluster"] == arrow_rows[vid]["cluster"], vid
+        assert arrow_rows[vid]["centroid_sim"] == pytest.approx(
+            expr_rows[vid]["centroid_sim"], abs=1e-9
+        ), vid
+
+
+def test_kmeans_large_k_does_not_blow_codegen(spark):
+    """r10 probe finding: k x dim beyond ~4k literal terms overflowed
+    the janino compiler stack.  A k=80, dim=64 run (5,120 terms — above
+    the threshold, far below the crash point only via the arrow path)
+    must complete and produce k centroids."""
+    from data_integration_est_spark.ops.similarity import kmeans_centroids
+
+    df = spark.range(0, 2_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            (F.pmod(F.col("id") * (j + 7), F.lit(101)) / 50.0 - 1.0)
+            .cast("double")
+            for j in range(64)
+        ]).alias("embedding"),
+    )
+    cents = kmeans_centroids(df, k=80, n_iter=1, init="hash")
+    assert len(cents) == 80 and len(cents[0]) == 64

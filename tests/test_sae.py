@@ -137,3 +137,19 @@ class TestGuards:
         df = df.withColumn("x_dup", F.col("x"))
         with pytest.raises(SAEError, match="singular design"):
             fay_herriot(df, "y", "psi", ["x", "x_dup"])
+
+    def test_null_direct_estimate_rejected(self, spark):
+        _, df = _areas(spark)
+        bad = df.withColumn(
+            "y", F.when(F.col("area") == 3, None).otherwise(F.col("y"))
+        )
+        with pytest.raises(SAEError, match="null direct estimate"):
+            fay_herriot(bad, "y", "psi", ["x"])
+
+    def test_null_covariate_rejected(self, spark):
+        _, df = _areas(spark)
+        bad = df.withColumn(
+            "x", F.when(F.col("area") == 5, None).otherwise(F.col("x"))
+        )
+        with pytest.raises(SAEError, match="null"):
+            fay_herriot(bad, "y", "psi", ["x"])

@@ -520,6 +520,63 @@ def probe_r8_ops(spark, sf_dir: str):
     }))
 
 
+def probe_r10_semdedup(spark, sf_dir: str):
+    """r10 (r8 VERDICT ask #6): SemDeDup at REALISTIC k — the per-
+    cluster applyInPandas Gram is the operator's only unbounded
+    dimension, and earlier probes ran k<=40.  Here: 10x embeddings,
+    k=256 (>= the paper's cluster-size regime for this corpus),
+    centroids trained on a 25% hash-Bernoulli sample
+    (``kmeans_centroids(sample_frac=)``, the billion-vector practice),
+    recording the FULL per-cluster size distribution — max cluster size
+    is the quantity that bounds the O(size^2) Gram."""
+    from data_integration_est_spark.ops.semdedup import (
+        assign_clusters, semdedup_flags,
+    )
+    from data_integration_est_spark.ops.similarity import kmeans_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nv = emb.count()
+    vmax = emb.agg(F.max("vec_id")).collect()[0][0]
+    parts = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * (vmax + 1)))
+        for i in range(10)
+    ]
+    big = parts[0]
+    for pp in parts[1:]:
+        big = big.unionByName(pp)
+    big = big.persist()
+    n10 = big.count()
+
+    k = 256
+    t0 = time.perf_counter()
+    cents = kmeans_centroids(big, k=k, n_iter=3, sample_frac=0.25)
+    t_train = time.perf_counter() - t0
+    sizes = (
+        assign_clusters(big, cents)
+        .groupBy("cluster").count()
+        .agg(
+            F.max("count").alias("mx"),
+            F.expr("percentile_approx(count, 0.99)").alias("p99"),
+            F.expr("percentile_approx(count, 0.5)").alias("p50"),
+            F.count(F.lit(1)).alias("nonempty"),
+        )
+        .collect()[0]
+    )
+    print(json.dumps({
+        "probe": f"semdedup_k{k}_cluster_sizes_{n10}vecs",
+        "train_sec": round(t_train, 2),
+        "max_cluster": int(sizes["mx"]), "p99": int(sizes["p99"]),
+        "p50": int(sizes["p50"]), "nonempty_clusters": int(sizes["nonempty"]),
+        "mean_if_uniform": round(n10 / k, 1),
+    }))
+    _timed(
+        f"semdedup_x10_{n10}vecs_k{k}_sampled_train",
+        lambda: semdedup_flags(big, threshold=0.95, centroids=cents)
+        .filter("is_semdup").count(),
+    )
+    big.unpersist()
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -543,6 +600,8 @@ def main() -> None:
         probe_r7_ops(spark, sf_dir)
     if which in ("r8", "all"):
         probe_r8_ops(spark, sf_dir)
+    if which in ("r10", "all"):
+        probe_r10_semdedup(spark, sf_dir)
 
 
 if __name__ == "__main__":

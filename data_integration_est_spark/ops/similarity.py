@@ -255,6 +255,20 @@ def assign_nearest_arrow(
     return df.mapInPandas(gen, schema)
 
 
+def _with_cluster(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    out: str = "__c__",
+) -> DataFrame:
+    """Attach the nearest-centroid index as column ``out`` — codegen
+    expression below ``_CODEGEN_CENTROID_TERMS`` literal terms, Arrow
+    matmul above (the large-k IVF/coarse-quantizer regime)."""
+    if len(centroids) * len(centroids[0]) > _CODEGEN_CENTROID_TERMS:
+        return assign_nearest_arrow(df, centroids, vec_col, out_c=out)
+    return df.withColumn(out, _nearest_centroid(vec_col, centroids))
+
+
 def _nearest_centroid(vec_name: str, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid by cosine (0-based), as a Column.
 
@@ -503,9 +517,12 @@ def ivf_knn(
             corpus, vec_col, id_col, k=n_clusters, n_iter=n_iter, seed=seed,
             init_rounds=init_rounds,
         )
-    c_assigned = spread(corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )).withColumn("__c__", _nearest_centroid("cv", centroids))
+    c_assigned = _with_cluster(
+        spread(corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )),
+        centroids, "cv",
+    )
     return _probe_and_rank(c_assigned, queries, centroids, k, id_col, vec_col,
                            n_probe, dim)
 
@@ -536,9 +553,12 @@ def ivf_candidates(
             corpus, vec_col, id_col, k=n_clusters, n_iter=n_iter, seed=seed,
             init_rounds=init_rounds,
         )
-    c_assigned = spread(corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )).withColumn("__c__", _nearest_centroid("cv", centroids))
+    c_assigned = _with_cluster(
+        spread(corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )),
+        centroids, "cv",
+    )
     probes = _query_probes(queries, centroids, n_probe, id_col, vec_col)
     return (
         probes.join(c_assigned.select("neighbor_id", "__c__"), "__c__")
@@ -552,7 +572,46 @@ def _query_probes(
     vec_col: str,
 ) -> DataFrame:
     """(query_id, qv, __c__) — each query exploded to its n_probe nearest
-    cluster ids by centroid cosine."""
+    cluster ids by centroid cosine.  Tie rule (equal centroid sims):
+    HIGHER cluster id first — reverse(array_sort) on (s, c) pairs; the
+    large-k Arrow path replicates it with a per-row lexsort."""
+    k = len(centroids)
+    if k * len(centroids[0]) > _CODEGEN_CENTROID_TERMS:
+        import pandas as pd  # noqa: F401
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        C = np.asarray(centroids, dtype=np.float64)
+        nrm = np.linalg.norm(C, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        Cn = C / nrm
+        src = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        schema = StructType(
+            list(src.schema.fields)
+            + [StructField("__c__", IntegerType(), False)]
+        )
+        np_take = min(n_probe, k)
+        cols = np.arange(k)
+
+        def gen(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf.assign(__c__=np.empty(0, np.int32))
+                    continue
+                V = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["qv"]]
+                )
+                S = V @ Cn.T
+                picks = np.stack([
+                    np.lexsort((-cols, -row))[:np_take] for row in S
+                ])
+                rep = np.repeat(np.arange(len(pdf)), np_take)
+                out = pdf.iloc[rep].reset_index(drop=True)
+                out["__c__"] = picks.reshape(-1).astype(np.int32)
+                yield out
+
+        return src.mapInPandas(gen, schema)
     sims = F.expr(_centroid_sims_sql("qv", centroids))
     return (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
@@ -627,8 +686,9 @@ def ivf_build_partitioned(
         corpus, vec_col, id_col, k=n_clusters, n_iter=n_iter, seed=seed,
         init_rounds=init_rounds,
     )
-    assigned = spread(corpus.select(F.col(id_col), F.col(vec_col))).withColumn(
-        "cluster_id", _nearest_centroid(vec_col, centroids)
+    assigned = _with_cluster(
+        spread(corpus.select(F.col(id_col), F.col(vec_col))),
+        centroids, vec_col, out="cluster_id",
     )
     write_parquet(assigned, path, partition_by=["cluster_id"])
     return centroids

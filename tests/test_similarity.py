@@ -148,3 +148,59 @@ def test_ivf_reuses_precomputed_centroids(spark):
                         init_rounds=1).collect()
     cb = ivf_candidates(df, queries, n_probe=2, centroids=cents).collect()
     assert sorted(map(tuple, ca)) == sorted(map(tuple, cb))
+
+
+class TestLargeKIvfDispatch:
+    """Round-10: all IVF surfaces must survive coarse-quantizer k where
+    the folded-literal expression would overflow the codegen compiler,
+    and the Arrow path must agree with the expression path."""
+
+    def _corpus(self, spark, n=300, dim=8):
+        return spark.range(0, n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[
+                ((F.col("id") * (j + 3)) % 23 - 11.0).cast("double")
+                for j in range(dim)
+            ]).alias("embedding"),
+        )
+
+    def test_query_probes_arrow_matches_expression(self, spark, monkeypatch):
+        import data_integration_est_spark.ops.similarity as sim
+
+        df = self._corpus(spark)
+        q = df.limit(12)
+        cents = [[float((i * (j + 2)) % 7 - 3) for j in range(8)]
+                 for i in range(5)]
+        expr_rows = sorted(
+            (r["query_id"], r["__c__"])
+            for r in sim._query_probes(q, cents, 2, "vec_id", "embedding")
+            .collect()
+        )
+        monkeypatch.setattr(sim, "_CODEGEN_CENTROID_TERMS", 1)
+        arrow_rows = sorted(
+            (r["query_id"], r["__c__"])
+            for r in sim._query_probes(q, cents, 2, "vec_id", "embedding")
+            .collect()
+        )
+        assert expr_rows == arrow_rows
+
+    def test_ivf_knn_large_k_end_to_end(self, spark, monkeypatch):
+        import data_integration_est_spark.ops.similarity as sim
+        from data_integration_est_spark.ops.similarity import ivf_knn
+
+        df = self._corpus(spark)
+        q = df.limit(5)
+        res_expr = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ivf_knn(df, q, k=3, n_clusters=6, n_probe=6,
+                             n_iter=1).collect()
+        }
+        monkeypatch.setattr(sim, "_CODEGEN_CENTROID_TERMS", 1)
+        res_arrow = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ivf_knn(df, q, k=3, n_clusters=6, n_probe=6,
+                             n_iter=1).collect()
+        }
+        # probing ALL clusters makes IVF exact regardless of centroid
+        # path, so the two top-k sets must coincide
+        assert res_expr == res_arrow

@@ -166,8 +166,12 @@ HEADLINE = [
     # Monte Carlo grid: 15 cells x 6 estimators as one vectorized job
     "mc_nmar_study",
     # reference-workload-shape MC grid (nb[23]): N=1e5 x 5 gammas x 20 sims
-    # = 100 cells / 10M expanded rows, 600 estimator fits in one job.  A
+    # = 100 cells / 10M expanded rows, 800 estimator fits in one job.  A
     # long-running THROUGHPUT measure, so reps=1 (length amortizes noise).
+    # r10 widened the battery 6 -> 8 families (CLW_IPW / CLW_DR with
+    # sandwich SEs — 8 grouped Newton passes + variance passes over the
+    # A∪B cut): expect ~13 s -> ~30-39 s, deliberate coverage, measured
+    # before/after in BASELINE.md.  mc_nmar_study widens the same way.
     "mc_grid_full",
 ]
 

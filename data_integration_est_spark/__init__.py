@@ -91,6 +91,7 @@ from data_integration_est_spark.ops.sketches import (
     hll_count_distinct, hll_estimate, hll_merge, hll_registers,
 )
 from data_integration_est_spark.estimators.ipw import propensity_weighted_mean
+from data_integration_est_spark.estimators.vectorized import clw_grouped
 from data_integration_est_spark.estimators.sae import fay_herriot
 from data_integration_est_spark.ops.fs_linkage import fs_classify, fs_em
 from data_integration_est_spark.ops.nn_impute import nn_impute, nn_mass_mean
@@ -192,6 +193,7 @@ __all__ = [
     "hll_merge",
     "fay_herriot",
     "propensity_weighted_mean",
+    "clw_grouped",
     "fs_em",
     "fs_classify",
     "nn_impute",

@@ -198,10 +198,21 @@ def propensity_weighted_mean(
     def eta(th: np.ndarray) -> str:
         return _dot(th, xs)
 
+    def sig(e: str) -> str:
+        # exp(-eta) overflows to inf for eta < ~-745, collapsing the
+        # sigmoid to an EXACT 0.0 — and every /p division then raises
+        # under ANSI mode (even on masked rows, since the divide
+        # evaluates before the 0-mask multiplies).  The 1e-300 floor
+        # binds only when p has underflowed (p < 1e-300 is far beyond
+        # any finite eta's true sigmoid resolution), so clamped and
+        # unclamped results are bit-identical whenever the model is
+        # sane — this is an overflow guard, not a reweighting.
+        return f"greatest(1e-300, (1.0 / (1.0 + exp(-{e}))))"
+
     # ---- Newton on the pseudo-likelihood: one agg pass per step ----
     theta = np.zeros(k)
     for _ in range(n_iter):
-        p = f"(1.0 / (1.0 + exp(-{eta(theta)})))"
+        p = sig(eta(theta))
         exprs = []
         for i in range(k):
             exprs.append(
@@ -227,7 +238,7 @@ def propensity_weighted_mean(
                 f"singular pseudo-likelihood Hessian (separable x?): {e}"
             ) from e
 
-    p = f"(1.0 / (1.0 + exp(-{eta(theta)})))"
+    p = sig(eta(theta))
 
     beta = None
     G = None
@@ -308,6 +319,12 @@ def propensity_weighted_mean(
     if not r["nhat"]:
         raise IPWError("no units with ind_A = 1 (or zero design weights)")
 
+    if not (0.0 < float(r["sinv"]) < 1e100):
+        raise IPWError(
+            "propensity fit diverged: sum_B 1/p = %r — the selection is "
+            "(quasi-)separable in x, so some B unit's fitted propensity "
+            "underflowed; revisit the propensity model" % (r["sinv"],)
+        )
     mean_ipw = float(r["sy"]) / float(r["sinv"])
     mean_dr = (
         (float(r["sres"]) + float(r["sma"])) / float(r["nhat"])

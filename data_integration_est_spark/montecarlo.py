@@ -152,14 +152,20 @@ def run_nmar_study(
 ) -> MCResult:
     """The vectorized analogue of the reference's NMAR grid study
     (``nb[23]:130-159`` + the summary at ``nb[25]``): estimators
-    Mean_S_A, Mean_S_B, RegDI_X1, PC_X1_X2, PC_DR, RegDI_DR per cell."""
+    Mean_S_A, Mean_S_B, RegDI_X1, PC_X1_X2, PC_DR, RegDI_DR per cell —
+    plus (r10) CLW_IPW / CLW_DR, the Chen–Li–Wu propensity-weighted
+    estimators with their plug-in sandwich SEs, sitting in the same
+    bias/SE tables (``nb[23]:113-127`` report an SE per estimator).
+    Under gamma > 0 the B-selection is NMAR, so CLW's ignorable-given-x
+    propensity is misspecified by construction — its bias growth along
+    the gamma axis is the informative row, exactly like Mean_S_B's."""
     pop = nmar_grid_population(
         spark, N=N, n_sim=n_sim, gammas=gammas, size_a=size_a, size_b=size_b,
         seed=seed,
     ).persist()
     pop.count()  # materialize once before the concurrent battery
     g = ["gamma", "sim_id"]
-    diags: dict[str, dict] = {"PC_DR": {}, "RegDI_DR": {}}
+    diags: dict[str, dict] = {"PC_DR": {}, "RegDI_DR": {}, "CLW": {}}
     try:
         results: dict[str, dict[tuple, tuple]] = _run_battery({
             "Mean_S_A": lambda: V.naive_mean_grouped(pop, "y_i", "muestra_A", g),
@@ -176,9 +182,16 @@ def run_nmar_study(
                 pop, "y_i", "y_i", "muestra_A", "muestra_B", "y_i ~ x_i", g,
                 aux_vars=["x1_i"], diag=diags["RegDI_DR"],
             ),
+            "_CLW": lambda: V.clw_grouped(
+                pop, "y_i", ["x_i"], "muestra_A", "muestra_B", g,
+                n_iter=8, diag=diags["CLW"],
+            ),
         })
     finally:
         pop.unpersist()
+    clw = results.pop("_CLW")
+    results["CLW_IPW"] = {k: (v[0], v[1]) for k, v in clw.items()}
+    results["CLW_DR"] = {k: (v[2], v[3]) for k, v in clw.items()}
     return _summarize(spark, results, y_true, diagnostics=diags)
 
 

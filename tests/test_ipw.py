@@ -290,3 +290,79 @@ class TestSandwichVariance:
             assert abs(np.mean(est[kind]) - yy.mean()) < 3 * sd / np.sqrt(
                 reps
             ) + 0.02
+
+
+class TestGroupedBattery:
+    """clw_grouped (the MC-battery twin) must reproduce the scalar
+    estimator cell by cell — point estimates AND sandwich SEs."""
+
+    def test_grouped_matches_scalar_per_cell(self, spark):
+        from data_integration_est_spark.estimators.vectorized import (
+            clw_grouped,
+        )
+
+        n = 6000
+        pop = (
+            spark.range(n)
+            .select(
+                "id",
+                (F.col("id") % 3).cast("int").alias("cell"),
+                ((F.col("id") % 100) / 25.0).alias("x"),
+                (2.0 + 3.0 * ((F.col("id") % 100) / 25.0)
+                 + 0.1 * (F.col("id") % 7)).alias("y"),
+            )
+            .withColumn("in_a", (F.col("id") % 10 == 5).cast("int"))
+            .withColumn(
+                "u", F.pmod(F.xxhash64("id"), F.lit(100000)) / 100000.0
+            )
+            .withColumn(
+                "in_b",
+                (F.col("u") < 1.0 / (1.0 + F.exp(
+                    -(F.lit(T0) + F.lit(T1) * F.col("x"))
+                ))).cast("int"),
+            )
+            .withColumn("d", F.lit(10.0))
+        )
+        grouped = clw_grouped(
+            pop, "y", ["x"], "in_a", "in_b", ["cell"],
+            weights_A="d", n_iter=12,
+        )
+        assert set(grouped) == {(0,), (1,), (2,)}
+        for cell in (0, 1, 2):
+            scalar = propensity_weighted_mean(
+                pop.filter(F.col("cell") == cell), "y", ["x"],
+                "in_a", "in_b", weight_A_col="d", n_iter=12,
+            )
+            mu_i, se_i, mu_d, se_d = grouped[(cell,)]
+            assert mu_i == pytest.approx(scalar.mean_ipw, rel=1e-9), cell
+            assert mu_d == pytest.approx(scalar.mean_dr, rel=1e-9), cell
+            assert se_i == pytest.approx(scalar.se_ipw, rel=1e-7), cell
+            assert se_d == pytest.approx(scalar.se_dr, rel=1e-7), cell
+
+    def test_default_weights_derive_n_over_na(self, spark):
+        from data_integration_est_spark.estimators.vectorized import (
+            clw_grouped,
+        )
+
+        pop = (
+            spark.range(4000)
+            .select(
+                "id",
+                F.lit(0).alias("cell"),
+                ((F.col("id") % 80) / 20.0).alias("x"),
+                (1.0 + 2.0 * ((F.col("id") % 80) / 20.0)).alias("y"),
+            )
+            .withColumn("in_a", (F.col("id") % 8 == 3).cast("int"))
+            .withColumn("in_b", (F.col("id") % 3 == 0).cast("int"))
+        )
+        grouped = clw_grouped(
+            pop, "y", ["x"], "in_a", "in_b", ["cell"], n_iter=12,
+        )
+        # explicit d = N/n_A must agree with the derived default
+        scalar = propensity_weighted_mean(
+            pop.withColumn("d", F.lit(4000.0 / 500.0)), "y", ["x"],
+            "in_a", "in_b", weight_A_col="d", n_iter=12,
+        )
+        mu_i, se_i, mu_d, se_d = grouped[(0,)]
+        assert mu_i == pytest.approx(scalar.mean_ipw, rel=1e-9)
+        assert se_d == pytest.approx(scalar.se_dr, rel=1e-7)

@@ -303,3 +303,30 @@ def test_deterministic_study_battery_widened(spark):
     # sample is ~215 rows — exactness is the DuckDB oracle's job
     for est in families:
         assert abs(rows[(0.0, est)]["bias_mean"]) < 0.1, (est, rows[(0.0, est)])
+
+
+def test_nmar_study_clw_families(spark):
+    """r10: the CLW IPW/DR estimators sit in the MC bias/SE tables with
+    their sandwich SEs.  At gamma=0 the B-selection is ignorable given
+    x, so both are near-unbiased; the per-sim SE must be present and on
+    the same scale as the across-sim spread (a weak-but-real
+    calibration check at n_sim=4)."""
+    res = mc.run_nmar_study(
+        spark, N=4_000, n_sim=4, gammas=(0.0, 1.0), size_a=500,
+        size_b=1_200, seed=2024,
+    )
+    s = {(r["gamma"], r["estimator"]): r for r in res.summary.collect()}
+    for fam in ("CLW_IPW", "CLW_DR"):
+        assert (0.0, fam) in s and (1.0, fam) in s
+        assert abs(s[(0.0, fam)]["bias_mean"]) < 0.15, fam
+    # every (cell, sim) estimate carries a finite SE
+    ses = [
+        r["se"] for r in res.estimates.filter(
+            F.col("estimator").startswith("CLW")
+        ).collect()
+    ]
+    assert ses and all(v is not None and v > 0 for v in ses)
+    spread = s[(0.0, "CLW_IPW")]["bias_sd"] or 0.0
+    mean_se = sum(v for v in ses) / len(ses)
+    assert 0.1 * mean_se < max(spread, 1e-9) < 10 * mean_se
+    assert res.diagnostics["CLW"].get("degenerate_groups", 0) == 0

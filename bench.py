@@ -153,6 +153,11 @@ HEADLINE = [
     "profile_orders",
     "snapshot_diff_orders",
     "scd2_orders_history",
+    # Chen-Li-Wu propensity integration (r8 row benched since r10; the
+    # r10 null-layout + sandwich-SE gate joins immediately per the
+    # new-gate-rows-join-the-headline convention)
+    "ipw_clw_orders",
+    "ipw_null_weight_layout",
     # statistical estimators (GREG calibration / OLS / DR pipelines)
     "regdi_c0",
     "regdi_aux",
@@ -204,6 +209,8 @@ STDOUT_DROP = {
     "pack_bins_stats", "doc_ingest_summary", "full_outer_integration",
     "bigram_quality", "neardup_decontam", "bpe_learn_merges",
     "line_dedup_stats", "shuffle_shards_stats", "quality_cut_stats",
+    "trigram_quality", "dedup_corpus_stats", "tfidf_top_terms",
+    "event_funnel",
     "pairwise_corr_events", "mad_outliers_events", "poststratify_events",
     "twophase_orders",
 }

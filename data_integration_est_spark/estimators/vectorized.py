@@ -612,256 +612,273 @@ def clw_grouped(
     # n_iter + 3 passes re-read this small (A ∪ B) frame: cache it so
     # each Newton step scans ~|A|+|B| rows, not the full population
     base = base.persist()
+    # the cached (A ∪ B) frame must be released even when a solve
+    # or collect raises mid-battery (else repeated failing MC runs
+    # accumulate leaked executor cache blocks)
+    try:
 
-    keys0 = sorted(d_by.keys()) if weights_A is None else [
-        tuple(r[c] for c in group_cols)
-        for r in df.select(*group_cols).distinct().collect()
-    ]
-    thetas: dict[tuple, np.ndarray] = {key: np.zeros(k) for key in keys0}
-    tcols = [f"__t{i}__" for i in range(k)]
-    bad_keys: set = set()
+        keys0 = sorted(d_by.keys()) if weights_A is None else [
+            tuple(r[c] for c in group_cols)
+            for r in df.select(*group_cols).distinct().collect()
+        ]
+        thetas: dict[tuple, np.ndarray] = {key: np.zeros(k) for key in keys0}
+        tcols = [f"__t{i}__" for i in range(k)]
+        bad_keys: set = set()
 
-    def eta_sql() -> str:
-        return "(" + " + ".join(f"{tcols[i]} * {xs[i]}" for i in range(k)) + ")"
+        def eta_sql() -> str:
+            return "(" + " + ".join(f"{tcols[i]} * {xs[i]}" for i in range(k)) + ")"
 
-    for _ in range(n_iter):
-        work = _broadcast_scalars(
-            base, group_cols,
-            {key: tuple(th) for key, th in thetas.items()}, tcols,
-        )
-        # 1e-300 floor: an underflowed sigmoid (exact 0.0 at extreme
-        # negative eta) would raise ANSI DIVIDE_BY_ZERO in every /p
-        # moment; the floor binds only past double underflow (see
-        # estimators/ipw.py)
-        p = f"greatest(1e-300, (1.0 / (1.0 + exp(-{eta_sql()}))))"
-        aggs = []
-        for i in range(k):
-            aggs.append(
-                F.expr(f"sum({b} * {xs[i]} - {a} * {d} * {p} * {xs[i]})")
-                .alias(f"u{i}")
+        for _ in range(n_iter):
+            work = _broadcast_scalars(
+                base, group_cols,
+                {key: tuple(th) for key, th in thetas.items()}, tcols,
             )
-            for j in range(i, k):
-                aggs.append(
-                    F.expr(
-                        f"sum({a} * {d} * {p} * (1.0 - {p})"
-                        f" * {xs[i]} * {xs[j]})"
-                    ).alias(f"h{i}{j}")
-                )
-        rows = work.groupBy(*group_cols).agg(*aggs).collect()
-        max_step = 0.0
-        for r in rows:
-            key = tuple(r[c] for c in group_cols)
-            if key in bad_keys:
-                continue
-            H = np.empty((k, k))
+            # 1e-300 floor: an underflowed sigmoid (exact 0.0 at extreme
+            # negative eta) would raise ANSI DIVIDE_BY_ZERO in every /p
+            # moment; the floor binds only past double underflow (see
+            # estimators/ipw.py)
+            p = f"greatest(1e-300, (1.0 / (1.0 + exp(-{eta_sql()}))))"
+            aggs = []
             for i in range(k):
-                for j in range(i, k):
-                    H[i, j] = H[j, i] = float(r[f"h{i}{j}"] or 0.0)
-            U = np.array([float(r[f"u{i}"] or 0.0) for i in range(k)])
-            try:
-                step = np.linalg.solve(H, U)
-            except np.linalg.LinAlgError:
-                bad_keys.add(key)
-                continue
-            thetas[key] = thetas[key] + step
-            max_step = max(max_step, float(np.max(np.abs(step))))
-        # every group converged: stop paying grid passes (Newton on the
-        # smooth pseudo-likelihood typically lands in 5-6 iterations;
-        # below 1e-10 further steps are FP noise, so the early stop is
-        # invisible at the vectorized==scalar 1e-9 pin)
-        if max_step < 1e-10:
-            break
-
-    if diag is not None and bad_keys:
-        diag["degenerate_groups"] = (
-            diag.get("degenerate_groups", 0) + len(bad_keys)
-        )
-
-    # outcome model on B (one grouped Gram); m(x) rides as a column
-    fit = fit_ols(
-        base.filter(F.col(ind_var_B) == 1), y_col=y_col,
-        x_cols=list(outcome_x_cols), group_cols=group_cols,
-    )
-    _note_fit(diag, fit)
-
-    work = _broadcast_scalars(
-        base, group_cols, {key: tuple(th) for key, th in thetas.items()},
-        tcols,
-    )
-    work, m_col = fit.predict_expr_grouped(work)
-    p_c = F.expr(f"greatest(1e-300, (1.0 / (1.0 + exp(-{eta_sql()}))))")
-    a_c, b_c = F.expr(a), F.expr(b)
-    d_c, y_c = F.expr(d), F.expr(y)
-    work = work.withColumn("__m__", m_col)
-    m_c = F.col("__m__")
-
-    aggs = [
-        F.sum(a_c).alias("na"), F.sum(b_c).alias("nb"),
-        F.sum(a_c * d_c).alias("nhat"),
-        F.sum(b_c / p_c).alias("sinv"),
-        F.sum(b_c * y_c / p_c).alias("sy"),
-        F.sum(b_c * (y_c - m_c) / p_c).alias("sres"),
-        F.sum(a_c * d_c * m_c).alias("sma"),
-    ]
-    if variance:
-        for i in range(k):
-            xi = F.expr(xs[i])
-            for j in range(i, k):
                 aggs.append(
-                    F.sum(a_c * d_c * p_c * (1.0 - p_c) * xi * F.expr(xs[j]))
-                    .alias(f"h{i}{j}")
+                    F.expr(f"sum({b} * {xs[i]} - {a} * {d} * {p} * {xs[i]})")
+                    .alias(f"u{i}")
                 )
-            aggs.append(
-                F.sum(b_c * (1.0 - p_c) / p_c * y_c * xi).alias(f"gy{i}")
-            )
-            aggs.append(F.sum(b_c * (1.0 - p_c) / p_c * xi).alias(f"gs{i}"))
-            aggs.append(
-                F.sum(b_c * (1.0 - p_c) / p_c * (y_c - m_c) * xi)
-                .alias(f"gt{i}")
-            )
-        for i in range(ko):
-            oxi = F.expr(oxs[i])
-            aggs.append(F.sum(b_c * oxi / p_c).alias(f"gb1{i}"))
-            aggs.append(F.sum(a_c * d_c * oxi).alias(f"gb2{i}"))
-    est_rows = {tuple(r[c] for c in group_cols): r
-                for r in work.groupBy(*group_cols).agg(*aggs).collect()}
+                for j in range(i, k):
+                    aggs.append(
+                        F.expr(
+                            f"sum({a} * {d} * {p} * (1.0 - {p})"
+                            f" * {xs[i]} * {xs[j]})"
+                        ).alias(f"h{i}{j}")
+                    )
+            rows = work.groupBy(*group_cols).agg(*aggs).collect()
+            max_step = 0.0
+            for r in rows:
+                key = tuple(r[c] for c in group_cols)
+                if key in bad_keys:
+                    continue
+                H = np.empty((k, k))
+                for i in range(k):
+                    for j in range(i, k):
+                        H[i, j] = H[j, i] = float(r[f"h{i}{j}"] or 0.0)
+                U = np.array([float(r[f"u{i}"] or 0.0) for i in range(k)])
+                try:
+                    step = np.linalg.solve(H, U)
+                except np.linalg.LinAlgError:
+                    bad_keys.add(key)
+                    continue
+                thetas[key] = thetas[key] + step
+                max_step = max(max_step, float(np.max(np.abs(step))))
+            # every group converged: stop paying grid passes (Newton on the
+            # smooth pseudo-likelihood typically lands in 5-6 iterations;
+            # below 1e-10 further steps are FP noise, so the early stop is
+            # invisible at the vectorized==scalar 1e-9 pin)
+            if max_step < 1e-10:
+                break
 
-    out: dict[tuple, tuple] = {}
-    sol: dict[tuple, tuple] = {}
-    nan4 = (float("nan"), None, float("nan"), None)
-    for key, r in est_rows.items():
-        sinv_ok = r["sinv"] is not None and 0.0 < float(r["sinv"]) < 1e100
-        if key in bad_keys or not r["nb"] or not r["nhat"] or not sinv_ok:
-            # sinv >= 1e100 marks a diverged ((quasi-)separable)
-            # propensity fit: some B unit's p underflowed, 1/p exploded
-            out[key] = nan4
-            if diag is not None and not sinv_ok and key not in bad_keys:
-                diag["degenerate_groups"] = (
-                    diag.get("degenerate_groups", 0) + 1
-                )
-            continue
-        mu_i = float(r["sy"] or 0.0) / float(r["sinv"])
-        mu_d = (float(r["sres"] or 0.0) + float(r["sma"] or 0.0)) / float(
-            r["nhat"]
+        if diag is not None and bad_keys:
+            diag["degenerate_groups"] = (
+                diag.get("degenerate_groups", 0) + len(bad_keys)
+            )
+
+        # outcome model on B (one grouped Gram); m(x) rides as a column
+        fit = fit_ols(
+            base.filter(F.col(ind_var_B) == 1), y_col=y_col,
+            x_cols=list(outcome_x_cols), group_cols=group_cols,
         )
-        out[key] = (mu_i, None, mu_d, None)
-        if not variance or int(r["na"]) < 2:
-            continue
-        Hf = np.empty((k, k))
-        for i in range(k):
-            for j in range(i, k):
-                Hf[i, j] = Hf[j, i] = float(r[f"h{i}{j}"] or 0.0)
-        gy = np.array([float(r[f"gy{i}"] or 0.0) for i in range(k)])
-        gs = np.array([float(r[f"gs{i}"] or 0.0) for i in range(k)])
-        gt = np.array([float(r[f"gt{i}"] or 0.0) for i in range(k)])
-        gb = -np.array([float(r[f"gb1{i}"] or 0.0) for i in range(ko)]) + \
-            np.array([float(r[f"gb2{i}"] or 0.0) for i in range(ko)])
-        try:
-            b_ipw = np.linalg.solve(Hf, -(gy - mu_i * gs))
-            bt = np.linalg.solve(Hf, -gt)
-        except np.linalg.LinAlgError:
-            continue
-        sol[key] = (mu_i, mu_d, b_ipw, bt, gb)
-    # bb needs the per-group B Gram: one extra tiny pass (ko x ko sums)
-    if variance and sol:
-        gaggs = []
-        for i in range(ko):
-            for j in range(i, ko):
-                gaggs.append(
-                    F.expr(f"sum({b} * {oxs[i]} * {oxs[j]})")
-                    .alias(f"xx{i}{j}")
-                )
-        grows = {tuple(r[c] for c in group_cols): r
-                 for r in base.groupBy(*group_cols).agg(*gaggs).collect()}
-        names = (
-            ["__mu_i__", "__mu_d__"]
-            + [f"__bi{i}__" for i in range(k)]
-            + [f"__bt{i}__" for i in range(k)]
-            + [f"__bb{i}__" for i in range(ko)]
+        _note_fit(diag, fit)
+
+        work = _broadcast_scalars(
+            base, group_cols, {key: tuple(th) for key, th in thetas.items()},
+            tcols,
         )
-        folded = {}
-        for key, (mu_i, mu_d, b_ipw, bt, gb) in sol.items():
-            r = grows[key]
-            G = np.empty((ko, ko))
+        work, m_col = fit.predict_expr_grouped(work)
+        p_c = F.expr(f"greatest(1e-300, (1.0 / (1.0 + exp(-{eta_sql()}))))")
+        a_c, b_c = F.expr(a), F.expr(b)
+        d_c, y_c = F.expr(d), F.expr(y)
+        work = work.withColumn("__m__", m_col)
+        m_c = F.col("__m__")
+
+        aggs = [
+            F.sum(a_c).alias("na"), F.sum(b_c).alias("nb"),
+            F.sum(a_c * d_c).alias("nhat"),
+            F.sum(b_c / p_c).alias("sinv"),
+            F.sum(b_c * y_c / p_c).alias("sy"),
+            F.sum(b_c * (y_c - m_c) / p_c).alias("sres"),
+            F.sum(a_c * d_c * m_c).alias("sma"),
+        ]
+        if variance:
+            for i in range(k):
+                xi = F.expr(xs[i])
+                for j in range(i, k):
+                    aggs.append(
+                        F.sum(a_c * d_c * p_c * (1.0 - p_c) * xi * F.expr(xs[j]))
+                        .alias(f"h{i}{j}")
+                    )
+                aggs.append(
+                    F.sum(b_c * (1.0 - p_c) / p_c * y_c * xi).alias(f"gy{i}")
+                )
+                aggs.append(F.sum(b_c * (1.0 - p_c) / p_c * xi).alias(f"gs{i}"))
+                aggs.append(
+                    F.sum(b_c * (1.0 - p_c) / p_c * (y_c - m_c) * xi)
+                    .alias(f"gt{i}")
+                )
+            for i in range(ko):
+                oxi = F.expr(oxs[i])
+                aggs.append(F.sum(b_c * oxi / p_c).alias(f"gb1{i}"))
+                aggs.append(F.sum(a_c * d_c * oxi).alias(f"gb2{i}"))
+            # the per-group B Gram (ko x ko sums) rides the same pass —
+            # it depends on nothing computed later, so a separate
+            # grouped scan of `base` would be a pure extra pass
             for i in range(ko):
                 for j in range(i, ko):
-                    G[i, j] = G[j, i] = float(r[f"xx{i}{j}"] or 0.0)
+                    aggs.append(
+                        F.expr(f"sum({b} * {oxs[i]} * {oxs[j]})")
+                        .alias(f"xx{i}{j}")
+                    )
+        est_rows = {tuple(r[c] for c in group_cols): r
+                    for r in work.groupBy(*group_cols).agg(*aggs).collect()}
+
+        out: dict[tuple, tuple] = {}
+        sol: dict[tuple, tuple] = {}
+        nan4 = (float("nan"), None, float("nan"), None)
+        for key, r in est_rows.items():
+            sinv_ok = r["sinv"] is not None and 0.0 < float(r["sinv"]) < 1e100
+            if key in bad_keys or not r["nb"] or not r["nhat"] or not sinv_ok:
+                # sinv >= 1e100 marks a diverged ((quasi-)separable)
+                # propensity fit: some B unit's p underflowed, 1/p exploded
+                out[key] = nan4
+                if diag is not None and not sinv_ok and key not in bad_keys:
+                    diag["degenerate_groups"] = (
+                        diag.get("degenerate_groups", 0) + 1
+                    )
+                continue
+            mu_i = float(r["sy"] or 0.0) / float(r["sinv"])
+            mu_d = (float(r["sres"] or 0.0) + float(r["sma"] or 0.0)) / float(
+                r["nhat"]
+            )
+            out[key] = (mu_i, None, mu_d, None)
+            if not variance or int(r["na"]) < 2:
+                continue
+            Hf = np.empty((k, k))
+            for i in range(k):
+                for j in range(i, k):
+                    Hf[i, j] = Hf[j, i] = float(r[f"h{i}{j}"] or 0.0)
+            gy = np.array([float(r[f"gy{i}"] or 0.0) for i in range(k)])
+            gs = np.array([float(r[f"gs{i}"] or 0.0) for i in range(k)])
+            gt = np.array([float(r[f"gt{i}"] or 0.0) for i in range(k)])
+            gb = -np.array([float(r[f"gb1{i}"] or 0.0) for i in range(ko)]) + \
+                np.array([float(r[f"gb2{i}"] or 0.0) for i in range(ko)])
             try:
-                bb = np.linalg.solve(G, gb)
+                b_ipw = np.linalg.solve(Hf, -(gy - mu_i * gs))
+                bt = np.linalg.solve(Hf, -gt)
             except np.linalg.LinAlgError:
                 continue
-            folded[key] = (mu_i, mu_d, *b_ipw, *bt, *bb)
-        if folded:
-            vwork = _broadcast_scalars(
-                _broadcast_scalars(
-                    base, group_cols,
-                    {key: tuple(th) for key, th in thetas.items()}, tcols,
-                ),
-                group_cols, folded, names,
+            sol[key] = (mu_i, mu_d, b_ipw, bt, gb)
+        # groups present in df but with NO in-sample rows never reach
+        # est_rows (`base` is filtered to A ∪ B), so they would vanish
+        # from the result despite the every-group contract: emit the
+        # documented NaN tuple and count them degenerate
+        for key in thetas:
+            if key not in out:
+                out[key] = nan4
+                if diag is not None:
+                    diag["degenerate_groups"] = (
+                        diag.get("degenerate_groups", 0) + 1
+                    )
+        # bb needs the per-group B Gram, already collected in the
+        # estimate pass (the xx{i}{j} aggregates ride `aggs` above)
+        if variance and sol:
+            names = (
+                ["__mu_i__", "__mu_d__"]
+                + [f"__bi{i}__" for i in range(k)]
+                + [f"__bt{i}__" for i in range(k)]
+                + [f"__bb{i}__" for i in range(ko)]
             )
-            vwork, m2 = fit.predict_expr_grouped(vwork)
-            vwork = vwork.withColumn("__m__", m2)
-            bx = sum(
-                (F.col(f"__bi{i}__") * F.expr(xs[i]) for i in range(k)),
-                F.lit(0.0),
-            )
-            btx = sum(
-                (F.col(f"__bt{i}__") * F.expr(xs[i]) for i in range(k)),
-                F.lit(0.0),
-            )
-            bbo = sum(
-                (F.col(f"__bb{i}__") * F.expr(oxs[i]) for i in range(ko)),
-                F.lit(0.0),
-            )
-            mu_i_c, mu_d_c = F.col("__mu_i__"), F.col("__mu_d__")
-            m_c2 = F.col("__m__")
-            zdr = d_c * ((m_c2 - mu_d_c) - p_c * btx)
-            vrows = (
-                vwork.groupBy(*group_cols)
-                .agg(
-                    F.sum(
-                        b_c * (1.0 - p_c)
-                        * F.pow((y_c - mu_i_c) / p_c + bx, F.lit(2.0))
-                    ).alias("vb_i"),
-                    F.sum(a_c * d_c * p_c * bx).alias("za1"),
-                    F.sum(a_c * F.pow(d_c * p_c * bx, F.lit(2.0)))
-                    .alias("za2"),
-                    F.sum(
-                        b_c * (1.0 - p_c)
-                        * F.pow(
-                            (y_c - m_c2) / p_c + btx + bbo * (y_c - m_c2),
-                            F.lit(2.0),
-                        )
-                    ).alias("vb_d"),
-                    F.sum(a_c * zdr).alias("zd1"),
-                    F.sum(a_c * F.pow(zdr, F.lit(2.0))).alias("zd2"),
-                )
-                .collect()
-            )
-            for r in vrows:
-                key = tuple(r[c] for c in group_cols)
-                if key not in folded:
+            folded = {}
+            for key, (mu_i, mu_d, b_ipw, bt, gb) in sol.items():
+                r = est_rows[key]
+                G = np.empty((ko, ko))
+                for i in range(ko):
+                    for j in range(i, ko):
+                        G[i, j] = G[j, i] = float(r[f"xx{i}{j}"] or 0.0)
+                try:
+                    bb = np.linalg.solve(G, gb)
+                except np.linalg.LinAlgError:
                     continue
-                er = est_rows[key]
-                na = float(er["na"])
-                mu_i, mu_d = out[key][0], out[key][2]
-
-                def _wr(s1, s2):
-                    return na / (na - 1.0) * (s2 - s1 * s1 / na)
-
-                v_i = max(
-                    (float(r["vb_i"] or 0.0)
-                     + _wr(float(r["za1"] or 0.0), float(r["za2"] or 0.0)))
-                    / float(er["sinv"]) ** 2,
-                    0.0,
+                folded[key] = (mu_i, mu_d, *b_ipw, *bt, *bb)
+            if folded:
+                vwork = _broadcast_scalars(
+                    _broadcast_scalars(
+                        base, group_cols,
+                        {key: tuple(th) for key, th in thetas.items()}, tcols,
+                    ),
+                    group_cols, folded, names,
                 )
-                v_d = max(
-                    (float(r["vb_d"] or 0.0)
-                     + _wr(float(r["zd1"] or 0.0), float(r["zd2"] or 0.0)))
-                    / float(er["nhat"]) ** 2,
-                    0.0,
+                vwork, m2 = fit.predict_expr_grouped(vwork)
+                vwork = vwork.withColumn("__m__", m2)
+                bx = sum(
+                    (F.col(f"__bi{i}__") * F.expr(xs[i]) for i in range(k)),
+                    F.lit(0.0),
                 )
-                out[key] = (mu_i, float(np.sqrt(v_i)), mu_d,
-                            float(np.sqrt(v_d)))
-    base.unpersist()
+                btx = sum(
+                    (F.col(f"__bt{i}__") * F.expr(xs[i]) for i in range(k)),
+                    F.lit(0.0),
+                )
+                bbo = sum(
+                    (F.col(f"__bb{i}__") * F.expr(oxs[i]) for i in range(ko)),
+                    F.lit(0.0),
+                )
+                mu_i_c, mu_d_c = F.col("__mu_i__"), F.col("__mu_d__")
+                m_c2 = F.col("__m__")
+                zdr = d_c * ((m_c2 - mu_d_c) - p_c * btx)
+                vrows = (
+                    vwork.groupBy(*group_cols)
+                    .agg(
+                        F.sum(
+                            b_c * (1.0 - p_c)
+                            * F.pow((y_c - mu_i_c) / p_c + bx, F.lit(2.0))
+                        ).alias("vb_i"),
+                        F.sum(a_c * d_c * p_c * bx).alias("za1"),
+                        F.sum(a_c * F.pow(d_c * p_c * bx, F.lit(2.0)))
+                        .alias("za2"),
+                        F.sum(
+                            b_c * (1.0 - p_c)
+                            * F.pow(
+                                (y_c - m_c2) / p_c + btx + bbo * (y_c - m_c2),
+                                F.lit(2.0),
+                            )
+                        ).alias("vb_d"),
+                        F.sum(a_c * zdr).alias("zd1"),
+                        F.sum(a_c * F.pow(zdr, F.lit(2.0))).alias("zd2"),
+                    )
+                    .collect()
+                )
+                for r in vrows:
+                    key = tuple(r[c] for c in group_cols)
+                    if key not in folded:
+                        continue
+                    er = est_rows[key]
+                    na = float(er["na"])
+                    mu_i, mu_d = out[key][0], out[key][2]
+
+                    def _wr(s1, s2):
+                        return na / (na - 1.0) * (s2 - s1 * s1 / na)
+
+                    v_i = max(
+                        (float(r["vb_i"] or 0.0)
+                         + _wr(float(r["za1"] or 0.0), float(r["za2"] or 0.0)))
+                        / float(er["sinv"]) ** 2,
+                        0.0,
+                    )
+                    v_d = max(
+                        (float(r["vb_d"] or 0.0)
+                         + _wr(float(r["zd1"] or 0.0), float(r["zd2"] or 0.0)))
+                        / float(er["nhat"]) ** 2,
+                        0.0,
+                    )
+                    out[key] = (mu_i, float(np.sqrt(v_i)), mu_d,
+                                float(np.sqrt(v_d)))
+    finally:
+        base.unpersist()
     return out

@@ -25,6 +25,7 @@ sketch's honest resolution — its own standard error is ~1.04/sqrt(m)).
 from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
+from decimal import ROUND_HALF_UP, Decimal
 
 import numpy as np
 import pandas as pd
@@ -74,8 +75,15 @@ def _fold_fn(p: int):
         s = float(np.ldexp(1.0, -regs[nz]).sum())
         est = read_off_estimate(s, nb, m)
         chk = int((np.flatnonzero(nz) * regs[nz]).sum())
+        # HALF_UP on the shortest decimal repr — exactly what the batch
+        # twin's F.round does (BigDecimal.valueOf == Double.toString ==
+        # Python repr), not Python's banker's round(): the documented
+        # stream == batch estimate parity needs one rounding rule
+        est2 = float(
+            Decimal(repr(est)).quantize(Decimal("0.01"), ROUND_HALF_UP)
+        )
         yield pd.DataFrame(
-            {"key": [k], "hll_estimate": [round(est, 2)],
+            {"key": [k], "hll_estimate": [est2],
              "n_registers": [nb], "reg_checksum": [chk]}
         )
 

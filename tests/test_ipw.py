@@ -366,3 +366,46 @@ class TestGroupedBattery:
         mu_i, se_i, mu_d, se_d = grouped[(0,)]
         assert mu_i == pytest.approx(scalar.mean_ipw, rel=1e-9)
         assert se_d == pytest.approx(scalar.se_dr, rel=1e-7)
+
+
+    def test_group_with_no_sample_rows_yields_nan(self, spark):
+        """A group key present in df but with zero A and zero B rows
+        must still appear in the result (documented NaN tuple) and be
+        counted degenerate -- not silently vanish (r10 review fix)."""
+        import math
+
+        from data_integration_est_spark.estimators.vectorized import (
+            clw_grouped,
+        )
+
+        pop = (
+            spark.range(3000)
+            .select(
+                "id",
+                (F.col("id") % 2).cast("int").alias("cell"),
+                ((F.col("id") % 60) / 15.0).alias("x"),
+                (1.0 + 2.0 * ((F.col("id") % 60) / 15.0)).alias("y"),
+            )
+            # cell 1 carries NO sampled rows at all
+            .withColumn(
+                "in_a",
+                ((F.col("cell") == 0) & (F.col("id") % 9 == 4)).cast("int"),
+            )
+            .withColumn(
+                "in_b",
+                ((F.col("cell") == 0) & (F.col("id") % 4 == 0)).cast("int"),
+            )
+            .withColumn("d", F.lit(9.0))
+        )
+        diag = {}
+        grouped = clw_grouped(
+            pop, "y", ["x"], "in_a", "in_b", ["cell"],
+            weights_A="d", n_iter=10, diag=diag,
+        )
+        assert set(grouped) == {(0,), (1,)}
+        mu_i, se_i, mu_d, se_d = grouped[(1,)]
+        assert math.isnan(mu_i) and math.isnan(mu_d)
+        assert se_i is None and se_d is None
+        assert diag.get("degenerate_groups", 0) >= 1
+        # the populated cell is untouched by the empty one
+        assert math.isfinite(grouped[(0,)][0])

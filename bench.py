@@ -58,6 +58,9 @@ HEADLINE = [
     "jackknife_mean",
     # round-4 LLM-pipeline ops
     "decontam_scan",
+    # round-10 LLM-pipeline ops: portable Bloom membership + DSIR
+    "bloom_membership_segments",
+    "dsir_selection_sources",
     "repetition_quality",
     "source_mixing",
     "pii_scan",

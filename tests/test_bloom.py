@@ -1,0 +1,151 @@
+"""Portable Bloom filter (`ops/bloom`) — contract and portability tests.
+
+The contract: NEVER a false negative, false positives bounded near the
+analytic rate, the word table mergeable (bit_or monoid), and every bit
+reproducible from the md5 double-hash spec (a numpy replay recomputes
+the whole word table from hashlib)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_est_spark.ops.bloom import (
+    bloom_build,
+    bloom_contains,
+    bloom_fpr,
+    bloom_merge,
+    bloom_stats,
+    optimal_n_hashes,
+)
+
+M, K = 4096, 3
+
+
+def _np_words(values, n_bits=M, n_hashes=K):
+    """From-scratch hashlib replay of the word table."""
+    words: dict[int, int] = {}
+    for v in values:
+        hx = hashlib.md5(str(v).encode()).hexdigest()
+        h1 = int(hx[0:15], 16)
+        h2 = int(hx[16:31], 16)
+        base, stride = h1 % n_bits, 1 + (h2 % (n_bits - 1))
+        for i in range(n_hashes):
+            pos = (base + i * stride) % n_bits
+            words[pos >> 5] = words.get(pos >> 5, 0) | (1 << (pos % 32))
+    return words
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 3000).select(
+        (F.col("id") * 7 + 13).alias("v")
+    )
+
+
+class TestBuild:
+    def test_word_table_matches_hashlib_replay(self, spark, ids):
+        members = ids.filter(F.col("v") % 5 == 3)
+        got = {
+            r["word_idx"]: r["word"]
+            for r in bloom_build(members, "v", M, K).collect()
+        }
+        vals = [r["v"] for r in members.collect()]
+        assert got == _np_words(vals)
+
+    def test_nulls_skipped(self, spark):
+        df = spark.createDataFrame(
+            [(1,), (None,), (2,)], "v int"
+        )
+        bl = bloom_build(df, "v", M, K)
+        ref = bloom_build(df.dropna(), "v", M, K)
+        assert sorted(map(tuple, bl.collect())) == sorted(
+            map(tuple, ref.collect())
+        )
+
+    def test_param_validation(self, spark, ids):
+        with pytest.raises(ValueError):
+            bloom_build(ids, "v", n_bits=100, n_hashes=3)  # not mult of 32
+        with pytest.raises(ValueError):
+            bloom_build(ids, "v", n_bits=4096, n_hashes=0)
+
+
+class TestMembership:
+    def test_no_false_negatives_and_bounded_fpr(self, spark, ids):
+        members = ids.filter(F.col("v") % 7 == 2)
+        n = members.count()
+        bl = bloom_build(members, "v", M, K)
+        probed = bloom_contains(
+            ids.withColumn("is_m", F.col("v") % 7 == 2),
+            "v", bl, M, K, id_col="v",
+        )
+        agg = probed.agg(
+            F.sum((F.col("is_m") & ~F.col("might_contain")).cast("int"))
+            .alias("fn"),
+            F.sum((~F.col("is_m") & F.col("might_contain")).cast("int"))
+            .alias("fp"),
+            F.sum((~F.col("is_m")).cast("int")).alias("neg"),
+        ).collect()[0]
+        assert agg["fn"] == 0
+        expect = bloom_fpr(n, M, K)
+        # generous: 4x the analytic rate + small-count slack
+        assert agg["fp"] <= max(6, 4 * expect * agg["neg"])
+
+    def test_null_probe_is_false(self, spark):
+        members = spark.createDataFrame([(1,)], "v int")
+        bl = bloom_build(members, "v", M, K)
+        df = spark.createDataFrame(
+            [(10, None), (11, 1)], "rid int, v int"
+        )
+        rows = {
+            r["rid"]: r["might_contain"]
+            for r in bloom_contains(df, "v", bl, M, K, id_col="rid").collect()
+        }
+        assert rows == {10: False, 11: True}
+
+
+class TestMergeAndStats:
+    def test_merge_equals_union_build(self, spark, ids):
+        a = ids.filter(F.col("v") % 3 == 0)
+        b = ids.filter(F.col("v") % 3 == 1)
+        merged = bloom_merge(
+            bloom_build(a, "v", M, K), bloom_build(b, "v", M, K)
+        )
+        direct = bloom_build(a.unionByName(b), "v", M, K)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_stats_cardinality_estimate(self, spark, ids):
+        members = ids.limit(500)
+        bl = bloom_build(members, "v", 1 << 16, 5)
+        st = bloom_stats(bl, 1 << 16, 5).collect()[0]
+        assert st["bits_set"] <= 5 * 500
+        assert st["n_estimate"] == pytest.approx(500, rel=0.05)
+        assert 0.0 < st["fill_fraction"] < 0.05
+
+    def test_fpr_math(self):
+        assert bloom_fpr(0, M, K) == 0.0
+        # k=1, n=m*ln2 -> fpr = 1-e^{-ln2} = 0.5
+        assert bloom_fpr(int(M * math.log(2)), M, 1) == pytest.approx(
+            0.5, abs=0.01
+        )
+        assert optimal_n_hashes(M, 0) == 1
+        assert optimal_n_hashes(4096, 410) == round(
+            4096 / 410 * math.log(2)
+        )
+
+
+class TestPlan:
+    def test_probe_plan_broadcasts_filter(self, spark, ids):
+        members = ids.limit(100)
+        bl = bloom_build(members, "v", M, K)
+        plan = bloom_contains(
+            ids, "v", bl, M, K, id_col="v"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan

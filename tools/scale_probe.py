@@ -577,6 +577,62 @@ def probe_r10_semdedup(spark, sf_dir: str):
     big.unpersist()
 
 
+def probe_r10_select(spark, sf_dir: str):
+    """r10 new families at 1x and 10x: DSIR weights + Gumbel top-k over
+    a 10x documents union (distinct ids), and Bloom build+probe over a
+    10x synthetic id set.  What must hold: DSIR's wall is dominated by
+    the feature explode (linear), the ratio join stays broadcast, the
+    top-k stays TakeOrderedAndProject (no global sort); Bloom's word
+    table stays <= m/32 rows regardless of input size (the monoid
+    absorbs the 10x on the map side)."""
+    from data_integration_est_spark.ops.bloom import bloom_build, bloom_contains
+    from data_integration_est_spark.ops.dsir import (
+        dsir_importance_weights, dsir_resample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dmax = docs.agg(F.max("doc_id")).collect()[0][0]
+    big = docs
+    for i in range(1, 10):
+        big = big.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * (dmax + 1)))
+        )
+    big = big.persist()
+    n10 = big.count()
+
+    def run_dsir(frame, label):
+        w = dsir_importance_weights(
+            frame, frame.filter(F.col("lang") == "en"),
+            n_buckets=65536,
+        )
+        return dsir_resample(w, k=max(100, n10 // 50)).count()
+
+    t1 = _timed(f"dsir_1x_{docs.count()}docs_B65536",
+                lambda: run_dsir(docs, "1x"))
+    t10 = _timed(f"dsir_10x_{n10}docs_B65536", lambda: run_dsir(big, "10x"))
+    print(json.dumps({"probe": "dsir_wall_factor_10x",
+                      "factor": round(t10 / max(t1, 1e-9), 2)}))
+
+    ids = spark.range(2_000_000).select((F.col("id") * 13 + 7).alias("v"))
+    big_ids = spark.range(20_000_000).select(
+        (F.col("id") * 13 + 7).alias("v")
+    )
+    m, k = 1 << 26, 5
+
+    def bloom_roundtrip(frame):
+        bl = bloom_build(frame.filter(F.col("v") % 10 == 3), "v", m, k)
+        return bloom_contains(
+            frame, "v", bl, m, k, id_col="v"
+        ).filter("might_contain").count()
+
+    b1 = _timed("bloom_build_probe_2M_m2^26", lambda: bloom_roundtrip(ids))
+    b10 = _timed("bloom_build_probe_20M_m2^26",
+                 lambda: bloom_roundtrip(big_ids))
+    print(json.dumps({"probe": "bloom_wall_factor_10x",
+                      "factor": round(b10 / max(b1, 1e-9), 2)}))
+    big.unpersist()
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -602,6 +658,8 @@ def main() -> None:
         probe_r8_ops(spark, sf_dir)
     if which in ("r10", "all"):
         probe_r10_semdedup(spark, sf_dir)
+    if which in ("r10sel", "all"):
+        probe_r10_select(spark, sf_dir)
 
 
 if __name__ == "__main__":

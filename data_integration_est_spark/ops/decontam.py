@@ -297,3 +297,108 @@ def contamination_flags(
         )
         .drop("__t__", "__toks__", "__grams__", "__bench__")
     )
+
+
+def bloom_contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = 5,
+    frac_threshold: float = 0.05,
+    n_bits: int = 1 << 24,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """:func:`contamination_flags` with the benchmark gram set folded
+    into a portable Bloom filter (``ops/bloom``) instead of a collected
+    gram array — the 100 TB-side fix for the one quantity the exact
+    form cannot bound: the broadcast is ALWAYS <= m/32 words (2 MB at
+    the default m = 2^24), however many grams the benchmark suite
+    grows (the exact form's ``max_bench_grams`` guard simply refuses
+    past 5M).  Still MAP-ONLY per document after the 1-row broadcast
+    (the word table rides as a map column; each gram checks its k bits
+    via ``element_at`` inside a filter lambda — no explode, no state),
+    so it runs on a ``readStream`` frame in APPEND mode like the exact
+    variant: decontamination at ingest.
+
+    The trade is one-sided: never a false NEGATIVE (every true overlap
+    counts), but ~``bloom_fpr(n_grams_bench, n_bits, n_hashes)`` of a
+    clean doc's grams false-hit, so ``contamination_frac`` is an UPPER
+    bound and ``contaminated`` can only over-flag.  Size m so the FPR
+    is far below ``frac_threshold`` (default: 2^24 bits holds 5M grams
+    at fpr ~ 0.009 — well under the 0.05 default threshold; at 1M
+    grams fpr ~ 2e-5).  Pinned in pytest: flags are a superset of the
+    exact variant's, and equal when m is generous."""
+    from data_integration_est_spark.ops.bloom import (
+        _hash_halves, bloom_build,
+    )
+
+    bench_keys = (
+        _gram_keys(benchmark, bench_text_col or text_col, id_col, n,
+                   exact=True)
+        .select("gram_key").distinct()
+    )
+    words = bloom_build(bench_keys, "gram_key", n_bits, n_hashes)
+    word_map = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("__bw__")
+    )
+
+    base = docs.withColumn("__t__", _norm_text(F.col(text_col))).withColumn(
+        "__toks__", F.split(F.col("__t__"), " ")
+    )
+    k = F.size("__toks__")
+    grams = F.when(
+        k >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), k - n),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__toks__"), i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array(F.col("__t__")))
+
+    def _might(g: Column) -> Column:
+        h1, h2 = _hash_halves(g)
+        base_p = h1 % F.lit(n_bits)
+        stride = F.lit(1) + (h2 % F.lit(n_bits - 1))
+        return F.forall(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda i: (
+                F.coalesce(
+                    F.element_at(
+                        F.col("__bw__"),
+                        F.shiftright(
+                            (base_p + i.cast("long") * stride) % n_bits, 5
+                        ),
+                    ),
+                    F.lit(0).cast("long"),
+                ).bitwiseAND(
+                    F.pow(
+                        F.lit(2.0),
+                        (((base_p + i.cast("long") * stride) % n_bits) % 32)
+                        .cast("double"),
+                    ).cast("long")
+                )
+                != 0
+            ),
+        )
+
+    hits = F.size(F.filter(F.col("__grams__"), _might))
+    return (
+        base.withColumn("__grams__", grams)
+        .crossJoin(F.broadcast(word_map))
+        .withColumn("n_grams", F.size("__grams__"))
+        .withColumn("n_hits", hits)
+        .withColumn(
+            "contamination_frac",
+            F.round(F.col("n_hits") / F.col("n_grams"), 6),
+        )
+        .withColumn(
+            "contaminated",
+            (F.col("n_hits") / F.col("n_grams") >= frac_threshold).cast("int"),
+        )
+        .drop("__t__", "__toks__", "__grams__", "__bw__")
+    )

@@ -149,3 +149,54 @@ class TestPlan:
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestBloomDecontam:
+    """bloom_contamination_flags vs the exact array-intersect variant:
+    superset always, equal at generous m."""
+
+    def _frames(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bench = docs.filter(F.col("doc_id") % 17 == 3).select(
+            "doc_id", "text"
+        )
+        return docs, bench
+
+    def test_superset_and_equal_at_generous_m(self, spark, sf_dir):
+        from data_integration_est_spark.ops.decontam import (
+            bloom_contamination_flags, contamination_flags,
+        )
+
+        docs, bench = self._frames(spark, sf_dir)
+        exact = contamination_flags(docs, bench, n=5, exact=True).select(
+            "doc_id", "n_grams", "n_hits", "contaminated"
+        )
+        bl = bloom_contamination_flags(
+            docs, bench, n=5, n_bits=1 << 22, n_hashes=5
+        ).select("doc_id", "n_grams", "n_hits", "contaminated")
+        e = {r["doc_id"]: r for r in exact.collect()}
+        b = {r["doc_id"]: r for r in bl.collect()}
+        assert set(e) == set(b)
+        for did, er in e.items():
+            br = b[did]
+            assert br["n_grams"] == er["n_grams"]
+            # one-sided error: bloom hits >= exact hits, never fewer
+            assert br["n_hits"] >= er["n_hits"]
+            assert br["contaminated"] >= er["contaminated"]
+        # at m = 2^22 over a tiny benchmark the fpr is ~0: exact equality
+        assert sum(b[d]["n_hits"] for d in b) == sum(
+            e[d]["n_hits"] for d in e
+        )
+
+    def test_benchmark_docs_flag_themselves(self, spark, sf_dir):
+        from data_integration_est_spark.ops.decontam import (
+            bloom_contamination_flags,
+        )
+
+        docs, bench = self._frames(spark, sf_dir)
+        flagged = {
+            r["doc_id"]
+            for r in bloom_contamination_flags(docs, bench)
+            .filter("contaminated = 1").select("doc_id").collect()
+        }
+        assert {r["doc_id"] for r in bench.collect()} <= flagged

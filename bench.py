@@ -58,9 +58,10 @@ HEADLINE = [
     "jackknife_mean",
     # round-4 LLM-pipeline ops
     "decontam_scan",
-    # round-10 LLM-pipeline ops: portable Bloom membership + DSIR
+    # round-10 LLM-pipeline ops: portable Bloom/CMS sketches + DSIR
     "bloom_membership_segments",
     "dsir_selection_sources",
+    "cms_token_counts",
     "repetition_quality",
     "source_mixing",
     "pii_scan",

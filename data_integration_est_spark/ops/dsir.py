@@ -184,3 +184,40 @@ def dsir_resample(
         key_col, gumbel_key(logw_col, id_col, salt)
     )
     return keyed.orderBy(F.col(key_col).desc(), F.col(id_col)).limit(k)
+
+
+def dsir_resample_by(
+    weights_df: DataFrame,
+    k: int,
+    group_cols: list[str] | str,
+    id_col: str = "doc_id",
+    logw_col: str = "log_w",
+    salt: str = "",
+    key_col: str = "gumbel_key",
+) -> DataFrame:
+    """Per-group Gumbel top-k: the k largest keys WITHIN each group —
+    per-source/per-domain selection quotas (the practical DSIR
+    deployment: global selection lets one dominant source eat the
+    whole budget).  Same deterministic race as :func:`dsir_resample`,
+    restarted independently per group.
+
+    Physical shape: one rank window partitioned by the group, which
+    Spark 3.5+ executes as WindowGroupLimit — per-partition top-k
+    heaps BEFORE the exchange, so the shuffle carries at most
+    k * n_groups * shuffle_parallelism rows, not the corpus."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    keyed = weights_df.withColumn(
+        key_col, gumbel_key(logw_col, id_col, salt)
+    )
+    w = Window.partitionBy(*gcols).orderBy(
+        F.col(key_col).desc(), F.col(id_col)
+    )
+    return (
+        keyed.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= k)
+        .drop("__rk__")
+    )

@@ -165,3 +165,45 @@ class TestResample:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "TakeOrderedAndProject" in plan
+
+
+class TestResampleBy:
+    def _weights_with_group(self, spark):
+        raw_df = spark.createDataFrame(
+            [(i, t, g) for (i, t), g in zip(
+                RAW.items(), ["a", "b", "a", "b", "a", "a", "b"]
+            )],
+            "doc_id int, text string, grp string",
+        )
+        tgt_df = spark.createDataFrame([(t,) for t in TARGET], "text string")
+        w = dsir_importance_weights(raw_df, tgt_df, "text", "doc_id", B)
+        return w.join(raw_df.select("doc_id", "grp"), "doc_id")
+
+    def test_per_group_equals_independent_races(self, spark):
+        from data_integration_est_spark.ops.dsir import dsir_resample_by
+
+        w = self._weights_with_group(spark)
+        by = {
+            (r["grp"], r["doc_id"])
+            for r in dsir_resample_by(w, 2, "grp").collect()
+        }
+        # the same race run per group with the global operator
+        want = set()
+        for g in ["a", "b"]:
+            for r in dsir_resample(w.filter(F.col("grp") == g), 2).collect():
+                want.add((g, r["doc_id"]))
+        assert by == want
+        # quota respected per group
+        from collections import Counter
+        cnt = Counter(g for g, _ in by)
+        assert all(v <= 2 for v in cnt.values())
+
+    def test_group_limit_plan(self, spark):
+        from data_integration_est_spark.ops.dsir import dsir_resample_by
+
+        w = self._weights_with_group(spark)
+        plan = (
+            dsir_resample_by(w, 2, "grp")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "WindowGroupLimit" in plan

@@ -408,3 +408,46 @@ def test_distinct_monitor_stream_matches_batch(spark, tmp_path):
         # residues hit per key) within HLL's ~3.3% x 5 sigma at p=10
         true_n = len({v for _, g, v in rows if g == k})
         assert abs(batch[k]["hll_estimate"] - true_n) / true_n < 0.17, k
+
+
+def test_frequency_monitor_stream_matches_batch(spark, tmp_path):
+    """r10: streaming per-key CMS frequency monitor — counter state is a
+    commutative sum-monoid of integer-valued updates, so the drained
+    summary equals the batch twin EXACTLY on every field."""
+    import numpy as np
+
+    from data_integration_est_spark.streaming import docs as sd
+    from data_integration_est_spark.streaming import frequency as sf
+
+    rng = np.random.RandomState(23)
+    # zipf-ish value draw per source: heavy head, long tail
+    rows = [
+        (i, f"s{i % 3}", int(1000 / (1 + rng.randint(0, 60))))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, v long")
+    path = str(tmp_path / "freq")
+    df.repartition(5).write.parquet(path)
+
+    batch = {r["key"]: r for r in sf.frequency_monitor_batch(
+        spark.read.parquet(path), "v", "source", depth=4, width=256
+    ).collect()}
+    stream_df = sf.frequency_monitor_stream(
+        sd.read_doc_stream(spark, path, max_files_per_trigger=1),
+        "v", "source", depth=4, width=256,
+    )
+    out = se.run_to_memory(stream_df, "freq_t", output_mode="update")
+    latest = {}
+    for r in out.collect():
+        if r["key"] not in latest or r["mass"] >= latest[r["key"]]["mass"]:
+            latest[r["key"]] = r
+    assert set(latest) == set(batch) == {"s0", "s1", "s2"}
+    for k in batch:
+        for f in ("mass", "n_nonzero", "sketch_checksum", "max_counter"):
+            assert latest[k][f] == batch[k][f], (k, f)
+        # contract sanity: mass = rows per key; max_counter bounds the
+        # heaviest item's true count from above
+        true = [v for _, g, v in rows if g == k]
+        assert batch[k]["mass"] == len(true)
+        from collections import Counter
+        assert batch[k]["max_counter"] >= max(Counter(true).values())

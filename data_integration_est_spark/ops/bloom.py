@@ -159,7 +159,18 @@ def bloom_contains(
     Physical shape: explode the k (word, mask) probes, broadcast-join
     the word table (the filter is at most m/32 rows — 32 MB of longs at
     m = 2^27), count matched bits per id, join the boolean back on the
-    id.  Null values probe as false (nothing null was inserted)."""
+    id.  Null values probe as false (nothing null was inserted).
+
+    A GROUP-built filter (``bloom_build(group_cols=...)``) is probed as
+    the UNION of its groups: the word table is bit_or-folded per
+    word_idx first (without the fold, duplicate word_idx rows would
+    over-count matched bits and return false NEGATIVES for genuine
+    members — the one error a Bloom filter must never make).  For
+    per-group membership, filter the word table to one group before
+    probing."""
+    bloom = bloom.select("word_idx", "word").groupBy("word_idx").agg(
+        F.bit_or("word").alias("word")
+    )
     word, mask = bloom_word_mask(F.col(col), n_bits, n_hashes)
     probes = (
         df.filter(F.col(col).isNotNull())
@@ -172,8 +183,7 @@ def bloom_contains(
         )
     )
     hits = (
-        probes.join(F.broadcast(bloom.select("word_idx", "word")), "word_idx",
-                    "left")
+        probes.join(F.broadcast(bloom), "word_idx", "left")
         .select(
             id_col,
             (F.col("word").isNotNull()

@@ -111,20 +111,31 @@ def cms_query(
     """Estimated frequency for every row of ``df``: the MIN over the
     item's ``depth`` counters (absent counter = 0).  Always >= the true
     count; the expected overshoot is ~N/width per row before the min.
+    ``id_col`` must be unique per row (like ``bloom_contains``): the k
+    probes fold back onto the row by id, so duplicate ids with
+    different values would take the min across BOTH values' counters.
+
+    A GROUP-built sketch (``cms_build(group_cols=...)``) is probed as
+    the UNION of its groups: counters are summed per (j, idx) first —
+    the CMS merge — so the estimate is the item's TOTAL frequency and
+    the never-undercount guarantee holds (without the fold, the min
+    would range over every group's counters and silently undercount).
+    For per-group frequencies, filter the sketch to one group before
+    probing.
 
     Physical shape: posexplode the d probes, broadcast-join the counter
     table (<= d*w rows — a few MB at any realistic size), min per id,
     join back.  Null values estimate 0 (nothing null was counted)."""
+    sketch = sketch.select("j", "idx", "cnt").groupBy("j", "idx").agg(
+        F.sum("cnt").alias("cnt")
+    )
     idx = cms_row_idx(F.col(col), depth, width)
     probes = (
         df.filter(F.col(col).isNotNull())
         .select(F.col(id_col), F.posexplode(idx).alias("j", "idx"))
     )
     est = (
-        probes.join(
-            F.broadcast(sketch.select("j", "idx", "cnt")), ["j", "idx"],
-            "left",
-        )
+        probes.join(F.broadcast(sketch), ["j", "idx"], "left")
         .select(id_col, F.coalesce("cnt", F.lit(0.0)).alias("__c__"))
         .groupBy(id_col)
         .agg(F.min("__c__").alias(out_col))

@@ -331,7 +331,7 @@ def bloom_contamination_flags(
     grams fpr ~ 2e-5).  Pinned in pytest: flags are a superset of the
     exact variant's, and equal when m is generous."""
     from data_integration_est_spark.ops.bloom import (
-        _hash_halves, bloom_build,
+        bloom_build, bloom_word_mask,
     )
 
     bench_keys = (
@@ -360,35 +360,33 @@ def bloom_contamination_flags(
         ),
     ).otherwise(F.array(F.col("__t__")))
 
-    def _might(g: Column) -> Column:
-        h1, h2 = _hash_halves(g)
-        base_p = h1 % F.lit(n_bits)
-        stride = F.lit(1) + (h2 % F.lit(n_bits - 1))
-        return F.forall(
-            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-            lambda i: (
-                F.coalesce(
-                    F.element_at(
-                        F.col("__bw__"),
-                        F.shiftright(
-                            (base_p + i.cast("long") * stride) % n_bits, 5
-                        ),
-                    ),
-                    F.lit(0).cast("long"),
-                ).bitwiseAND(
-                    F.pow(
-                        F.lit(2.0),
-                        (((base_p + i.cast("long") * stride) % n_bits) % 32)
-                        .cast("double"),
-                    ).cast("long")
-                )
-                != 0
+    # materialize each gram's k (word, mask) probe pairs ONCE (the
+    # shared bloom_word_mask kernel) BEFORE the membership scan: an
+    # md5-bearing expression referenced inside a HOF lambda re-runs per
+    # REFERENCE (the _gram_keys hazard, ~8x measured), so the bit test
+    # below touches only materialized ints + the map lookup
+    def _wb(g: Column) -> Column:
+        w, b = bloom_word_mask(g, n_bits, n_hashes)
+        return F.arrays_zip(w.alias("w"), b.alias("b"))
+
+    hits = F.size(
+        F.filter(
+            F.col("__wb__"),
+            lambda pairs: F.forall(
+                pairs,
+                lambda x: (
+                    F.coalesce(
+                        F.element_at(F.col("__bw__"), x["w"]),
+                        F.lit(0).cast("long"),
+                    ).bitwiseAND(x["b"])
+                    != 0
+                ),
             ),
         )
-
-    hits = F.size(F.filter(F.col("__grams__"), _might))
+    )
     return (
         base.withColumn("__grams__", grams)
+        .withColumn("__wb__", F.transform(F.col("__grams__"), _wb))
         .crossJoin(F.broadcast(word_map))
         .withColumn("n_grams", F.size("__grams__"))
         .withColumn("n_hits", hits)
@@ -400,5 +398,5 @@ def bloom_contamination_flags(
             "contaminated",
             (F.col("n_hits") / F.col("n_grams") >= frac_threshold).cast("int"),
         )
-        .drop("__t__", "__toks__", "__grams__", "__bw__")
+        .drop("__t__", "__toks__", "__grams__", "__wb__", "__bw__")
     )

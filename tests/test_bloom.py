@@ -200,3 +200,23 @@ class TestBloomDecontam:
             .filter("contaminated = 1").select("doc_id").collect()
         }
         assert {r["doc_id"] for r in bench.collect()} <= flagged
+
+
+class TestGroupedProbe:
+    def test_grouped_filter_probes_as_union_no_false_negatives(self, spark):
+        """r10 review fix: a group-built word table has duplicate
+        word_idx rows; without the bit_or pre-fold a member present in
+        SEVERAL groups over-counted matched bits and probed FALSE."""
+        df = spark.createDataFrame(
+            [(1, "g1"), (1, "g2"), (2, "g1"), (3, "g2")], "v int, g string"
+        )
+        bl = bloom_build(df, "v", M, K, group_cols=["g"])
+        probe = spark.createDataFrame(
+            [(1,), (2,), (3,)], "v int"
+        ).withColumn("rid", F.col("v"))
+        got = {
+            r["v"]: r["might_contain"]
+            for r in bloom_contains(probe, "v", bl, M, K,
+                                    id_col="rid").collect()
+        }
+        assert got == {1: True, 2: True, 3: True}

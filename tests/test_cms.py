@@ -133,3 +133,22 @@ class TestPlan:
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestGroupedProbe:
+    def test_grouped_sketch_probes_as_total_never_undercounts(self, spark):
+        """r10 review fix: a group-built sketch has duplicate (j, idx)
+        rows; without the sum pre-fold the min ranged over every
+        group's counters and silently undercounted (10+3 -> 3)."""
+        rows = [("a", "g1")] * 10 + [("a", "g2")] * 3 + [("b", "g1")] * 5
+        df = spark.createDataFrame(rows, "v string, g string")
+        sk = cms_build(df, "v", D, W, group_cols=["g"])
+        probe = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "rid int, v string"
+        )
+        got = {
+            r["rid"]: r["cms_count"]
+            for r in cms_query(probe, "v", sk, D, W, id_col="rid").collect()
+        }
+        assert got[1] >= 13.0 and got[2] >= 5.0
+        assert got == {1: 13.0, 2: 5.0}  # no collisions at W=512

@@ -600,7 +600,7 @@ def probe_r10_select(spark, sf_dir: str):
     big = big.persist()
     n10 = big.count()
 
-    def run_dsir(frame, label):
+    def run_dsir(frame):
         w = dsir_importance_weights(
             frame, frame.filter(F.col("lang") == "en"),
             n_buckets=65536,
@@ -608,8 +608,8 @@ def probe_r10_select(spark, sf_dir: str):
         return dsir_resample(w, k=max(100, n10 // 50)).count()
 
     t1 = _timed(f"dsir_1x_{docs.count()}docs_B65536",
-                lambda: run_dsir(docs, "1x"))
-    t10 = _timed(f"dsir_10x_{n10}docs_B65536", lambda: run_dsir(big, "10x"))
+                lambda: run_dsir(docs))
+    t10 = _timed(f"dsir_10x_{n10}docs_B65536", lambda: run_dsir(big))
     print(json.dumps({"probe": "dsir_wall_factor_10x",
                       "factor": round(t10 / max(t1, 1e-9), 2)}))
 

@@ -451,3 +451,36 @@ def test_frequency_monitor_stream_matches_batch(spark, tmp_path):
         assert batch[k]["mass"] == len(true)
         from collections import Counter
         assert batch[k]["max_counter"] >= max(Counter(true).values())
+
+
+def test_bloom_decontam_stream_matches_batch(spark, tmp_path):
+    """r10: the Bloom-backed decontam variant on a readStream frame
+    (append mode; the word table rides a stream-static 1-row map
+    broadcast) must equal its own batch plan row for row — the
+    at-ingest claim, demonstrated, not asserted."""
+    from data_integration_est_spark.ops.decontam import (
+        bloom_contamination_flags,
+    )
+    from data_integration_est_spark.streaming import docs as sd
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = src.filter(F.col("doc_id") % 17 == 0)
+    corpus = src.filter(F.col("doc_id") % 17 != 0)
+    path = str(tmp_path / "bloom_decontam_stream")
+    corpus.write.parquet(path)
+
+    cols = ["doc_id", "n_grams", "n_hits", "contaminated"]
+    batch = bloom_contamination_flags(
+        spark.read.parquet(path), bench, n=5, n_bits=1 << 20, n_hashes=5
+    )
+    stream = se.run_to_memory(
+        bloom_contamination_flags(
+            sd.read_doc_stream(spark, path, max_files_per_trigger=1),
+            bench, n=5, n_bits=1 << 20, n_hashes=5,
+        ),
+        "bloom_decontam_t", output_mode="append",
+    )
+    b = sorted(map(tuple, batch.select(*cols).collect()))
+    s = sorted(map(tuple, stream.select(*cols).collect()))
+    assert b == s and len(b) > 0
+    assert any(r[3] == 1 for r in b)  # planted overlap fires

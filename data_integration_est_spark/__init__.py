@@ -90,6 +90,15 @@ from data_integration_est_spark.ops.semdedup import semdedup, semdedup_flags
 from data_integration_est_spark.ops.sketches import (
     hll_count_distinct, hll_estimate, hll_merge, hll_registers,
 )
+from data_integration_est_spark.ops.bloom import (
+    bloom_build, bloom_contains, bloom_merge, bloom_stats,
+)
+from data_integration_est_spark.ops.cms import (
+    cms_build, cms_merge, cms_query,
+)
+from data_integration_est_spark.ops.dsir import (
+    dsir_importance_weights, dsir_resample, dsir_resample_by,
+)
 from data_integration_est_spark.estimators.ipw import propensity_weighted_mean
 from data_integration_est_spark.estimators.vectorized import clw_grouped
 from data_integration_est_spark.estimators.sae import fay_herriot
@@ -191,6 +200,16 @@ __all__ = [
     "hll_registers",
     "hll_estimate",
     "hll_merge",
+    "bloom_build",
+    "bloom_contains",
+    "bloom_merge",
+    "bloom_stats",
+    "cms_build",
+    "cms_merge",
+    "cms_query",
+    "dsir_importance_weights",
+    "dsir_resample",
+    "dsir_resample_by",
     "fay_herriot",
     "propensity_weighted_mean",
     "clw_grouped",

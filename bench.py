@@ -62,6 +62,7 @@ HEADLINE = [
     "bloom_membership_segments",
     "dsir_selection_sources",
     "cms_token_counts",
+    "stream_frequency_summary",
     "repetition_quality",
     "source_mixing",
     "pii_scan",

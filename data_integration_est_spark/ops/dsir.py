@@ -136,6 +136,15 @@ def dsir_importance_weights(
     doc_feats = hashed_ngram_features(raw_df, text_col, id_col, n_buckets)
     raw_marg = doc_feats.groupBy("bucket").agg(F.sum("c").alias("c"))
     tgt_marg = hashed_ngram_features(target_df, text_col, None, n_buckets)
+    # loud check, engine convention: a featureless target makes every
+    # log ratio the same smoothing constant and the "selection" a
+    # uniform Gumbel shuffle — never what the caller meant.  The count
+    # is over <= B bucket rows, not the corpus.
+    if tgt_marg.limit(1).count() == 0:
+        raise ValueError(
+            "dsir_importance_weights: target corpus has no features "
+            "(empty or all-empty text) — weights would be constant"
+        )
     ratio = dsir_bucket_logratio(raw_marg, tgt_marg, n_buckets, alpha)
     return (
         doc_feats.join(F.broadcast(ratio), "bucket")

@@ -207,3 +207,17 @@ class TestResampleBy:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "WindowGroupLimit" in plan
+
+
+class TestValidation:
+    def test_empty_target_raises_loudly(self, spark):
+        """r10: a featureless target would make every log ratio the
+        same smoothing constant — the selection degenerates to a
+        uniform shuffle, so the engine refuses loudly instead."""
+        raw_df = spark.createDataFrame(
+            list(RAW.items()), "doc_id int, text string"
+        )
+        for tgt in [[], [("",)], [("   ",)]]:
+            tgt_df = spark.createDataFrame(tgt, "text string")
+            with pytest.raises(ValueError, match="no features"):
+                dsir_importance_weights(raw_df, tgt_df, "text", "doc_id", B)

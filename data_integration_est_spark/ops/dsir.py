@@ -133,18 +133,23 @@ def dsir_importance_weights(
     scanned once for features and once more here only through the
     (doc, bucket, c) aggregate — at 100 TB, persist the feature table
     if the pipeline also needs it elsewhere."""
-    doc_feats = hashed_ngram_features(raw_df, text_col, id_col, n_buckets)
-    raw_marg = doc_feats.groupBy("bucket").agg(F.sum("c").alias("c"))
-    tgt_marg = hashed_ngram_features(target_df, text_col, None, n_buckets)
     # loud check, engine convention: a featureless target makes every
     # log ratio the same smoothing constant and the "selection" a
-    # uniform Gumbel shuffle — never what the caller meant.  The count
-    # is over <= B bucket rows, not the corpus.
-    if tgt_marg.limit(1).count() == 0:
+    # uniform Gumbel shuffle — never what the caller meant.  Checked on
+    # the RAW text (any non-whitespace text yields >= 1 unigram), so
+    # the probe is a limit-1 filter scan that never featurizes or
+    # shuffles — the featurization below still runs exactly once.
+    if (
+        target_df.filter(F.trim(F.col(text_col)) != "").limit(1).count()
+        == 0
+    ):
         raise ValueError(
             "dsir_importance_weights: target corpus has no features "
             "(empty or all-empty text) — weights would be constant"
         )
+    doc_feats = hashed_ngram_features(raw_df, text_col, id_col, n_buckets)
+    raw_marg = doc_feats.groupBy("bucket").agg(F.sum("c").alias("c"))
+    tgt_marg = hashed_ngram_features(target_df, text_col, None, n_buckets)
     ratio = dsir_bucket_logratio(raw_marg, tgt_marg, n_buckets, alpha)
     return (
         doc_feats.join(F.broadcast(ratio), "bucket")

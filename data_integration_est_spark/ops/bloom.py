@@ -150,6 +150,7 @@ def bloom_contains(
     n_hashes: int,
     id_col: str,
     out_col: str = "might_contain",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Probe membership for every row of ``df``: ``out_col`` is true iff
     ALL k bits of ``col``'s value are set in the filter (no false
@@ -161,29 +162,36 @@ def bloom_contains(
     m = 2^27), count matched bits per id, join the boolean back on the
     id.  Null values probe as false (nothing null was inserted).
 
-    A GROUP-built filter (``bloom_build(group_cols=...)``) is probed as
-    the UNION of its groups: the word table is bit_or-folded per
-    word_idx first (without the fold, duplicate word_idx rows would
-    over-count matched bits and return false NEGATIVES for genuine
-    members — the one error a Bloom filter must never make).  For
-    per-group membership, filter the word table to one group before
-    probing."""
-    bloom = bloom.select("word_idx", "word").groupBy("word_idx").agg(
-        F.bit_or("word").alias("word")
-    )
+    Probing a GROUP-built filter (``bloom_build(group_cols=...)``):
+
+    - ``group_cols=None`` (default) answers the UNION of the groups —
+      the word table is bit_or-folded per word_idx first (without the
+      fold, duplicate word_idx rows would over-count matched bits and
+      return false NEGATIVES for genuine members — the one error a
+      Bloom filter must never make);
+    - ``group_cols=[...]`` answers PER GROUP — ``df`` must carry the
+      same group columns, each row probes its own group's words, and a
+      group the filter never saw probes false."""
+    gcols = list(group_cols or [])
+    if gcols:
+        bloom = bloom.select(*gcols, "word_idx", "word")
+    else:
+        bloom = bloom.select("word_idx", "word").groupBy("word_idx").agg(
+            F.bit_or("word").alias("word")
+        )
     word, mask = bloom_word_mask(F.col(col), n_bits, n_hashes)
     probes = (
         df.filter(F.col(col).isNotNull())
-        .select(F.col(id_col), F.explode(F.arrays_zip(
+        .select(F.col(id_col), *gcols, F.explode(F.arrays_zip(
             word.alias("w"), mask.alias("b"))).alias("__wb__"))
         .select(
-            id_col,
+            id_col, *gcols,
             F.col("__wb__.w").alias("word_idx"),
             F.col("__wb__.b").alias("__mask__"),
         )
     )
     hits = (
-        probes.join(F.broadcast(bloom), "word_idx", "left")
+        probes.join(F.broadcast(bloom), [*gcols, "word_idx"], "left")
         .select(
             id_col,
             (F.col("word").isNotNull()

@@ -107,6 +107,7 @@ def cms_query(
     width: int,
     id_col: str,
     out_col: str = "cms_count",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Estimated frequency for every row of ``df``: the MIN over the
     item's ``depth`` counters (absent counter = 0).  Always >= the true
@@ -115,27 +116,36 @@ def cms_query(
     probes fold back onto the row by id, so duplicate ids with
     different values would take the min across BOTH values' counters.
 
-    A GROUP-built sketch (``cms_build(group_cols=...)``) is probed as
-    the UNION of its groups: counters are summed per (j, idx) first —
-    the CMS merge — so the estimate is the item's TOTAL frequency and
-    the never-undercount guarantee holds (without the fold, the min
-    would range over every group's counters and silently undercount).
-    For per-group frequencies, filter the sketch to one group before
-    probing.
+    Probing a GROUP-built sketch (``cms_build(group_cols=...)``):
+
+    - ``group_cols=None`` (default) answers the UNION — counters are
+      summed per (j, idx) first (the CMS merge), so the estimate is the
+      item's TOTAL frequency and the never-undercount guarantee holds
+      (without the fold, the min would range over every group's
+      counters and silently undercount);
+    - ``group_cols=[...]`` answers PER GROUP — ``df`` must carry the
+      same group columns, each row probes its own group's counters, and
+      an (item, group) pair whose group the sketch never saw estimates
+      0 (nothing was counted there).
 
     Physical shape: posexplode the d probes, broadcast-join the counter
-    table (<= d*w rows — a few MB at any realistic size), min per id,
-    join back.  Null values estimate 0 (nothing null was counted)."""
-    sketch = sketch.select("j", "idx", "cnt").groupBy("j", "idx").agg(
-        F.sum("cnt").alias("cnt")
-    )
+    table (<= groups * d*w rows — a few MB at any realistic size), min
+    per id, join back.  Null values estimate 0 (nothing null was
+    counted)."""
+    gcols = list(group_cols or [])
+    if gcols:
+        sketch = sketch.select(*gcols, "j", "idx", "cnt")
+    else:
+        sketch = sketch.select("j", "idx", "cnt").groupBy("j", "idx").agg(
+            F.sum("cnt").alias("cnt")
+        )
     idx = cms_row_idx(F.col(col), depth, width)
     probes = (
         df.filter(F.col(col).isNotNull())
-        .select(F.col(id_col), F.posexplode(idx).alias("j", "idx"))
+        .select(F.col(id_col), *gcols, F.posexplode(idx).alias("j", "idx"))
     )
     est = (
-        probes.join(F.broadcast(sketch), ["j", "idx"], "left")
+        probes.join(F.broadcast(sketch), [*gcols, "j", "idx"], "left")
         .select(id_col, F.coalesce("cnt", F.lit(0.0)).alias("__c__"))
         .groupBy(id_col)
         .agg(F.min("__c__").alias(out_col))

@@ -18,12 +18,11 @@ batches; no per-row Python (the engine's no-interpreted-hot-loop rule).
 
 The monitor counts OCCURRENCES (weight 1 per row): counters stay
 integer-valued in doubles (exact far past 2^50), so stream == batch is
-bit-exact on every field, not approximately.  Per-item estimates for
-one key come from filtering the batch twin's sketch to that key before
-``ops/cms.cms_query`` (the unfiltered multi-key sketch probes as the
-UNION — total frequency across keys — by cms_query's documented
-grouped-sketch fold) or from the drained counters; the monitor's
-emission is the sketch summary —
+bit-exact on every field, not approximately.  Per-item estimates come
+from the batch twin's sketch via ``ops/cms.cms_query`` — pass
+``group_cols=["key"]`` for per-key frequencies (the default probes the
+UNION: total frequency across keys) — or from the drained counters;
+the monitor's emission is the sketch summary —
 mass, occupancy, a whole-table checksum, and the row-0 max counter (an
 upper bound on the heaviest item's count: alarm when one key's stream
 degenerates onto few values)."""

@@ -220,3 +220,25 @@ class TestGroupedProbe:
                                     id_col="rid").collect()
         }
         assert got == {1: True, 2: True, 3: True}
+
+    def test_grouped_probe_per_group(self, spark):
+        """group_cols probes each row against its OWN group's words;
+        a group the filter never saw probes false."""
+        df = spark.createDataFrame(
+            [(1, "g1"), (1, "g2"), (2, "g1"), (3, "g2")], "v int, g string"
+        )
+        bl = bloom_build(df, "v", M, K, group_cols=["g"])
+        probe = spark.createDataFrame(
+            [(10, 1, "g1"), (11, 1, "g2"), (12, 2, "g2"),
+             (13, 3, "g1"), (14, 2, "g9")],
+            "rid int, v int, g string",
+        )
+        got = {
+            r["rid"]: r["might_contain"]
+            for r in bloom_contains(
+                probe, "v", bl, M, K, id_col="rid", group_cols=["g"]
+            ).collect()
+        }
+        # 2 only in g1, 3 only in g2; unseen group g9 is false
+        assert got[10] and got[11] and not got[12] and not got[13]
+        assert not got[14]

@@ -152,3 +152,22 @@ class TestGroupedProbe:
         }
         assert got[1] >= 13.0 and got[2] >= 5.0
         assert got == {1: 13.0, 2: 5.0}  # no collisions at W=512
+
+    def test_grouped_probe_per_group(self, spark):
+        """group_cols probes each row against its OWN group's counters;
+        unseen (item, group) pairs estimate 0."""
+        rows = [("a", "g1")] * 10 + [("a", "g2")] * 3 + [("b", "g1")] * 5
+        df = spark.createDataFrame(rows, "v string, g string")
+        sk = cms_build(df, "v", D, W, group_cols=["g"])
+        probe = spark.createDataFrame(
+            [(1, "a", "g1"), (2, "a", "g2"), (3, "b", "g1"),
+             (4, "b", "g2"), (5, "a", "g9")],
+            "rid int, v string, g string",
+        )
+        got = {
+            r["rid"]: r["cms_count"]
+            for r in cms_query(
+                probe, "v", sk, D, W, id_col="rid", group_cols=["g"]
+            ).collect()
+        }
+        assert got == {1: 10.0, 2: 3.0, 3: 5.0, 4: 0.0, 5: 0.0}

@@ -63,6 +63,7 @@ HEADLINE = [
     "dsir_selection_sources",
     "cms_token_counts",
     "stream_frequency_summary",
+    "resample_hourly_events",
     "repetition_quality",
     "source_mixing",
     "pii_scan",
@@ -207,10 +208,10 @@ STDOUT_DROP = {
     "svyquantile_ci_events", "svychisq_rs_events", "svymean_fpc_events",
     "svyby_mean_ratio_events", "svyciprop_events", "svyglm_by",
     "svyglm_poisson", "jackknife_ratio_events", "brr_mean_by_events",
-    # r10: keep the stdout line under 1950 chars with the four new
-    # sketch rows in it (each family's representative stays:
-    # ipw_clw_orders, svyvar_cal_events)
-    "ipw_null_weight_layout", "svyratio_cal_events",
+    # r10: keep the stdout line under 1950 chars with the five new
+    # rows in it (each family's representative stays: ipw_clw_orders,
+    # svyvar_cal_events, twophase_orders-in-full-file)
+    "ipw_null_weight_layout", "svyratio_cal_events", "twophase_by_orders",
     "deff_total_events", "mc_stratified_study", "mc_contaminated_study",
     "mc_nmar_v2_study", "heavy_tokens_by_lang", "trim_weights_summary",
     "rolling_user_features", "embedding_neardup_lsh",

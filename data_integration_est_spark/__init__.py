@@ -100,6 +100,7 @@ from data_integration_est_spark.ops.dsir import (
     dsir_importance_weights, dsir_resample, dsir_resample_by,
 )
 from data_integration_est_spark.ops.timeseries import resample_timeseries
+from data_integration_est_spark.ops.collocations import pmi_collocations
 from data_integration_est_spark.estimators.ipw import propensity_weighted_mean
 from data_integration_est_spark.estimators.vectorized import clw_grouped
 from data_integration_est_spark.estimators.sae import fay_herriot
@@ -212,6 +213,7 @@ __all__ = [
     "dsir_resample",
     "dsir_resample_by",
     "resample_timeseries",
+    "pmi_collocations",
     "fay_herriot",
     "propensity_weighted_mean",
     "clw_grouped",

@@ -633,6 +633,55 @@ def probe_r10_select(spark, sf_dir: str):
     big.unpersist()
 
 
+def probe_r10_late(spark, sf_dir: str):
+    """r10 late additions at 1x/10x: PMI collocation mining over a 10x
+    documents union and time-grid resampling over a 10x events union
+    (ids offset; the event copies shift by one step so the grid mass
+    grows too).  What must hold: PMI's wall is the tokenize explode
+    (linear) + vocabulary-sized count joins; resample's grid stays
+    sum-of-spans-sized with keyed-window fills (no cross join)."""
+    from data_integration_est_spark.ops.collocations import pmi_collocations
+    from data_integration_est_spark.ops.timeseries import resample_timeseries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big_docs = docs
+    for _ in range(9):
+        big_docs = big_docs.unionByName(docs)
+    n10 = big_docs.count()
+    t1 = _timed(
+        f"pmi_1x_{docs.count()}docs",
+        lambda: pmi_collocations(docs, min_count=10, top_k=100).count(),
+    )
+    t10 = _timed(
+        f"pmi_10x_{n10}docs",
+        lambda: pmi_collocations(big_docs, min_count=100, top_k=100).count(),
+    )
+    print(json.dumps({"probe": "pmi_wall_factor_10x",
+                      "factor": round(t10 / max(t1, 1e-9), 2)}))
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    big_ev = ev
+    for i in range(1, 10):
+        big_ev = big_ev.unionByName(
+            ev.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i} HOURS"))
+        )
+    m10 = big_ev.count()
+    r1 = _timed(
+        f"resample_1x_{ev.count()}events",
+        lambda: resample_timeseries(
+            ev, "ts", "value", "event_type", 600, fill="linear"
+        ).count(),
+    )
+    r10 = _timed(
+        f"resample_10x_{m10}events",
+        lambda: resample_timeseries(
+            big_ev, "ts", "value", "event_type", 600, fill="linear"
+        ).count(),
+    )
+    print(json.dumps({"probe": "resample_wall_factor_10x",
+                      "factor": round(r10 / max(r1, 1e-9), 2)}))
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -660,6 +709,8 @@ def main() -> None:
         probe_r10_semdedup(spark, sf_dir)
     if which in ("r10sel", "all"):
         probe_r10_select(spark, sf_dir)
+    if which in ("r10late", "all"):
+        probe_r10_late(spark, sf_dir)
 
 
 if __name__ == "__main__":

@@ -65,6 +65,7 @@ HEADLINE = [
     "stream_frequency_summary",
     "resample_hourly_events",
     "pmi_collocations_docs",
+    "qhist_quantiles_orders",
     "repetition_quality",
     "source_mixing",
     "pii_scan",
@@ -213,7 +214,7 @@ STDOUT_DROP = {
     # rows in it (each family's representative stays: ipw_clw_orders,
     # svyvar_cal_events, twophase_orders-in-full-file)
     "ipw_null_weight_layout", "svyratio_cal_events", "twophase_by_orders",
-    "calibrate_logit_by",
+    "calibrate_logit_by", "stream_decontam_summary",
     "deff_total_events", "mc_stratified_study", "mc_contaminated_study",
     "mc_nmar_v2_study", "heavy_tokens_by_lang", "trim_weights_summary",
     "rolling_user_features", "embedding_neardup_lsh",

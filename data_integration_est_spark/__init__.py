@@ -101,6 +101,9 @@ from data_integration_est_spark.ops.dsir import (
 )
 from data_integration_est_spark.ops.timeseries import resample_timeseries
 from data_integration_est_spark.ops.collocations import pmi_collocations
+from data_integration_est_spark.ops.qsketch import (
+    qhist_build, qhist_merge, qhist_quantiles,
+)
 from data_integration_est_spark.estimators.ipw import propensity_weighted_mean
 from data_integration_est_spark.estimators.vectorized import clw_grouped
 from data_integration_est_spark.estimators.sae import fay_herriot
@@ -214,6 +217,9 @@ __all__ = [
     "dsir_resample_by",
     "resample_timeseries",
     "pmi_collocations",
+    "qhist_build",
+    "qhist_merge",
+    "qhist_quantiles",
     "fay_herriot",
     "propensity_weighted_mean",
     "clw_grouped",

@@ -16,9 +16,11 @@ a tiny table, and consulted from whatever engine ingests the next crawl.
 Design (classic Bloom, Kirsch–Mitzenmacher double hashing):
 - one md5 per value gives two independent 60-bit halves h1, h2
   (chars 1-15 and 17-31 of the hex digest);
-- position_i = (h1 mod m  +  i * (1 + h2 mod (m-1))) mod m for
-  i = 0..k-1 — the ``1 +`` keeps the stride nonzero, every term stays
-  far inside int64, and the arithmetic is exact in any engine;
+- position_i = (h1 mod m  +  i * (1 + 2*(h2 mod m/2))) mod m for
+  i = 0..k-1 — the stride is ODD and m a power of two, so the stride is
+  coprime with m and an item's k probes always hit k distinct bits;
+  every term stays far inside int64 and the arithmetic is exact in any
+  engine;
 - the bit array packs 32 bits per word (word = pos >> 5,
   mask = 1 << (pos & 31)): every mask fits a 32-bit signed value, so no
   engine's BIGINT shift/sign semantics are in play (bit 63 of a 64-bit
@@ -63,8 +65,10 @@ def _hash_halves(col: Column) -> tuple[Column, Column]:
 
 
 def _check_params(n_bits: int, n_hashes: int) -> None:
-    if not (64 <= n_bits <= (1 << 30)) or n_bits % 32 != 0:
-        raise ValueError("n_bits must be a multiple of 32 in [64, 2^30]")
+    # power of two so the ODD stride below is coprime with m — the k
+    # probe positions of one item are then always k DISTINCT bits
+    if not (64 <= n_bits <= (1 << 30)) or n_bits & (n_bits - 1):
+        raise ValueError("n_bits must be a power of two in [64, 2^30]")
     if not (1 <= n_hashes <= 16):
         raise ValueError("n_hashes must be in [1, 16]")
     if n_bits >= (1 << _HASH_BITS):
@@ -81,9 +85,12 @@ def bloom_word_mask(
     _check_params(n_bits, n_hashes)
     h1, h2 = _hash_halves(col)
     base = h1 % F.lit(n_bits)
-    # 1 + h2 mod (m-1): a nonzero stride, so the k probes never collapse
-    # onto one bit (the classic double-hashing guard)
-    stride = F.lit(1) + (h2 % F.lit(n_bits - 1))
+    # 1 + 2*(h2 mod m/2): an ODD stride, hence coprime with the
+    # power-of-two m — the k probes land on k distinct bits.  (The naive
+    # 1 + h2 mod (m-1) can share a power-of-2 factor with m — worst case
+    # stride = m/2 collapses k probes onto 2 bits, breaking the
+    # (1-e^{-kn/m})^k contract.)
+    stride = F.lit(1) + F.lit(2) * (h2 % F.lit(n_bits // 2))
     pos = F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
         lambda i: (base + i.cast("long") * stride) % F.lit(n_bits),

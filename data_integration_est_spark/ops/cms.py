@@ -7,7 +7,8 @@ its weight to one counter per row; the frequency estimate is the MIN
 over its d counters — always an over-estimate, with
 P[error > eps * N] <= delta for w = ceil(e/eps), d = ceil(ln(1/delta)).
 The d row indices come from the same md5 double-hash family as
-``ops/bloom`` (Kirsch–Mitzenmacher: idx_j = (h1 + j*h2') mod w), so the
+``ops/bloom`` (Kirsch–Mitzenmacher with an odd stride: idx_j =
+(h1 mod w + j*(1 + 2*(h2 mod w/2))) mod w, coprime with w), so the
 counter table — and therefore every estimate — reproduces exactly in
 DuckDB/Trino/Postgres.
 
@@ -37,18 +38,21 @@ from data_integration_est_spark.ops.bloom import _hash_halves
 def _check_params(depth: int, width: int) -> None:
     if not (1 <= depth <= 16):
         raise ValueError("depth must be in [1, 16]")
-    if not (16 <= width <= (1 << 24)):
-        raise ValueError("width must be in [16, 2^24]")
+    # power of two so the ODD stride is coprime with width — an item's
+    # depth counter indices are then always depth distinct columns
+    if not (16 <= width <= (1 << 24)) or width & (width - 1):
+        raise ValueError("width must be a power of two in [16, 2^24]")
 
 
 def cms_row_idx(col: Column, depth: int, width: int) -> Column:
     """Array of ``depth`` counter indices for one value — the shared
     kernel of the builder and the prober.  Same exact-integer double
-    hashing as ``ops/bloom`` (stride forced nonzero so rows differ)."""
+    hashing as ``ops/bloom`` (ODD stride, coprime with the power-of-two
+    width, so the depth probes never collapse onto one column)."""
     _check_params(depth, width)
     h1, h2 = _hash_halves(col)
     base = h1 % F.lit(width)
-    stride = F.lit(1) + (h2 % F.lit(width - 1))
+    stride = F.lit(1) + F.lit(2) * (h2 % F.lit(width // 2))
     return F.transform(
         F.sequence(F.lit(0), F.lit(depth - 1)),
         lambda j: (base + j.cast("long") * stride) % F.lit(width),

@@ -36,6 +36,33 @@ def _check(lo: float, hi: float, bins: int) -> None:
         raise ValueError("need lo < hi and 2 <= bins <= 2^20")
 
 
+def _q_label(q: float) -> str:
+    """Column label for a quantile: ``q25`` when q*100 is a whole
+    percent, else the full-precision ``q25_4``-style spelling — so two
+    distinct requested quantiles can never silently share a column."""
+    pct = round(q * 100.0, 9)
+    if pct == int(pct):
+        return f"q{int(pct)}"
+    return "q" + ("%g" % pct).replace(".", "_")
+
+
+def _sketch_meta(sketch: DataFrame) -> dict | None:
+    """The (lo, hi, bins) build parameters stamped on the ``bin``
+    column's metadata by :func:`qhist_build`, or None for a sketch
+    table of unknown provenance."""
+    try:
+        md = sketch.schema["bin"].metadata
+    except (KeyError, TypeError):
+        return None
+    if md and all(k in md for k in ("qhist_lo", "qhist_hi", "qhist_bins")):
+        return {
+            "lo": float(md["qhist_lo"]),
+            "hi": float(md["qhist_hi"]),
+            "bins": int(md["qhist_bins"]),
+        }
+    return None
+
+
 def qhist_build(
     df: DataFrame,
     col: str,
@@ -47,7 +74,10 @@ def qhist_build(
     """Build the histogram: one row per (group, bin) with the count.
     Nulls skipped; out-of-range values clamp to the edge bins.  Output:
     ``group_cols..., bin, cnt`` — a mergeable sketch table
-    (merge = sum per bin, :func:`qhist_merge`)."""
+    (merge = sum per bin, :func:`qhist_merge`).  The build parameters
+    ride along as schema metadata on ``bin``, so a merge or read-off
+    with MISMATCHED (lo, hi, bins) fails loudly at plan time instead of
+    silently summing incompatible bin layouts."""
     _check(lo, hi, bins)
     group_cols = list(group_cols or [])
     width = (float(hi) - float(lo)) / bins
@@ -56,9 +86,12 @@ def qhist_build(
         F.greatest(F.floor((v - F.lit(float(lo))) / F.lit(width)), F.lit(0)),
         F.lit(bins - 1),
     ).cast("long")
+    meta = {
+        "qhist_lo": float(lo), "qhist_hi": float(hi), "qhist_bins": bins,
+    }
     return (
         df.filter(v.isNotNull())
-        .select(*group_cols, b.alias("bin"))
+        .select(*group_cols, b.alias("bin", metadata=meta))
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -66,9 +99,21 @@ def qhist_build(
 
 def qhist_merge(*sketches: DataFrame) -> DataFrame:
     """Union histograms built with the SAME (lo, hi, bins, group
-    columns): sum per (group, bin) — the histogram monoid."""
+    columns): sum per (group, bin) — the histogram monoid.
+
+    Every input built by :func:`qhist_build` carries its parameters in
+    schema metadata; a merge across DIFFERENT (lo, hi, bins) raises
+    here, at plan time — summing bin counts from incompatible layouts
+    would otherwise produce silent garbage."""
     if not sketches:
         raise ValueError("need at least one sketch")
+    metas = [(_sketch_meta(s), i) for i, s in enumerate(sketches)]
+    known = [(m, i) for m, i in metas if m is not None]
+    if len({tuple(sorted(m.items())) for m, _ in known}) > 1:
+        detail = ", ".join(f"input[{i}]={m}" for m, i in known)
+        raise ValueError(
+            f"qhist_merge: mismatched histogram parameters — {detail}"
+        )
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
@@ -95,6 +140,19 @@ def qhist_quantiles(
     _check(lo, hi, bins)
     if not qs or not all(0.0 < q < 1.0 for q in qs):
         raise ValueError("each q must be in (0, 1)")
+    labels = [_q_label(q) for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(
+            f"quantile labels collide: {labels} for qs={tuple(qs)}"
+        )
+    built = _sketch_meta(sketch)
+    if built is not None and built != {
+        "lo": float(lo), "hi": float(hi), "bins": bins,
+    }:
+        raise ValueError(
+            f"sketch was built with {built}, read-off requested "
+            f"(lo={float(lo)}, hi={float(hi)}, bins={bins})"
+        )
     group_cols = list(group_cols or [])
     width = (float(hi) - float(lo)) / bins
     w = (
@@ -106,7 +164,7 @@ def qhist_quantiles(
     tot = F.sum("cnt").over(wall)
     edge = F.lit(float(lo)) + F.col("bin") * F.lit(width)
     aggs = [F.max(F.col("__tot__")).alias("n")]
-    for q in qs:
+    for q, label in zip(qs, labels):
         aggs.append(
             F.coalesce(
                 F.min(
@@ -119,7 +177,7 @@ def qhist_quantiles(
                 # via FP rounding of q*n against an integer cum at the
                 # boundary; the read-off convention caps at the top bin
                 F.lit(float(lo) + (bins - 1) * width),
-            ).alias(f"q{int(round(q * 100))}")
+            ).alias(label)
         )
     return (
         sketch.select(

@@ -37,6 +37,18 @@ from pyspark.sql import functions as F
 
 _FILLS = ("none", "zero", "ffill", "linear")
 
+# allowlist: the aggregate name is interpolated into the plan, so it is
+# validated here — a typo fails loudly at call time (not as an opaque
+# Catalyst parse error), and nothing outside this table can be injected
+_AGGS = {
+    "sum": F.sum, "avg": F.avg, "mean": F.avg, "count": F.count,
+    "min": F.min, "max": F.max, "stddev": F.stddev,
+    "stddev_samp": F.stddev_samp, "stddev_pop": F.stddev_pop,
+    "variance": F.variance, "var_samp": F.var_samp, "var_pop": F.var_pop,
+    "median": F.median, "first": F.first, "last": F.last,
+    "any_value": F.any_value,
+}
+
 
 def bucket_ts(ts: Column, step_seconds: int) -> Column:
     """Floor a timestamp onto the step grid — exact integer arithmetic
@@ -68,8 +80,10 @@ def resample_timeseries(
       buckets (leading/trailing holes fall back to forward/backward
       carry — pandas ``interpolate(limit_direction='both')``).
 
-    ``agg`` is any SQL aggregate name over ``value_col`` (sum, avg,
-    count, min, max, ...).  Output: ``key_cols..., bucket, <out_col>``
+    ``agg`` is an aggregate name from the allowlist (sum, avg/mean,
+    count, min, max, stddev[_samp|_pop], variance/var_samp/var_pop,
+    median, first, last, any_value) — validated, never interpolated
+    raw.  Output: ``key_cols..., bucket, <out_col>``
     plus ``n_obs`` (rows observed in the bucket; 0 marks filled rows).
 
     Column types: ``bucket`` is a timestamp on the step grid; the value
@@ -78,6 +92,10 @@ def resample_timeseries(
         raise ValueError(f"fill must be one of {_FILLS}")
     if step_seconds <= 0:
         raise ValueError("step_seconds must be positive")
+    if agg not in _AGGS:
+        raise ValueError(
+            f"agg must be one of {sorted(_AGGS)}; got {agg!r}"
+        )
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols or [])
     out_col = out_col or f"{agg}_{value_col}"
 
@@ -90,7 +108,7 @@ def resample_timeseries(
         .select(*keys, secs, F.col(value_col).alias("__v__"))
         .groupBy(*keys, "__b__")
         .agg(
-            F.expr(f"{agg}(__v__)").cast("double").alias("__agg__"),
+            _AGGS[agg]("__v__").cast("double").alias("__agg__"),
             F.count(F.lit(1)).alias("n_obs"),
         )
     )

@@ -33,7 +33,7 @@ def _np_words(values, n_bits=M, n_hashes=K):
         hx = hashlib.md5(str(v).encode()).hexdigest()
         h1 = int(hx[0:15], 16)
         h2 = int(hx[16:31], 16)
-        base, stride = h1 % n_bits, 1 + (h2 % (n_bits - 1))
+        base, stride = h1 % n_bits, 1 + 2 * (h2 % (n_bits // 2))
         for i in range(n_hashes):
             pos = (base + i * stride) % n_bits
             words[pos >> 5] = words.get(pos >> 5, 0) | (1 << (pos % 32))
@@ -69,7 +69,7 @@ class TestBuild:
 
     def test_param_validation(self, spark, ids):
         with pytest.raises(ValueError):
-            bloom_build(ids, "v", n_bits=100, n_hashes=3)  # not mult of 32
+            bloom_build(ids, "v", n_bits=100, n_hashes=3)  # not a power of 2
         with pytest.raises(ValueError):
             bloom_build(ids, "v", n_bits=4096, n_hashes=0)
 

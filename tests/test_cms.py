@@ -28,7 +28,7 @@ def _np_counters(values, depth=D, width=W, weights=None):
         hx = hashlib.md5(str(v).encode()).hexdigest()
         h1 = int(hx[0:15], 16)
         h2 = int(hx[16:31], 16)
-        base, stride = h1 % width, 1 + (h2 % (width - 1))
+        base, stride = h1 % width, 1 + 2 * (h2 % (width // 2))
         wgt = 1.0 if weights is None else weights[n]
         for j in range(depth):
             key = (j, (base + j * stride) % width)

@@ -103,3 +103,41 @@ def test_read_off_plan_has_no_collect_shape(spark, vals):
     out = qhist_quantiles(sk, LO, HI, BINS, QS, group_cols=["key"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan and "CartesianProduct" not in plan
+
+
+def test_quantile_labels_full_precision_no_collision(spark, vals):
+    """Sub-percent quantiles get full-precision labels (r11 ADVICE fix:
+    q=0.25 vs q=0.254 must not share a column), and true collisions
+    raise instead of silently duplicating an aggregate column."""
+    df, _ = vals
+    sk = qhist_build(df, "v", LO, HI, BINS, group_cols=["key"])
+    out = qhist_quantiles(
+        sk, LO, HI, BINS, (0.25, 0.254, 0.995), group_cols=["key"]
+    )
+    assert out.columns == ["key", "n", "q25", "q25_4", "q99_5"]
+    assert out.count() == 3
+    with pytest.raises(ValueError, match="collide"):
+        qhist_quantiles(sk, LO, HI, BINS, (0.5, 0.5))
+
+
+def test_merge_mismatched_params_raises(spark, vals):
+    """r11 (r10 verdict #5): the build parameters ride the sketch as
+    schema metadata, so merging or reading off histograms with
+    different (lo, hi, bins) fails loudly at plan time."""
+    df, _ = vals
+    a = qhist_build(df, "v", LO, HI, BINS)
+    b = qhist_build(df, "v", LO, HI, 32)
+    c = qhist_build(df, "v", LO, 500.0, BINS)
+    with pytest.raises(ValueError, match="mismatched"):
+        qhist_merge(a, b)
+    with pytest.raises(ValueError, match="mismatched"):
+        qhist_merge(a, c)
+    with pytest.raises(ValueError, match="built with"):
+        qhist_quantiles(a, LO, HI, 32, QS)
+    # like-parameterized merges and read-offs are untouched, and the
+    # metadata survives the merge itself
+    m = qhist_merge(a, qhist_build(df, "v", LO, HI, BINS))
+    assert qhist_quantiles(m, LO, HI, BINS, QS).count() == 1
+    # a hand-built sketch table (no metadata) stays accepted
+    plain = spark.createDataFrame([(0, 10), (1, 5)], "bin long, cnt long")
+    assert qhist_quantiles(plain, 0.0, 2.0, 2, (0.5,)).count() == 1

@@ -36,12 +36,12 @@ def test_bloom_fuzz_membership_exact_vs_python(spark):
         bits = set()
         for v in members:
             h1, h2 = _h2(v)
-            base, stride = h1 % m, 1 + (h2 % (m - 1))
+            base, stride = h1 % m, 1 + 2 * (h2 % (m // 2))
             bits.update((base + i * stride) % m for i in range(k))
 
         def py_might(v):
             h1, h2 = _h2(v)
-            base, stride = h1 % m, 1 + (h2 % (m - 1))
+            base, stride = h1 % m, 1 + 2 * (h2 % (m // 2))
             return all((base + i * stride) % m in bits for i in range(k))
 
         bl = bloom_build(
@@ -71,14 +71,14 @@ def test_cms_fuzz_counts_exact_vs_python(spark):
         counters = {}
         for v in items:
             h1, h2 = _h2(v)
-            base, stride = h1 % w, 1 + (h2 % (w - 1))
+            base, stride = h1 % w, 1 + 2 * (h2 % (w // 2))
             for j in range(d):
                 key = (j, (base + j * stride) % w)
                 counters[key] = counters.get(key, 0) + 1
 
         def py_est(v):
             h1, h2 = _h2(v)
-            base, stride = h1 % w, 1 + (h2 % (w - 1))
+            base, stride = h1 % w, 1 + 2 * (h2 % (w // 2))
             return min(
                 counters.get((j, (base + j * stride) % w), 0)
                 for j in range(d)

@@ -108,3 +108,30 @@ def test_plan_no_cross_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_agg_allowlist(spark):
+    """r11 ADVICE fix: the aggregate name is validated against an
+    allowlist instead of being interpolated into the plan raw — a typo
+    (or injected SQL) raises ValueError at call time."""
+    from data_integration_est_spark.ops.timeseries import resample_timeseries
+
+    df = spark.createDataFrame(
+        [("k", "2024-01-01 00:10:00", 2.0),
+         ("k", "2024-01-01 02:20:00", 4.0)],
+        "key string, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with pytest.raises(ValueError, match="agg must be one of"):
+        resample_timeseries(df, "ts", "v", "key", agg="sumx")
+    with pytest.raises(ValueError, match="agg must be one of"):
+        resample_timeseries(df, "ts", "v", "key",
+                            agg="sum(v)); DROP TABLE t; --")
+    got = {
+        (r["key"], str(r["bucket"])): r["max_v"]
+        for r in resample_timeseries(
+            df, "ts", "v", "key", agg="max", fill="ffill"
+        ).collect()
+    }
+    assert got[("k", "2024-01-01 00:00:00")] == 2.0
+    assert got[("k", "2024-01-01 01:00:00")] == 2.0  # carried
+    assert got[("k", "2024-01-01 02:00:00")] == 4.0

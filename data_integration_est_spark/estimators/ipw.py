@@ -119,6 +119,7 @@ def propensity_weighted_mean(
     augment: bool = True,
     outcome_x_cols: list | None = None,
     variance: bool = True,
+    tol: float = 1e-10,
 ) -> IPWResult:
     """Fit the CLW propensity model and return the IPW (and, with
     ``augment=True``, the doubly robust) mean of ``y_col``, each with
@@ -210,6 +211,11 @@ def propensity_weighted_mean(
         return f"greatest(1e-300, (1.0 / (1.0 + exp(-{e}))))"
 
     # ---- Newton on the pseudo-likelihood: one agg pass per step ----
+    # n_iter is the CAP; the loop stops as soon as max|step| < tol
+    # (below 1e-10 further steps are FP noise — invisible at the gate's
+    # 6-dp rounding and at the vectorized==scalar 1e-9 pin, same early
+    # stop as ``vectorized.clw_grouped``).  tol=0 restores the exact
+    # fixed-iteration behavior.
     theta = np.zeros(k)
     for _ in range(n_iter):
         p = sig(eta(theta))
@@ -232,11 +238,14 @@ def propensity_weighted_mean(
                 H[i, j] = H[j, i] = float(r[f"h{i}{j}"])
         U = np.array([float(r[f"u{i}"]) for i in range(k)])
         try:
-            theta = theta + np.linalg.solve(H, U)
+            step = np.linalg.solve(H, U)
         except np.linalg.LinAlgError as e:
             raise IPWError(
                 f"singular pseudo-likelihood Hessian (separable x?): {e}"
             ) from e
+        theta = theta + step
+        if tol > 0.0 and float(np.max(np.abs(step))) < tol:
+            break
 
     p = sig(eta(theta))
 

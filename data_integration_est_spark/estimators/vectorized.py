@@ -628,7 +628,7 @@ def clw_grouped(
         def eta_sql() -> str:
             return "(" + " + ".join(f"{tcols[i]} * {xs[i]}" for i in range(k)) + ")"
 
-        for _ in range(n_iter):
+        for _it in range(n_iter):
             work = _broadcast_scalars(
                 base, group_cols,
                 {key: tuple(th) for key, th in thetas.items()}, tcols,
@@ -676,6 +676,8 @@ def clw_grouped(
             if max_step < 1e-10:
                 break
 
+        if diag is not None:
+            diag["newton_passes"] = diag.get("newton_passes", 0) + _it + 1
         if diag is not None and bad_keys:
             diag["degenerate_groups"] = (
                 diag.get("degenerate_groups", 0) + len(bad_keys)

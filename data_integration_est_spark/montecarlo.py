@@ -61,12 +61,16 @@ def nmar_grid_population(
     size_b: int = 2_000,
     c: float = 3.0,
     seed: int = 1234,
+    stream: str = "xxhash64",
 ) -> DataFrame:
     """The expanded (gamma x sim x unit) NMAR population
     (``generate_population_NMAR`` x grid, ``nb[18]:2-51`` + ``nb[23]:1-14``).
 
     Generation is shuffle-free (range + hash-derived columns); the two
-    exact-size draws are each one ranked window over the grid."""
+    exact-size draws are each one ranked window over the grid.
+    ``stream="md5"`` derives every draw from the engine-portable hash
+    stream (``rng``), making the WHOLE population — normals, both
+    exact-size sample draws — replayable in a pure-SQL oracle."""
     base = (
         spark.range(n_sim * N)
         .select(
@@ -76,16 +80,16 @@ def nmar_grid_population(
         .withColumn("sim_id", F.col("sim_id") + 1)
     )
     keys = ["sim_id", "uid"]
-    x = rng.normal(keys, seed, "x", mean=2.0, sd=1.0)
+    x = rng.normal(keys, seed, "x", mean=2.0, sd=1.0, stream=stream)
     base = base.withColumn("x_i", x)
-    eta = rng.normal(keys, seed, "eta", sd=math.sqrt(0.51))
+    eta = rng.normal(keys, seed, "eta", sd=math.sqrt(0.51), stream=stream)
     base = base.withColumn("y_i", F.lit(3.0) + F.lit(0.7) * (F.col("x_i") - 2.0) + eta)
     # the contaminated proxy measured in S_B (``nb[2]:13``): scale/location
     # bias + noise — the Scenario-II outcome
     base = base.withColumn(
         "tilde_y_i",
         F.lit(2.0) + F.lit(0.9) * (F.col("y_i") - 3.0)
-        + rng.normal(keys, seed, "tl", sd=0.5),
+        + rng.normal(keys, seed, "tl", sd=0.5, stream=stream),
     )
     base = (
         base.withColumn("x1_i", F.when(F.col("x_i") <= 2.0, 1.0).otherwise(0.0))
@@ -94,7 +98,7 @@ def nmar_grid_population(
     # S_A per sim (gamma-invariant), before the gamma expansion
     base = sampling.grouped_exact(
         base, key_cols=keys, group_cols=["sim_id"], n=size_a, seed=seed,
-        out_col="muestra_A", tag="A",
+        out_col="muestra_A", tag="A", stream=stream,
     )
 
     gamma_df = spark.createDataFrame(
@@ -110,7 +114,7 @@ def nmar_grid_population(
     # uniforms across gamma values, as in the reference's per-sim seeding
     grid = sampling.grouped_exact(
         grid, key_cols=keys, group_cols=["gamma", "sim_id"], n=size_b, seed=seed,
-        prob_col="__prob__", out_col="muestra_B", tag="B",
+        prob_col="__prob__", out_col="muestra_B", tag="B", stream=stream,
     )
     return grid.drop("__prob__")
 
@@ -723,6 +727,51 @@ def _summarize(
         .select("gamma", "estimator", "bias_mean", "bias_sd", "rmse", "n_sim")
     )
     return MCResult(estimates=estimates, summary=summary, diagnostics=diagnostics)
+
+
+def run_nmar_oracle_slice(
+    spark: SparkSession,
+    N: int = 2_000,
+    n_sim: int = 3,
+    gammas: tuple[float, ...] = (0.0, 0.5),
+    size_a: int = 100,
+    size_b: int = 600,
+    seed: int = 1234,
+    y_true: float = Y_TRUE,
+) -> MCResult:
+    """The SEEDED NMAR study made hash-checkable (r10 verdict #2): the
+    REAL ``nmar_grid_population`` — Box-Muller normals, the per-sim
+    exact-size S_A draw, the per-(gamma, sim) Efraimidis-Spirakis S_B
+    draw — run on the engine-portable md5 hash stream
+    (``rng.uniform(stream="md5")``), so a DuckDB oracle can replay every
+    uniform, every normal, both selected SETS, and the estimators from
+    nothing but the (seed, tag) discipline.  ``run_deterministic_study``
+    certifies the O1-O3 grid/battery/summary machinery with hashes
+    standing in for randomness; this slice closes the remaining gap —
+    the ``rng`` stream itself and the samplers it drives.
+
+    The battery keeps the closed-form members (naive A/B means + RegDI
+    correction-0 with aux, i.e. the 4-regressor GREG per cell) — the
+    Newton-loop estimators are certified by their own gate rows
+    (``ipw_clw_orders``, ``pc_s2_logistic``, ...)."""
+    pop = nmar_grid_population(
+        spark, N=N, n_sim=n_sim, gammas=gammas, size_a=size_a,
+        size_b=size_b, seed=seed, stream="md5",
+    ).persist()
+    pop.count()
+    g = ["gamma", "sim_id"]
+    try:
+        results: dict[str, dict[tuple, tuple]] = _run_battery({
+            "Mean_S_A": lambda: V.naive_mean_grouped(pop, "y_i", "muestra_A", g),
+            "Mean_S_B": lambda: V.naive_mean_grouped(pop, "y_i", "muestra_B", g),
+            "RegDI_X1": lambda: V.regdi_c0_grouped(
+                pop, "y_i", "y_i", "muestra_A", "muestra_B", g,
+                aux_vars=["x1_i"],
+            ),
+        })
+    finally:
+        pop.unpersist()
+    return _summarize(spark, results, y_true)
 
 
 def run_deterministic_study(

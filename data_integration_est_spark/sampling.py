@@ -189,6 +189,7 @@ def grouped_exact(
     prob_col: str | None = None,
     out_col: str = "ind",
     tag: str = "grp",
+    stream: str = "xxhash64",
 ) -> DataFrame:
     """Exact-size sampling WITHIN each group — the Monte Carlo-vectorized
     form of ``srs_exact`` / ``weighted_srs_exact`` (SURVEY.md §2.8 O1/O2):
@@ -201,8 +202,10 @@ def grouped_exact(
     an int (same size every group), a Column (per-row group-size, e.g. a
     broadcast-joined per-(sim, stratum) allocation), or a column name.
     Scale: the window partitions by group — parallel across the whole
-    grid, one shuffle total for ALL replicates."""
-    u = rng.uniform(key_cols, seed, tag)
+    grid, one shuffle total for ALL replicates.  ``stream="md5"`` draws
+    the ranking keys from the engine-portable hash stream (``rng``), so
+    the selected SET replays in a SQL oracle."""
+    u = rng.uniform(key_cols, seed, tag, stream=stream)
     if prob_col is not None:
         key = -F.log(u) / F.col(prob_col).cast("double")
     else:

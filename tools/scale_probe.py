@@ -682,6 +682,108 @@ def probe_r10_late(spark, sf_dir: str):
                       "factor": round(r10 / max(r1, 1e-9), 2)}))
 
 
+def probe_streaming_state(spark):
+    """r11 (r10 verdict #7): the three applyInPandasWithState monitors
+    (frequency/CMS, cardinality/HLL, quantile/histogram) at 1x and 10x
+    KEY cardinality with the row count held fixed — streaming state is
+    keys x a constant-size sketch (d*w counters / 2^p registers / bins
+    counts), so state must grow ~10x while drain wall stays ~flat (the
+    row volume, not the key count, is the work).  A fat-key run (all
+    rows one key) checks the per-key state bound: sketch state cannot
+    grow with rows, so no state cap is needed — unlike a
+    collect-the-values stateful op.  Drains use availableNow over 8
+    parquet files in 4 micro-batches (maxFilesPerTrigger=2)."""
+    import shutil
+    import tempfile
+
+    from data_integration_est_spark.streaming import cardinality as sc
+    from data_integration_est_spark.streaming import docs as sd
+    from data_integration_est_spark.streaming import events as se
+    from data_integration_est_spark.streaming import frequency as sf
+    from data_integration_est_spark.streaming import monitor as sm
+
+    n_rows = 400_000
+    d, w, p, bins = 4, 256, 12, 64
+
+    def drive(tag, keys, fat=False):
+        tmp = tempfile.mkdtemp(prefix="stream_scale_")
+        try:
+            key = F.lit("k0") if fat else F.concat(
+                F.lit("k"), (F.col("id") % keys).cast("string")
+            )
+            (
+                spark.range(n_rows)
+                .select(
+                    F.col("id").alias("doc_id"),
+                    key.alias("source"),
+                    (F.col("id") % 9973).alias("v"),
+                    ((F.col("id") * 37) % 1000).cast("double").alias("x"),
+                )
+                .repartition(8)
+                .write.parquet(tmp, mode="overwrite")
+            )
+            stream = lambda: sd.read_doc_stream(  # noqa: E731
+                spark, tmp, max_files_per_trigger=2
+            )
+            n_keys = 1 if fat else keys
+            t = _timed(
+                f"stream_freq_{tag}_{n_keys}keys",
+                lambda: se.run_to_memory(
+                    sf.frequency_monitor_stream(
+                        stream(), "v", "source", depth=d, width=w),
+                    f"sp_f_{tag}", output_mode="update",
+                ).select("key").distinct().count(),
+            )
+            t2 = _timed(
+                f"stream_hll_{tag}_{n_keys}keys",
+                lambda: se.run_to_memory(
+                    sc.distinct_monitor_stream(stream(), "v", "source", p=p),
+                    f"sp_c_{tag}", output_mode="update",
+                ).select("key").distinct().count(),
+            )
+            t3 = _timed(
+                f"stream_qmon_{tag}_{n_keys}keys",
+                lambda: se.run_to_memory(
+                    sm.quantile_monitor_stream(
+                        stream(), "x", "source", 0.0, 1000.0, bins=bins),
+                    f"sp_q_{tag}", output_mode="update",
+                ).select("key").distinct().count(),
+            )
+            print(json.dumps({
+                "probe": f"stream_state_{tag}",
+                "keys": n_keys,
+                "rows": n_rows,
+                "state_ints": {
+                    "freq(d*w/key)": n_keys * d * w,
+                    "hll(2^p/key)": n_keys * (1 << p),
+                    "qmon(bins/key)": n_keys * bins,
+                },
+                "drain_sec": {"freq": round(t, 2), "hll": round(t2, 2),
+                              "qmon": round(t3, 2)},
+                "rows_per_sec": {
+                    "freq": round(n_rows / t), "hll": round(n_rows / t2),
+                    "qmon": round(n_rows / t3)},
+            }))
+            return t, t2, t3
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    s1 = drive("x1", 100)
+    s10 = drive("x10", 1000)
+    fat = drive("fat", 1, fat=True)
+    print(json.dumps({
+        "probe": "stream_state_scale_factors_10x_keys",
+        "wall_factor": {
+            n: round(b / max(a, 1e-9), 2)
+            for n, a, b in zip(("freq", "hll", "qmon"), s1, s10)
+        },
+        "fat_key_wall_factor_vs_x1": {
+            n: round(b / max(a, 1e-9), 2)
+            for n, a, b in zip(("freq", "hll", "qmon"), s1, fat)
+        },
+    }))
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -711,6 +813,8 @@ def main() -> None:
         probe_r10_select(spark, sf_dir)
     if which in ("r10late", "all"):
         probe_r10_late(spark, sf_dir)
+    if which in ("streaming", "all"):
+        probe_streaming_state(spark)
 
 
 if __name__ == "__main__":

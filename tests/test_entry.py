@@ -97,10 +97,12 @@ def test_rows_only_queries_run(spark, sf001, name):
 
 def test_registry_window_contract():
     """The driver certifies the FIRST 50 registry rows — pin the window
-    invariants so a refactor can't silently shrink certification:
-    exactly one rows-only row remains in-window (the seeded NMAR study,
-    covered by the deterministic twin), no duplicate names, and every
-    oracle is a non-trivial SQL string."""
+    invariants so a refactor can't silently shrink certification: only
+    the sanctioned rows-only rows may sit in-window (the seeded NMAR
+    study — whose portable-stream twin ``mc_nmar_oracle_slice`` IS
+    hash-certified — plus the r11 rotation's engine-hash dedup
+    diagnostics), no duplicate names, and every oracle is a non-trivial
+    SQL string."""
     from data_integration_est_spark.entry_queries import REGISTRY
 
     names = list(REGISTRY)
@@ -108,7 +110,11 @@ def test_registry_window_contract():
     assert len(names) >= 50
     window = names[:50]
     rows_only = [n for n in window if REGISTRY[n][1] is None]
-    assert rows_only == ["mc_nmar_study"], rows_only
+    assert rows_only == [
+        "mc_nmar_study", "minhash_lsh_pairs", "simhash_buckets",
+        "embedding_neardup_lsh",
+    ], rows_only
+    assert "mc_nmar_oracle_slice" in window
     for n, (fn, sql) in REGISTRY.items():
         assert callable(fn), n
         if sql is not None:

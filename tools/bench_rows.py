@@ -1,0 +1,44 @@
+"""Median wall time for a named set of registry rows at a given sf_dir.
+
+Usage: python tools/bench_rows.py <sf_dir> <reps> <row> [row ...]
+Prints one JSON line: {"sf_dir": ..., "reps": N, "rows": {name: sec}}.
+The r11 sf1 probe uses this for the 10 most expensive data-dependent
+bench rows (the seeded MC studies generate their own populations and do
+not read the sf tables, so they are sf-invariant and excluded).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir, reps = sys.argv[1], int(sys.argv[2])
+    rows = sys.argv[3:]
+    from data_integration_est_spark.session import get_spark
+
+    import __spark_entry__ as ent
+
+    spark = get_spark(app_name="bench_rows")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    qs = ent.queries()
+    out = {}
+    for name in rows:
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        out[name] = round(sorted(runs)[len(runs) // 2], 2)
+        print(f"# {name}: {out[name]}s of {sorted(runs)}", file=sys.stderr)
+    print(json.dumps({"sf_dir": sf_dir, "reps": reps, "rows": out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -166,9 +166,10 @@ HEADLINE = [
     # new-gate-rows-join-the-headline convention)
     "ipw_clw_orders",
     "ipw_null_weight_layout",
-    # round-11: the portable-RNG MC slice joins the headline (new gate
-    # rows join immediately)
+    # round-11: the portable-RNG MC slice + portable MinHash/LSH join
+    # the headline (new gate rows join immediately)
     "mc_nmar_oracle_slice",
+    "minhash_lsh_portable",
     # statistical estimators (GREG calibration / OLS / DR pipelines)
     "regdi_c0",
     "regdi_aux",

@@ -96,6 +96,62 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    out_col: str = "minhash",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Engine-PORTABLE MinHash signatures — the md5-stream twin of
+    :func:`minhash_signatures` (same physical shape: explode shingles,
+    one groupBy(id) with ``num_hashes`` min-aggregates).
+
+    ONE md5 per shingle yields two independent 48-bit halves (hex chars
+    1-12 and 17-28); slot i hashes via the Kirsch-Mitzenmacher
+    combination (h1 + i*h2) mod 2^48 — exact int64 arithmetic
+    (i*h2 <= 63*2^48 < 2^54), so signatures, band buckets, candidate
+    pairs, and dup verdicts reproduce bit-for-bit in ANY engine with
+    md5 + hex parsing (DuckDB/Trino/Postgres — the ``rng`` md5-stream /
+    ``ops/sketches`` discipline).  That is what a cross-engine dedup
+    pipeline needs: signatures built by Spark today can be probed or
+    extended by whatever engine ingests tomorrow's crawl.
+
+    The xxhash64 production path stays the default (md5 costs more per
+    call; this path amortizes by hashing each shingle ONCE instead of
+    ``num_hashes`` times).  Cites: Broder 1997 (MinHash), Kirsch &
+    Mitzenmacher 2006 (two-hash simulation)."""
+    if not (1 <= num_hashes <= 64):
+        raise ValueError("num_hashes must be in [1, 64]")
+    pairs = (
+        spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), shingle_n))
+            .alias("__sh__"),
+        )
+        .select(F.col(id_col), F.md5("__sh__").alias("__hx__"))
+    )
+    h1 = F.conv(F.substring("__hx__", 1, 12), 16, 10).cast("long")
+    h2 = F.conv(F.substring("__hx__", 17, 12), 16, 10).cast("long")
+    m = F.lit(1 << 48)
+    aggs = [
+        F.min((h1 + F.lit(i) * h2) % m).alias(f"__mh_{i}__")
+        for i in range(num_hashes)
+    ]
+    return (
+        pairs.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(
+                *[F.col(f"__mh_{i}__") for i in range(num_hashes)]
+            ).alias(out_col),
+        )
+    )
+
+
 def band_buckets(
     df: DataFrame,
     id_col: str = "doc_id",

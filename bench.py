@@ -170,6 +170,7 @@ HEADLINE = [
     # the headline (new gate rows join immediately)
     "mc_nmar_oracle_slice",
     "minhash_lsh_portable",
+    "simhash_portable_buckets",
     # statistical estimators (GREG calibration / OLS / DR pipelines)
     "regdi_c0",
     "regdi_aux",

@@ -383,6 +383,54 @@ def simhash64(
     return out.select(id_col, out_col)
 
 
+def simhash_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "simhash",
+    n_bits: int = 48,
+) -> DataFrame:
+    """Engine-PORTABLE SimHash — the md5-stream twin of
+    :func:`simhash64` (same physical shape: one token explode, one
+    groupBy(id) with per-bit conditional vote sums, bits reassembled
+    into a bigint).
+
+    The per-token hash is the 48-bit md5 prefix
+    (``'0x'+hex[0:12]`` — the ``ops/sketches`` discipline), so the
+    fingerprints reproduce bit-for-bit in any engine with md5 + hex
+    parsing.  48 bits also sidesteps the bigint SIGN-BIT minefield the
+    64-bit variant documents (bit 63 of an int64 differs across SQL
+    dialects' shift/sign semantics): every mask and the reassembled
+    fingerprint stay comfortably positive.
+
+    Hamming distance between fingerprints approximates the cosine
+    similarity of the token multisets (Charikar 2002), exactly as in
+    the production path; the xxhash64 64-bit form stays the default."""
+    if not (8 <= n_bits <= 48):
+        raise ValueError("n_bits must be in [8, 48]")
+    toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(n_bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sim: Column = F.lit(0).cast("long")
+    for b in range(n_bits):
+        sim = sim + F.when(
+            F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.withColumn(out_col, sim).select(id_col, out_col)
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -108,3 +108,35 @@ def test_shingle_fallback_consistency(spark):
         ).collect()
     }
     assert sh[5] == ["hi"] and sh[6] == [""]
+
+
+class TestSimhashPortable:
+    def test_matches_hashlib_replay(self, spark):
+        from data_integration_est_spark.ops.dedup import simhash_portable
+
+        df = spark.createDataFrame(DOCS, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash_portable(df).collect()
+        }
+        for doc_id, text in DOCS:
+            toks = text.strip().split() if text.strip() else [""]
+            votes = [0] * 48
+            for t in toks:
+                h = int(hashlib.md5(t.encode()).hexdigest()[0:12], 16)
+                for b in range(48):
+                    votes[b] += 1 if (h >> b) & 1 else -1
+            want = sum(1 << b for b in range(48) if votes[b] > 0)
+            assert got[doc_id] == want, (doc_id, text)
+        # identical docs -> identical fingerprints; near-dups are close
+        # in Hamming distance, unrelated docs are farther
+        ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+        assert got[1] == got[2]
+        assert ham(got[1], got[3]) < ham(got[1], got[4])
+
+    def test_n_bits_guard(self, spark):
+        from data_integration_est_spark.ops.dedup import simhash_portable
+
+        df = spark.createDataFrame(DOCS[:1], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            simhash_portable(df, n_bits=64)

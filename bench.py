@@ -171,6 +171,7 @@ HEADLINE = [
     "mc_nmar_oracle_slice",
     "minhash_lsh_portable",
     "simhash_portable_buckets",
+    "embedding_lsh_portable",
     # statistical estimators (GREG calibration / OLS / DR pipelines)
     "regdi_c0",
     "regdi_aux",
@@ -247,6 +248,11 @@ STDOUT_DROP = {
     "trimmed_mean_events",    # (svyquantile_events)
     "source_cap",             # (source_mixing)
     "svychisq_events",        # (rao-scott variant in full file)
+    # r11 portable-LSH twins: stdout keeps the xxhash64 production
+    # representatives (minhash_lsh_pairs, simhash_buckets,
+    # embedding_neardup_lsh); the portable rows ride BENCH_FULL.json
+    "simhash_portable_buckets",
+    "embedding_lsh_portable",
 }
 
 

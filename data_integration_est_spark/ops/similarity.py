@@ -162,6 +162,49 @@ def lsh_bucket_candidates(
     )
 
 
+def lsh_bucket_candidates_portable(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """:func:`lsh_bucket_candidates` on the md5-derived Rademacher
+    planes (:func:`hyperplanes_portable`) — identical plan shape (one
+    scan, one posexplode, bucket self-join), but buckets and the
+    candidate SET reproduce in any engine, so the pipeline is
+    oracle-checkable end-to-end (`embedding_lsh_portable` gate row).
+    The Gaussian-plane production path stays the default."""
+    src = spread(df.select(F.col(id_col), F.col(vec_col)))
+    buckets = src.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            _all_table_buckets(
+                vec_col, dim, n_bits, n_tables, seed=0,
+                planes_fn=lambda d, b, t: hyperplanes_portable(d, b, t),
+            )
+        ).alias("table", "bucket"),
+    )
+    from pyspark import StorageLevel
+
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.table") == F.col("r.table"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.vid") < F.col("r.vid"),
+            ],
+        )
+        .select(F.col("l.vid").alias("id_a"), F.col("r.vid").alias("id_b"))
+        .distinct()
+    )
+
+
 def _centroid_sims_sql(vec_name: str, centroids: list[list[float]]) -> str:
     """SQL for the per-centroid similarity array.  One ``F.expr`` parse
     instead of py4j-composing k x dim literal Columns (the same driver-time
@@ -744,8 +787,31 @@ def _hyperplanes(dim: int, n_bits: int, table: int, seed: int) -> list[list[floa
     return rng.standard_normal((n_bits, dim)).tolist()
 
 
+def _rademacher_sign(tag: str) -> float:
+    """+1/-1 from the top bit of md5's first hex nibble — the
+    engine-portable plane entry (any engine computes the same md5 of
+    the same tag string)."""
+    import hashlib
+
+    return 1.0 if int(hashlib.md5(tag.encode()).hexdigest()[0], 16) >= 8 \
+        else -1.0
+
+
+def hyperplanes_portable(dim: int, n_bits: int, table: int) -> list[list[float]]:
+    """Rademacher (±1) hyperplanes derived from md5 of "hp:{t}:{i}:{d}"
+    — sign-agreement LSH with ±1 planes has the same collision-
+    probability law as Gaussian planes (Charikar 2002; Achlioptas 2003
+    for the ±1 substitution), and the md5 derivation reproduces in ANY
+    engine, so buckets/candidates replay in a SQL oracle."""
+    return [
+        [_rademacher_sign(f"hp:{table}:{i}:{d}") for d in range(dim)]
+        for i in range(n_bits)
+    ]
+
+
 def _all_table_buckets(
-    vec_name: str, dim: int, n_bits: int, n_tables: int, seed: int
+    vec_name: str, dim: int, n_bits: int, n_tables: int, seed: int,
+    planes_fn=None,
 ) -> Column:
     """Array of per-table bucket ids — ONE corpus scan + one posexplode
     produces every (table, bucket) row, instead of an n_tables-way union
@@ -759,7 +825,11 @@ def _all_table_buckets(
     n_tables * n_bits dot products and nothing else."""
     planes: list[list[float]] = []
     for t in range(n_tables):
-        planes.extend(_hyperplanes(dim, n_bits, t, seed))
+        planes.extend(
+            (planes_fn or (lambda d, b, tt: _hyperplanes(d, b, tt, seed)))(
+                dim, n_bits, t
+            )
+        )
     plane_sql = "array(" + ",".join(
         "array(" + ",".join(f"{float(v)!r}D" for v in p) + ")" for p in planes
     ) + ")"

@@ -140,3 +140,59 @@ class TestSimhashPortable:
         df = spark.createDataFrame(DOCS[:1], "doc_id long, text string")
         with pytest.raises(ValueError):
             simhash_portable(df, n_bits=64)
+
+
+class TestHyperplaneLshPortable:
+    def test_buckets_match_hashlib_replay(self, spark):
+        """Portable Rademacher-plane buckets equal the from-scratch
+        python computation (planes from md5 of 'hp:{t}:{i}:{d}', bit =
+        dot >= 0), and identical vectors land in identical buckets."""
+        import numpy as np
+
+        from data_integration_est_spark.ops.similarity import (
+            hyperplanes_portable,
+            lsh_bucket_candidates_portable,
+        )
+
+        rng = np.random.RandomState(7)
+        dim, nb, nt = 8, 4, 2
+        vecs = [(i, [float(x) for x in rng.randn(dim)]) for i in range(30)]
+        vecs.append((30, list(vecs[0][1])))  # exact dup of vec 0
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in lsh_bucket_candidates_portable(
+                df, dim=dim, n_bits=nb, n_tables=nt
+            ).collect()
+        }
+        # python replay
+        buckets = {}
+        for t in range(nt):
+            planes = hyperplanes_portable(dim, nb, t)
+            for vid, v in vecs:
+                b = sum(
+                    1 << i
+                    for i in range(nb)
+                    if sum(p * x for p, x in zip(planes[i], v)) >= 0
+                )
+                buckets.setdefault((t, b), []).append(vid)
+        want = set()
+        for ids in buckets.values():
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    want.add((ids[i], ids[j]))
+        assert got == want
+        assert (0, 30) in got  # identical vectors always collide
+
+    def test_planes_are_rademacher(self, spark):
+        from data_integration_est_spark.ops.similarity import (
+            hyperplanes_portable,
+        )
+
+        planes = hyperplanes_portable(16, 4, 0)
+        flat = [v for p in planes for v in p]
+        assert set(flat) <= {1.0, -1.0}
+        # a fixed hash stream: deterministic across calls
+        assert planes == hyperplanes_portable(16, 4, 0)
+        assert planes != hyperplanes_portable(16, 4, 1)

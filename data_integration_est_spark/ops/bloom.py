@@ -122,13 +122,16 @@ def bloom_build(
     min(k*n, m/32) rows."""
     group_cols = list(group_cols or [])
     word, mask = bloom_word_mask(F.col(col), n_bits, n_hashes)
+    # build parameters ride the word table as schema metadata so a
+    # merge across mismatched (m, k) fails loudly at plan time
+    meta = {"bloom_n_bits": n_bits, "bloom_n_hashes": n_hashes}
     pairs = (
         df.filter(F.col(col).isNotNull())
         .select(*group_cols, F.explode(F.arrays_zip(
             word.alias("w"), mask.alias("b"))).alias("__wb__"))
         .select(
             *group_cols,
-            F.col("__wb__.w").alias("word_idx"),
+            F.col("__wb__.w").alias("word_idx", metadata=meta),
             F.col("__wb__.b").alias("__mask__"),
         )
     )
@@ -139,9 +142,19 @@ def bloom_build(
 
 def bloom_merge(*filters: DataFrame) -> DataFrame:
     """Union word tables built with the SAME (n_bits, n_hashes, group
-    columns): bit_or per (group, word_idx) — the Bloom monoid."""
+    columns): bit_or per (group, word_idx) — the Bloom monoid.  Inputs
+    built by :func:`bloom_build` carry (m, k) as schema metadata; a
+    merge across DIFFERENT parameters raises at plan time (different
+    bit layouts OR-folded together would answer membership wrongly with
+    no error)."""
     if not filters:
         raise ValueError("need at least one filter")
+    from data_integration_est_spark.util import check_same_sketch_params
+
+    check_same_sketch_params(
+        filters, "word_idx", ("bloom_n_bits", "bloom_n_hashes"),
+        "bloom_merge",
+    )
     out = filters[0]
     for s in filters[1:]:
         out = out.unionByName(s)

@@ -86,16 +86,31 @@ def cms_build(
             F.posexplode(idx).alias("j", "idx"),
         )
     )
-    return pairs.groupBy(*group_cols, "j", "idx").agg(
-        F.sum("__w__").alias("cnt")
+    # (d, w) ride the counter table as schema metadata so a merge
+    # across mismatched parameters fails loudly at plan time
+    meta = {"cms_depth": depth, "cms_width": width}
+    return (
+        pairs.groupBy(*group_cols, "j", "idx")
+        .agg(F.sum("__w__").alias("cnt"))
+        .select(
+            *group_cols, F.col("j").alias("j", metadata=meta), "idx", "cnt"
+        )
     )
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Union counter tables built with the SAME (depth, width, group
-    columns): sum per (group, j, idx) — the CMS monoid."""
+    columns): sum per (group, j, idx) — the CMS monoid.  Inputs built
+    by :func:`cms_build` carry (d, w) as schema metadata; a merge
+    across DIFFERENT parameters raises at plan time (summing counters
+    from incompatible layouts over-counts silently)."""
     if not sketches:
         raise ValueError("need at least one sketch")
+    from data_integration_est_spark.util import check_same_sketch_params
+
+    check_same_sketch_params(
+        sketches, "j", ("cms_depth", "cms_width"), "cms_merge"
+    )
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)

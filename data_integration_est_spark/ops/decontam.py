@@ -266,7 +266,13 @@ def contamination_flags(
     bench_row = bench_keys.agg(
         F.collect_list("gram_key").alias("__bench__")
     )
-    base = docs.withColumn("__t__", _norm_text(F.col(text_col))).withColumn(
+    # per-row flag cost is O(|doc grams| + |probe-set|) of CPU-bound map
+    # work; a small-file batch input would otherwise run it all on one
+    # core (the r11 sf1 probe measured 369 s single-task vs ~27 s
+    # spread).  spread() is a no-op when partitions >= cores, and is
+    # skipped on streams (micro-batch splits come from the source).
+    src = docs if docs.isStreaming else spread(docs)
+    base = src.withColumn("__t__", _norm_text(F.col(text_col))).withColumn(
         "__toks__", F.split(F.col("__t__"), " ")
     )
     k = F.size("__toks__")
@@ -346,7 +352,13 @@ def bloom_contamination_flags(
         ).alias("__bw__")
     )
 
-    base = docs.withColumn("__t__", _norm_text(F.col(text_col))).withColumn(
+    # per-row flag cost is O(|doc grams| + |probe-set|) of CPU-bound map
+    # work; a small-file batch input would otherwise run it all on one
+    # core (the r11 sf1 probe measured 369 s single-task vs ~27 s
+    # spread).  spread() is a no-op when partitions >= cores, and is
+    # skipped on streams (micro-batch splits come from the source).
+    src = docs if docs.isStreaming else spread(docs)
+    base = src.withColumn("__t__", _norm_text(F.col(text_col))).withColumn(
         "__toks__", F.split(F.col("__t__"), " ")
     )
     k = F.size("__toks__")

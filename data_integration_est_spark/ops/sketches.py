@@ -90,9 +90,15 @@ def hll_registers(
     max per bucket, ``hll_merge``)."""
     group_cols = list(group_cols or [])
     bucket, rho = bucket_rho_cols(col, p)
+    # p rides the register table as schema metadata so a merge across
+    # mismatched precisions fails loudly at plan time
     return (
         df.filter(F.col(col).isNotNull())
-        .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .select(
+            *group_cols,
+            bucket.alias("bucket", metadata={"hll_p": p}),
+            rho.alias("rho"),
+        )
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("rho"))
     )
@@ -100,9 +106,15 @@ def hll_registers(
 
 def hll_merge(*sketches: DataFrame) -> DataFrame:
     """Union per-register sketches (same p, same grouping columns):
-    max per (group, bucket) — the HLL monoid."""
+    max per (group, bucket) — the HLL monoid.  Inputs built by
+    :func:`hll_registers` carry p as schema metadata; a merge across
+    DIFFERENT precisions raises at plan time (max-folding registers
+    from different bucket spaces skews the estimate silently)."""
     if not sketches:
         raise ValueError("need at least one sketch")
+    from data_integration_est_spark.util import check_same_sketch_params
+
+    check_same_sketch_params(sketches, "bucket", ("hll_p",), "hll_merge")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)

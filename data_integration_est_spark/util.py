@@ -54,3 +54,29 @@ def error_context(what: str):
         # original error with a TypeError.  Annotate and re-raise instead.
         e.add_note(what)
         raise
+
+
+def schema_meta(df, column: str, keys: tuple) -> dict | None:
+    """Read the metadata keys stamped on ``column`` by a sketch builder
+    (None for a table of unknown provenance — hand-built sketch tables
+    stay accepted everywhere)."""
+    try:
+        md = df.schema[column].metadata
+    except (KeyError, TypeError):
+        return None
+    if md and all(k in md for k in keys):
+        return {k: md[k] for k in keys}
+    return None
+
+
+def check_same_sketch_params(inputs, column: str, keys: tuple, op: str) -> None:
+    """Raise at PLAN time when sketch tables built with different
+    parameters are merged — folding incompatible layouts (different
+    Bloom m/k, CMS d/w, HLL p, histogram bins) produces silent garbage,
+    so builders stamp their parameters as schema metadata and every
+    merge validates here (r11; the ``qhist_merge`` guard generalized)."""
+    metas = [(schema_meta(s, column, keys), i) for i, s in enumerate(inputs)]
+    known = [(m, i) for m, i in metas if m is not None]
+    if len({tuple(sorted(m.items())) for m, _ in known}) > 1:
+        detail = ", ".join(f"input[{i}]={m}" for m, i in known)
+        raise ValueError(f"{op}: mismatched sketch parameters — {detail}")

@@ -29,3 +29,20 @@ def test_approx_quantile_api(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     q25, q50, q75 = orders.approxQuantile("o_totalprice", [0.25, 0.5, 0.75], 0.01)
     assert q25 < q50 < q75
+
+
+def test_hll_merge_mismatched_p_raises(spark):
+    """r11: p rides the register table as schema metadata — merging
+    sketches with different precisions raises at plan time."""
+    import pytest as _pytest
+
+    from data_integration_est_spark.ops.sketches import (
+        hll_merge, hll_registers,
+    )
+
+    df = spark.range(100).selectExpr("id AS v")
+    a = hll_registers(df, "v", p=10)
+    b = hll_registers(df, "v", p=12)
+    with _pytest.raises(ValueError, match="mismatched"):
+        hll_merge(a, b)
+    assert hll_merge(a, hll_registers(df, "v", p=10)).count() > 0

@@ -242,3 +242,20 @@ class TestGroupedProbe:
         # 2 only in g1, 3 only in g2; unseen group g9 is false
         assert got[10] and got[11] and not got[12] and not got[13]
         assert not got[14]
+
+
+def test_merge_mismatched_params_raises(spark, ids):
+    """r11: (m, k) ride the word table as schema metadata — merging
+    filters with different layouts raises at plan time instead of
+    OR-folding incompatible bit arrays."""
+    a = bloom_build(ids, "v", 4096, 3)
+    b = bloom_build(ids, "v", 8192, 3)
+    c = bloom_build(ids, "v", 4096, 5)
+    with pytest.raises(ValueError, match="mismatched"):
+        bloom_merge(a, b)
+    with pytest.raises(ValueError, match="mismatched"):
+        bloom_merge(a, c)
+    # like-parameterized merges and hand-built tables stay accepted
+    assert bloom_merge(a, bloom_build(ids, "v", 4096, 3)).count() > 0
+    plain = spark.createDataFrame([(0, 1)], "word_idx long, word long")
+    assert bloom_merge(a, plain).count() > 0

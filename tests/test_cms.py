@@ -171,3 +171,18 @@ class TestGroupedProbe:
             ).collect()
         }
         assert got == {1: 10.0, 2: 3.0, 3: 5.0, 4: 0.0, 5: 0.0}
+
+
+def test_merge_mismatched_params_raises(spark, zipf):
+    """r11: (d, w) ride the counter table as schema metadata — merging
+    sketches with different layouts raises at plan time."""
+    from data_integration_est_spark.ops.cms import cms_build, cms_merge
+
+    a = cms_build(zipf, "v", depth=4, width=512)
+    b = cms_build(zipf, "v", depth=4, width=1024)
+    c = cms_build(zipf, "v", depth=2, width=512)
+    with pytest.raises(ValueError, match="mismatched"):
+        cms_merge(a, b)
+    with pytest.raises(ValueError, match="mismatched"):
+        cms_merge(a, c)
+    assert cms_merge(a, cms_build(zipf, "v", depth=4, width=512)).count() > 0

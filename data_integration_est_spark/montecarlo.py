@@ -768,10 +768,25 @@ def run_nmar_oracle_slice(
                 pop, "y_i", "y_i", "muestra_A", "muestra_B", g,
                 aux_vars=["x1_i"],
             ),
+            # Scenario-II members (the contaminated proxy tilde_y):
+            # the naive proxy mean targets E[tilde] = 2, and RegDI with
+            # y_B = tilde stays unbiased for E[y] (nb[5]:48-57's golden
+            # 0.000 row) — certifying the THIRD hash-RNG stream ("tl")
+            # and the proxy-calibrated GREG in the same oracle row
+            "Mean_S_B_tilde": lambda: V.naive_mean_grouped(
+                pop, "tilde_y_i", "muestra_B", g
+            ),
+            "RegDI_tilde": lambda: V.regdi_c0_grouped(
+                pop, "y_i", "tilde_y_i", "muestra_A", "muestra_B", g,
+                aux_vars=["x1_i"],
+            ),
         })
     finally:
         pop.unpersist()
-    return _summarize(spark, results, y_true)
+    return _summarize(
+        spark, results, y_true,
+        y_true_by_est={"Mean_S_B_tilde": 2.0},
+    )
 
 
 def run_deterministic_study(

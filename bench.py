@@ -167,7 +167,9 @@ HEADLINE = [
     "ipw_clw_orders",
     "ipw_null_weight_layout",
     # round-11: the portable-RNG MC slice + portable MinHash/LSH join
-    # the headline (new gate rows join immediately)
+    # the headline (new gate rows join immediately).  Late-r11 widened
+    # the slice battery 3 -> 5 estimators (Scenario-II tilde members):
+    # expect ~3.0 s -> ~4 s, deliberate coverage.
     "mc_nmar_oracle_slice",
     "minhash_lsh_portable",
     "simhash_portable_buckets",

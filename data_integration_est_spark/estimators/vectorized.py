@@ -574,6 +574,10 @@ def clw_grouped(
     the driver, nothing O(N)."""
     if outcome_x_cols is None:
         outcome_x_cols = list(x_cols)
+    if n_iter < 1:
+        # diag['newton_passes'] reads the loop variable after the Newton
+        # loop; zero passes would also silently return the theta=0 start
+        raise ValueError(f"n_iter must be >= 1; got {n_iter}")
     k = len(x_cols) + 1
     ko = len(outcome_x_cols) + 1
     a = f"CAST({ind_var_A} AS DOUBLE)"

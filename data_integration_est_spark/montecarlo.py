@@ -263,6 +263,7 @@ def stratified_grid_population(
     n_A_total: int = 500,
     n_B_total: int = 3_000,
     seed: int = 123,
+    stream: str = "xxhash64",
 ) -> DataFrame:
     """The expanded (sim x unit) stratified population (S2 x grid,
     ``nb[7]`` + ``nb[12]:26-30``): 4 strata from (x<=9.5, z), proportional-
@@ -270,7 +271,11 @@ def stratified_grid_population(
     (pi 0.8/0.2 by stratum) with the reference's rescale-retry.
 
     Per-sim allocation is a (4 x n_sim)-row driver table broadcast back;
-    the stratified draw is ONE ranked window over (sim, stratum)."""
+    the stratified draw is ONE ranked window over (sim, stratum).
+    ``stream="md5"`` derives every draw from the engine-portable hash
+    stream (``rng``) so the WHOLE population — normals, strata, the
+    per-(sim, stratum) exact-size S_A draw, the rescale-retried Poisson
+    S_B — replays in a pure-SQL oracle (``run_stratified_oracle_slice``)."""
     base = (
         spark.range(n_sim * N)
         .select(
@@ -280,8 +285,12 @@ def stratified_grid_population(
         .withColumn("sim_id", F.col("sim_id") + 1)
     )
     keys = ["sim_id", "uid"]
-    base = base.withColumn("x_i", rng.normal(keys, seed, "x", mean=10.0, sd=1.0))
-    base = base.withColumn("z_i", rng.bernoulli(keys, seed, 0.5, "z"))
+    base = base.withColumn(
+        "x_i", rng.normal(keys, seed, "x", mean=10.0, sd=1.0, stream=stream)
+    )
+    base = base.withColumn(
+        "z_i", rng.bernoulli(keys, seed, 0.5, "z", stream=stream)
+    )
     base = base.withColumn(
         "stratum",
         F.when((F.col("x_i") <= 9.5) & (F.col("z_i") == 0), 1)
@@ -292,12 +301,12 @@ def stratified_grid_population(
     base = base.withColumn(
         "y_i",
         F.lit(5.0) + F.lit(0.1) * F.col("x_i") + F.lit(3.0) * F.col("z_i")
-        + rng.normal(keys, seed, "eps"),
+        + rng.normal(keys, seed, "eps", stream=stream),
     )
     base = base.withColumn(
         "tilde_y_i",
         F.lit(7.5) + F.lit(3.0) * (F.col("y_i") - 7.5)
-        + rng.normal(keys, seed, "e", sd=math.sqrt(0.5)),
+        + rng.normal(keys, seed, "e", sd=math.sqrt(0.5), stream=stream),
     )
     base = base.persist()
 
@@ -329,7 +338,7 @@ def stratified_grid_population(
     grid = base.join(F.broadcast(alloc), on=["sim_id", "stratum"], how="left")
     grid = sampling.grouped_exact(
         grid, key_cols=keys, group_cols=["sim_id", "stratum"], n=F.col("n_Ah"),
-        seed=seed, out_col="ind_A", tag="A",
+        seed=seed, out_col="ind_A", tag="A", stream=stream,
     )
     grid = grid.withColumn(
         "d_i_A", F.when(F.col("ind_A") == 1, F.col("d_h")).otherwise(F.lit(None))
@@ -339,7 +348,9 @@ def stratified_grid_population(
     # per sim (``nb[7]:69-80``)
     piB = F.when(F.col("stratum").isin(1, 2), 0.8).otherwise(0.2)
     grid = grid.withColumn("__piB__", piB)
-    grid = grid.withColumn("ind_B", rng.bernoulli(keys, seed, F.col("__piB__"), "B1"))
+    grid = grid.withColumn(
+        "ind_B", rng.bernoulli(keys, seed, F.col("__piB__"), "B1", stream=stream)
+    )
     got = {
         r["sim_id"]: int(r["nB"]) for r in
         grid.groupBy("sim_id").agg(F.sum("ind_B").alias("nB")).collect()
@@ -357,7 +368,7 @@ def stratified_grid_population(
     grid = grid.withColumn(
         "ind_B",
         F.when(F.col("__scale__") == 1.0, F.col("ind_B")).otherwise(
-            rng.bernoulli(keys, seed, pi_adj, "B2")
+            rng.bernoulli(keys, seed, pi_adj, "B2", stream=stream)
         ),
     )
     out = grid.drop("__piB__", "__scale__")
@@ -457,6 +468,7 @@ def nmar_v2_grid_population(
     size_b: int = 2_000,
     c: float = 3.0,
     seed: int = 1234,
+    stream: str = "xxhash64",
 ) -> DataFrame:
     """The expanded (gamma x sim x unit) NMAR-v2 population — S4's multi-σ
     outcomes over the Monte Carlo grid (``generate_population_NMAR_v2``
@@ -475,9 +487,11 @@ def nmar_v2_grid_population(
         .withColumn("sim_id", F.col("sim_id") + 1)
     )
     keys = ["sim_id", "uid"]
-    base = base.withColumn("x_i", rng.normal(keys, seed, "x", mean=2.0, sd=1.0))
+    base = base.withColumn(
+        "x_i", rng.normal(keys, seed, "x", mean=2.0, sd=1.0, stream=stream)
+    )
     rho = 0.5
-    v = rng.normal(keys, seed, "v")
+    v = rng.normal(keys, seed, "v", stream=stream)
     base = base.withColumn(
         "e_i", F.lit(rho) * F.col("x_i") + F.lit(math.sqrt(1 - rho**2)) * v
     )
@@ -490,7 +504,9 @@ def nmar_v2_grid_population(
     y_cols = []
     for sd in sd_vector:
         name = f"y_sd_{_sd_tag(sd)}"
-        eta = rng.normal(keys, seed, f"eta_{_sd_tag(sd)}", sd=float(sd))
+        eta = rng.normal(
+            keys, seed, f"eta_{_sd_tag(sd)}", sd=float(sd), stream=stream
+        )
         base = base.withColumn(
             name, F.lit(3.0) + F.lit(0.7) * (F.col("x_i") - 2.0) + eta
         )
@@ -498,7 +514,7 @@ def nmar_v2_grid_population(
 
     base = sampling.grouped_exact(
         base, key_cols=keys, group_cols=["sim_id"], n=size_a, seed=seed,
-        out_col="muestra_A", tag="A",
+        out_col="muestra_A", tag="A", stream=stream,
     )
     gamma_df = spark.createDataFrame(
         [(float(g),) for g in gammas],
@@ -511,7 +527,7 @@ def nmar_v2_grid_population(
     grid = grid.withColumn("__prob__", prob)
     grid = sampling.grouped_exact(
         grid, key_cols=keys, group_cols=["gamma", "sim_id"], n=size_b, seed=seed,
-        prob_col="__prob__", out_col="muestra_B", tag="B",
+        prob_col="__prob__", out_col="muestra_B", tag="B", stream=stream,
     )
     return grid.drop("__prob__")
 
@@ -526,6 +542,7 @@ def run_nmar_v2_study(
     size_b: int = 2_000,
     seed: int = 1234,
     y_true: float = Y_TRUE,
+    stream: str = "xxhash64",
 ) -> NMARv2Result:
     """The nb[37]→nb[42] NMAR-v2 study, end to end:
 
@@ -552,7 +569,7 @@ def run_nmar_v2_study(
 
     grid = nmar_v2_grid_population(
         spark, N=N, n_sim=n_sim, gammas=gammas, sd_vector=sd_vector,
-        size_a=size_a, size_b=size_b, seed=seed,
+        size_a=size_a, size_b=size_b, seed=seed, stream=stream,
     )
     id_vars = [c for c in grid.columns if not c.startswith("y_sd_")]
     long = (
@@ -787,6 +804,68 @@ def run_nmar_oracle_slice(
         spark, results, y_true,
         y_true_by_est={"Mean_S_B_tilde": 2.0},
     )
+def run_stratified_oracle_slice(
+    spark: SparkSession,
+    N: int = 2_000,
+    n_sim: int = 3,
+    n_A_total: int = 100,
+    n_B_total: int = 600,
+    seed: int = 123,
+    y_true: float = 7.5,
+) -> MCResult:
+    """The SEEDED stratified study made hash-checkable (r11 verdict #3)
+    — the one reference study whose distinct machinery (strata) had no
+    oracle-checked seeded twin: the REAL ``stratified_grid_population``
+    — Box-Muller normals, the Bernoulli stratifier, the per-(sim,
+    stratum) proportional allocation with Python banker's rounding, the
+    per-stratum exact-size S_A draw (S6) with N_h/n_Ah design weights,
+    the rescale-retried Poisson S_B — on the engine-portable md5 stream,
+    so a DuckDB oracle replays every draw, both selected SETS, and the
+    estimators from nothing but the (seed, tag) discipline.
+
+    The battery keeps the closed-form members: the design-weighted A
+    mean, naive B means (clean + contaminated tilde), RegDI correction-0
+    with the REAL stratified weights (no-aux k=3 and aux=[stratum] k=4
+    GREG), and PC scenario 1 with HT-estimated totals from the weighted
+    A sample — the ``weights_A`` code paths the NMAR slice does not
+    touch.  E[y] = 5 + 0.1*10 + 3*0.5 = 7.5 = E[tilde]."""
+    pop = stratified_grid_population(
+        spark, N=N, n_sim=n_sim, n_A_total=n_A_total, n_B_total=n_B_total,
+        seed=seed, stream="md5",
+    ).persist()
+    pop.count()  # materialize once before the concurrent battery
+    g = ["sim_id"]
+    try:
+        results: dict[str, dict[tuple, tuple]] = _run_battery({
+            "Mean_S_A": lambda: V.weighted_mean_grouped(
+                pop, "y_i", "ind_A", "d_i_A", g
+            ),
+            "Mean_S_B": lambda: V.naive_mean_grouped(pop, "y_i", "ind_B", g),
+            "Mean_S_B_II": lambda: V.naive_mean_grouped(
+                pop, "tilde_y_i", "ind_B", g
+            ),
+            "RegDI": lambda: V.regdi_c0_grouped(
+                pop, "y_i", "y_i", "ind_A", "ind_B", g, weights_A="d_i_A"
+            ),
+            "RegDI_X1": lambda: V.regdi_c0_grouped(
+                pop, "y_i", "y_i", "ind_A", "ind_B", g,
+                aux_vars=["stratum"], weights_A="d_i_A",
+            ),
+            "PC_X1": lambda: V.pc_s1_grouped(
+                pop, "y_i", "ind_B", ["stratum"], g,
+                weights_A="d_i_A", ind_var_A="ind_A",
+            ),
+        })
+    finally:
+        pop.unpersist()
+    # gamma is not a dimension here; reuse the (gamma, sim) summary shape
+    keyed = {
+        name: {(0.0, key[0]): val for key, val in cells.items()}
+        for name, cells in results.items()
+    }
+    return _summarize(spark, keyed, y_true)
+
+
 
 
 def run_deterministic_study(

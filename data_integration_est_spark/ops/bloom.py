@@ -53,6 +53,12 @@ from pyspark.sql import functions as F
 
 from data_integration_est_spark.ops.sketches import _HASH_BITS
 
+# Probe-layout format version, stamped on every built word table and
+# validated by the probe side (util.check_probe_params): v1 = the
+# pre-r11 naive ``1 + h2 mod (m-1)`` stride (never stamped — old
+# persisted tables must be rebuilt); v2 = the odd coprime stride.
+_FMT = 2
+
 
 def _hash_halves(col: Column) -> tuple[Column, Column]:
     """Two independent 60-bit hashes from ONE md5 of the value's string
@@ -124,7 +130,8 @@ def bloom_build(
     word, mask = bloom_word_mask(F.col(col), n_bits, n_hashes)
     # build parameters ride the word table as schema metadata so a
     # merge across mismatched (m, k) fails loudly at plan time
-    meta = {"bloom_n_bits": n_bits, "bloom_n_hashes": n_hashes}
+    meta = {"bloom_n_bits": n_bits, "bloom_n_hashes": n_hashes,
+            "bloom_fmt": _FMT}
     pairs = (
         df.filter(F.col(col).isNotNull())
         .select(*group_cols, F.explode(F.arrays_zip(
@@ -152,7 +159,8 @@ def bloom_merge(*filters: DataFrame) -> DataFrame:
     from data_integration_est_spark.util import check_same_sketch_params
 
     check_same_sketch_params(
-        filters, "word_idx", ("bloom_n_bits", "bloom_n_hashes"),
+        filters, "word_idx",
+        ("bloom_n_bits", "bloom_n_hashes", "bloom_fmt"),
         "bloom_merge",
     )
     out = filters[0]
@@ -192,6 +200,17 @@ def bloom_contains(
     - ``group_cols=[...]`` answers PER GROUP — ``df`` must carry the
       same group columns, each row probes its own group's words, and a
       group the filter never saw probes false."""
+    from data_integration_est_spark.util import check_probe_params
+
+    # refuse (or warn, if unstamped) when the table's build parameters
+    # or stride layout differ from this probe's — the mismatch would
+    # return false negatives with no error (r12; ADVICE r11)
+    check_probe_params(
+        bloom, "word_idx",
+        {"bloom_n_bits": n_bits, "bloom_n_hashes": n_hashes,
+         "bloom_fmt": _FMT},
+        "bloom_contains",
+    )
     gcols = list(group_cols or [])
     if gcols:
         bloom = bloom.select(*gcols, "word_idx", "word")

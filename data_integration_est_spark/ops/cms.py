@@ -32,7 +32,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_integration_est_spark.ops.bloom import _hash_halves
+from data_integration_est_spark.ops.bloom import _FMT, _hash_halves
 
 
 def _check_params(depth: int, width: int) -> None:
@@ -88,7 +88,7 @@ def cms_build(
     )
     # (d, w) ride the counter table as schema metadata so a merge
     # across mismatched parameters fails loudly at plan time
-    meta = {"cms_depth": depth, "cms_width": width}
+    meta = {"cms_depth": depth, "cms_width": width, "cms_fmt": _FMT}
     return (
         pairs.groupBy(*group_cols, "j", "idx")
         .agg(F.sum("__w__").alias("cnt"))
@@ -109,7 +109,7 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     from data_integration_est_spark.util import check_same_sketch_params
 
     check_same_sketch_params(
-        sketches, "j", ("cms_depth", "cms_width"), "cms_merge"
+        sketches, "j", ("cms_depth", "cms_width", "cms_fmt"), "cms_merge"
     )
     out = sketches[0]
     for s in sketches[1:]:
@@ -151,6 +151,15 @@ def cms_query(
     table (<= groups * d*w rows — a few MB at any realistic size), min
     per id, join back.  Null values estimate 0 (nothing null was
     counted)."""
+    from data_integration_est_spark.util import check_probe_params
+
+    # same probe-layout validation as bloom_contains: a (d, w, stride
+    # format) mismatch undercounts silently (r12; ADVICE r11)
+    check_probe_params(
+        sketch, "j",
+        {"cms_depth": depth, "cms_width": width, "cms_fmt": _FMT},
+        "cms_query",
+    )
     gcols = list(group_cols or [])
     if gcols:
         sketch = sketch.select(*gcols, "j", "idx", "cnt")

@@ -231,13 +231,40 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    max_pairs: int | None = 5_000_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for near-dup pairs.
 
     With ``candidates`` (e.g. from ``lsh_candidate_pairs``) only those
     pairs are verified — the scale path.  Without, all pairs are compared
-    (small N / oracle checking only)."""
+    (small N / oracle checking only).
+
+    ``max_pairs`` is the quadratic-blowup refusal (r12; the r11 sf1 run
+    hung 20 min on a 16M-pair blocked join under 100% duplication): the
+    pair count is pre-counted in one cheap pass — WITHOUT the shingle
+    arrays the verify join would carry — and anything above the cap
+    raises loudly instead of hanging, mirroring ``ops/decontam``'s
+    ``max_bench_grams`` discipline.  This kernel's documented role is
+    the small-N exact-verify oracle for the banded-LSH production
+    paths; at blowup scale the right answer is "use the LSH path", not
+    a quadratic join.  ``max_pairs=None`` disables the guard."""
     from pyspark import StorageLevel
+
+    if max_pairs is not None:
+        if candidates is not None:
+            n_pairs = candidates.count()
+        else:
+            n_docs = df.count()
+            n_pairs = n_docs * (n_docs - 1) // 2
+        if n_pairs > max_pairs:
+            raise ValueError(
+                f"ngram_jaccard_pairs: {n_pairs} candidate pairs > "
+                f"max_pairs={max_pairs}; a quadratic verify at this volume "
+                "hangs rather than finishes — block harder (smaller "
+                "buckets) or use the banded-LSH production path "
+                "(lsh_candidate_pairs / minhash+LSH) and verify only its "
+                "candidates.  Pass max_pairs=None to force."
+            )
 
     # both sides of the pair join read the shingle table — persist so the
     # tokenize/shingle pass over the corpus runs once

@@ -124,6 +124,29 @@ def cosine_near_dup_pairs(
     )
 
 
+# At most one persisted bucket frame lives per session: the candidate
+# join returned by the two functions below is LAZY, so the persist that
+# lets the self-join reuse the explode cannot be released at return
+# time; releasing the PREVIOUS call's cache here bounds what used to be
+# a per-call cache-block leak (r12; ADVICE r11).  A caller that
+# materializes an old candidate frame after a newer call recomputes
+# the buckets without cache — correct, just slower.
+_live_bucket_cache: list = []
+
+
+def _persist_buckets(buckets: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    while _live_bucket_cache:
+        try:
+            _live_bucket_cache.pop().unpersist()
+        except Exception:  # noqa: BLE001 — a dead SparkContext, at worst
+            pass
+    b = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    _live_bucket_cache.append(b)
+    return b
+
+
 def lsh_bucket_candidates(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -143,9 +166,7 @@ def lsh_bucket_candidates(
             _all_table_buckets(vec_col, dim, n_bits, n_tables, seed)
         ).alias("table", "bucket"),
     )
-    from pyspark import StorageLevel
-
-    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    buckets = _persist_buckets(buckets)
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -186,9 +207,7 @@ def lsh_bucket_candidates_portable(
             )
         ).alias("table", "bucket"),
     )
-    from pyspark import StorageLevel
-
-    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    buckets = _persist_buckets(buckets)
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (

@@ -23,6 +23,14 @@ Two hash streams (``stream=``):
   Monte Carlo study be certified against a pure-SQL oracle
   (``mc_nmar_oracle_slice``).  ~2-3x slower than xxhash64; keys are
   hashed through their STRING rendering, so hash integer/string keys.
+
+md5-stream key contract: each key is rendered ``coalesce(cast(k as
+string), '<null>')`` before concatenation (``concat_ws`` would otherwise
+silently SKIP null columns, letting distinct key tuples collide —
+unlike xxhash64, which hashes nulls distinctly).  SQL oracles must
+mirror the same coalesce.  Two renderings that themselves contain the
+0x1f separator or the literal ``'<null>'`` sentinel can still collide —
+use integer / separator-free string keys, as every in-repo caller does.
 """
 
 from __future__ import annotations
@@ -35,6 +43,7 @@ from pyspark.sql import functions as F
 _MASK53 = (1 << 53) - 1
 _TWO53 = float(1 << 53)
 _SEP = "\x1f"  # unit separator between md5-stream key renderings
+_NULL_SENTINEL = "<null>"  # md5-stream rendering of a NULL key column
 _STREAMS = ("xxhash64", "md5")
 
 
@@ -52,11 +61,14 @@ def uniform(
     if stream == "xxhash64":
         h = F.xxhash64(*cols, _salt(seed, tag))
     elif stream == "md5":
+        # coalesce each rendering: concat_ws skips nulls, which would let
+        # (1, null, 2) and (1, 2) draw identically (see module contract)
+        rendered = [
+            F.coalesce(c.cast("string"), F.lit(_NULL_SENTINEL)) for c in cols
+        ]
         h = F.conv(
             F.substring(
-                F.md5(F.concat_ws(
-                    _SEP, *[c.cast("string") for c in cols], _salt(seed, tag)
-                )),
+                F.md5(F.concat_ws(_SEP, *rendered, _salt(seed, tag))),
                 1, 15,
             ),
             16, 10,

@@ -8,6 +8,7 @@ error-context re-raiser.
 
 from __future__ import annotations
 
+import warnings
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
@@ -80,3 +81,45 @@ def check_same_sketch_params(inputs, column: str, keys: tuple, op: str) -> None:
     if len({tuple(sorted(m.items())) for m, _ in known}) > 1:
         detail = ", ".join(f"input[{i}]={m}" for m, i in known)
         raise ValueError(f"{op}: mismatched sketch parameters — {detail}")
+
+
+def check_probe_params(sketch, column: str, expect: dict, op: str) -> None:
+    """Validate a persisted/handed-in sketch table against the PROBER's
+    parameters before joining probes to it (r12; ADVICE r11 medium).
+
+    Probing at the wrong layout is the silent-wrong-answer class a
+    sketch must never have: a Bloom table built under a different
+    (m, k, stride format) returns false NEGATIVES; a CMS table
+    undercounts.  Three cases:
+
+    - stamped and equal to ``expect`` — ok;
+    - stamped and DIFFERENT (parameters or ``*_fmt`` layout version) —
+      raise at plan time: rebuild the table or fix the probe call;
+    - unstamped (no builder metadata — pre-r11 persisted tables, or
+      hand-built ones) — ``UserWarning``: the layout cannot be
+      verified.  Tables persisted by pre-r11 builders used the naive
+      ``1 + h2 mod (m-1)`` stride (layout v1) and MUST be rebuilt; the
+      current builders stamp layout v2 (odd stride) so this warning
+      ages out as old tables are rebuilt.
+    """
+    try:
+        md = dict(sketch.schema[column].metadata or {})
+    except (KeyError, TypeError):
+        md = {}
+    mismatched = {k: md[k] for k in expect if k in md and md[k] != expect[k]}
+    if mismatched:
+        raise ValueError(
+            f"{op}: sketch table was built with {mismatched} but is being "
+            f"probed with {expect} — rebuild the table or match the probe "
+            "parameters (probing across layouts answers wrongly with no "
+            "error)"
+        )
+    if any(k not in md for k in expect):
+        warnings.warn(
+            f"{op}: probing an UNSTAMPED sketch table — cannot verify its "
+            f"hash layout matches this prober (expected {expect}).  Tables "
+            "persisted by pre-r11 builders use a different probe stride "
+            "(layout v1) and must be rebuilt with the current builder.",
+            UserWarning,
+            stacklevel=3,
+        )

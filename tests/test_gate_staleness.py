@@ -91,10 +91,13 @@ def test_window_is_exactly_fifty_and_oracle_backed():
     assert len(names) >= 50
     oracles = set(eq.oracle_sql())
     no_oracle_in_window = [n for n in names[:50] if n not in oracles]
-    # the seeded-study twin and the engine-hash diagnostics are the only
-    # sanctioned rows-only window members
+    # the seeded-study twins and the engine-hash diagnostics are the only
+    # sanctioned rows-only registry members (README's rows-only table);
+    # whichever of them rotate through the window may sit there without
+    # an oracle
     allowed = {
-        "mc_nmar_study", "minhash_lsh_pairs", "simhash_buckets",
+        "mc_nmar_study", "mc_nmar_v2_study", "mc_contaminated_study",
+        "mc_stratified_study", "minhash_lsh_pairs", "simhash_buckets",
         "embedding_neardup_lsh",
     }
     stray = set(no_oracle_in_window) - allowed

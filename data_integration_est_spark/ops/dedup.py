@@ -199,12 +199,12 @@ def lsh_candidate_pairs(
     The bucket table (docs x bands tiny rows) is persisted so the
     signature pipeline upstream of the self-join runs ONCE, not twice —
     at scale the signature computation dominates."""
-    from pyspark import StorageLevel
+    from data_integration_est_spark.util import bounded_persist
 
-    buckets = band_buckets(
+    buckets = bounded_persist(band_buckets(
         df, id_col=id_col, sig_col=sig_col, bands=bands,
         rows_per_band=rows_per_band,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -268,9 +268,11 @@ def ngram_jaccard_pairs(
 
     # both sides of the pair join read the shingle table — persist so the
     # tokenize/shingle pass over the corpus runs once
-    sh = spread(df.select(F.col(id_col), F.col(text_col))).select(
+    from data_integration_est_spark.util import bounded_persist
+
+    sh = bounded_persist(spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     if candidates is not None:
@@ -348,11 +350,9 @@ def winnow_overlap_pairs(
     """Fingerprint-overlap (Jaccard over winnowed sets) for candidate
     (id_a, id_b) pairs — the verify step for partial-overlap detection.
     One fingerprint table feeds both join sides (persisted)."""
-    from pyspark import StorageLevel
+    from data_integration_est_spark.util import bounded_persist
 
-    fps = winnow_fingerprints(df, id_col, text_col, k, window).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    fps = bounded_persist(winnow_fingerprints(df, id_col, text_col, k, window))
     sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
@@ -582,7 +582,9 @@ def dedup_corpus(
             .filter(F.col("__rn__") == 1)
             .drop("__fp__", "__rn__")
         )
-    work = work.persist()
+    from data_integration_est_spark.util import bounded_persist
+
+    work = bounded_persist(work)
     sigs = minhash_signatures(
         work, text_col=text_col, num_hashes=num_hashes,
         shingle_n=shingle_n, id_col=id_col,
@@ -605,7 +607,10 @@ def dedup_corpus(
             F.explode(
                 F.array_distinct(word_shingles(F.col(text_col), shingle_n))
             ).alias("g"),
-        ).persist()
+        )
+        from data_integration_est_spark.util import bounded_persist
+
+        inv = bounded_persist(inv)
         sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
         pair_counts = (
             inv.select(F.col(id_col).alias("id_a"), "g")

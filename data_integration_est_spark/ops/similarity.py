@@ -124,27 +124,16 @@ def cosine_near_dup_pairs(
     )
 
 
-# At most one persisted bucket frame lives per session: the candidate
-# join returned by the two functions below is LAZY, so the persist that
-# lets the self-join reuse the explode cannot be released at return
-# time; releasing the PREVIOUS call's cache here bounds what used to be
-# a per-call cache-block leak (r12; ADVICE r11).  A caller that
-# materializes an old candidate frame after a newer call recomputes
-# the buckets without cache — correct, just slower.
-_live_bucket_cache: list = []
-
-
+# The candidate join returned by the two functions below is LAZY, so
+# the persist that lets the self-join reuse the explode cannot be
+# released at return time — route it through the session-wide bounded
+# registry instead of leaking one cache block per call (r12; ADVICE
+# r11).  An evicted frame recomputes if re-materialized — correct,
+# just slower.
 def _persist_buckets(buckets: DataFrame) -> DataFrame:
-    from pyspark import StorageLevel
+    from data_integration_est_spark.util import bounded_persist
 
-    while _live_bucket_cache:
-        try:
-            _live_bucket_cache.pop().unpersist()
-        except Exception:  # noqa: BLE001 — a dead SparkContext, at worst
-            pass
-    b = buckets.persist(StorageLevel.MEMORY_AND_DISK)
-    _live_bucket_cache.append(b)
-    return b
+    return bounded_persist(buckets)
 
 
 def lsh_bucket_candidates(

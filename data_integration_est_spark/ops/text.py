@@ -265,9 +265,13 @@ def bigram_logprob_scores(
     # counts are MARGINALS of the bigram counts, so they derive from the
     # vocabulary-sized bg table instead of re-scanning the corpus (plan
     # audit r6: the naive three-groupBy form scanned the source 4x)
-    bg = pairs.groupBy("__v__", "__w__").agg(
+    from data_integration_est_spark.util import bounded_persist
+
+    # vocabulary-sized; read by vc, wc, tot, and the join (bounded
+    # registry: the lazy return cannot unpersist, r12)
+    bg = bounded_persist(pairs.groupBy("__v__", "__w__").agg(
         F.count(F.lit(1)).alias("__cb__")
-    ).persist()  # vocabulary-sized; read by vc, wc, tot, and the join
+    ))
     vc = bg.groupBy("__v__").agg(F.sum("__cb__").alias("__cv__"))
     wc = bg.groupBy("__w__").agg(F.sum("__cb__").alias("__cw__"))
     tot = wc.agg(F.sum("__cw__").cast("double").alias("__T__"))
@@ -403,9 +407,13 @@ def trigram_logprob_scores(
             F.col("__tg__")["2"].alias("__w__"),
         )
     )
-    bg = pairs.groupBy("__v__", "__w__").agg(
+    from data_integration_est_spark.util import bounded_persist
+
+    # read by the context join, the (v,w) join, vc, wc, tot (bounded
+    # registry: the lazy return cannot unpersist, r12)
+    bg = bounded_persist(pairs.groupBy("__v__", "__w__").agg(
         F.count(F.lit(1)).alias("__cb__")
-    ).persist()  # read by the context join, the (v,w) join, vc, wc, tot
+    ))
     tg = triples.groupBy("__u__", "__v__", "__w__").agg(
         F.count(F.lit(1)).alias("__ct__")
     )

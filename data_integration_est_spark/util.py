@@ -123,3 +123,34 @@ def check_probe_params(sketch, column: str, expect: dict, op: str) -> None:
             UserWarning,
             stacklevel=3,
         )
+
+
+# Frames persisted by builders that return LAZY results cannot be
+# unpersisted at return time — pre-r12 each call leaked one cache block
+# for the life of the session, and a long multi-query session (the
+# 160-row gate) accumulated enough MEMORY_AND_DISK blocks to grind late
+# queries (r12: a 19-second query hung >25 minutes as row 45 of a
+# window run).  This registry keeps only the newest frames alive; an
+# EVICTED frame whose old handle is re-materialized simply recomputes —
+# correct, just slower.
+_LIVE_PERSISTS: list = []
+_MAX_LIVE_PERSISTS = 6
+
+
+def bounded_persist(df, storage_level=None):
+    """``df.persist()`` with a session-wide cap on live builder caches.
+
+    Use ONLY for persists whose owner returns a lazy result (the
+    self-join/shared-scan pattern); code that can ``unpersist()`` in a
+    ``finally`` should keep doing that — explicit lifecycle beats
+    eviction."""
+    from pyspark import StorageLevel
+
+    while len(_LIVE_PERSISTS) >= _MAX_LIVE_PERSISTS:
+        try:
+            _LIVE_PERSISTS.pop(0).unpersist()
+        except Exception:  # noqa: BLE001 — a dead SparkContext, at worst
+            pass
+    b = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    _LIVE_PERSISTS.append(b)
+    return b

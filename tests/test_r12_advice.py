@@ -132,3 +132,27 @@ def test_ngram_jaccard_refuses_quadratic_blowup(spark):
     assert out.count() == 19 * 20 // 2
     out2 = dd.ngram_jaccard_pairs(small, threshold=0.1, max_pairs=None)
     assert out2.count() == 19 * 20 // 2
+
+
+def test_bounded_persist_evicts_oldest(spark):
+    """r12: builders that return lazy results route their persists
+    through the session-bounded registry — a long multi-query session
+    must not accumulate unbounded cache blocks (the 45th row of an sf1
+    window run hung on a 19-second query before this)."""
+    from data_integration_est_spark import util
+
+    start = len(util._LIVE_PERSISTS)
+    frames = []
+    for i in range(util._MAX_LIVE_PERSISTS + 3):
+        df = spark.range(10 + i)
+        frames.append(util.bounded_persist(df))
+        frames[-1].count()
+    assert len(util._LIVE_PERSISTS) <= util._MAX_LIVE_PERSISTS
+    # the newest frame is still cached; the oldest was evicted
+    assert frames[-1].storageLevel.useMemory
+    assert not frames[0].storageLevel.useMemory
+    # evicted frames still compute correctly (recompute path)
+    assert frames[0].count() == 10
+    # cleanup so other tests see a quiet registry
+    while len(util._LIVE_PERSISTS) > start:
+        util._LIVE_PERSISTS.pop().unpersist()

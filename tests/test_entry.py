@@ -32,7 +32,14 @@ def _duck(sf_dir: str):
 def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
+            # DuckDB's fetch_df() renders SQL NULL doubles as numpy NaN
+            # while Spark's collect() keeps them None; the driver (and
+            # check_oracle) compare at fetchall() level where both are
+            # None — fold NaN into "null" to match that semantics.  A
+            # genuine NaN VALUE cannot reach here: every oracle row
+            # rounds its doubles, and round(NaN) stays NaN only for a
+            # computed NaN, which no gate row emits on purpose.
+            return "null"
         # driver-style normalization: fixed decimals (we round to 6 in the
         # queries, so this is just canonical formatting)
         return f"{v:.6f}"
@@ -98,11 +105,11 @@ def test_rows_only_queries_run(spark, sf001, name):
 def test_registry_window_contract():
     """The driver certifies the FIRST 50 registry rows — pin the window
     invariants so a refactor can't silently shrink certification: only
-    the sanctioned rows-only rows may sit in-window (the seeded NMAR
-    study — whose portable-stream twin ``mc_nmar_oracle_slice`` IS
-    hash-certified — plus the r11 rotation's engine-hash dedup
-    diagnostics), no duplicate names, and every oracle is a non-trivial
-    SQL string."""
+    sanctioned rows-only rows may sit in-window (r12: the three seeded
+    studies riding the rotation, each with a hash-certified
+    portable-stream twin), no duplicate names, and every oracle is a
+    non-trivial SQL string.  The full sanctioned rows-only set lives in
+    ``test_gate_staleness.py``; here we pin THIS round's window."""
     from data_integration_est_spark.entry_queries import REGISTRY
 
     names = list(REGISTRY)
@@ -111,10 +118,12 @@ def test_registry_window_contract():
     window = names[:50]
     rows_only = [n for n in window if REGISTRY[n][1] is None]
     assert rows_only == [
-        "mc_nmar_study", "minhash_lsh_pairs", "simhash_buckets",
-        "embedding_neardup_lsh",
+        "mc_nmar_v2_study", "mc_contaminated_study", "mc_stratified_study",
     ], rows_only
+    # every seeded study's oracle twin is certified in-window too
     assert "mc_nmar_oracle_slice" in window
+    assert "mc_stratified_oracle_slice" in window
+    assert "mc_nmar_v2_oracle_slice" in window
     for n, (fn, sql) in REGISTRY.items():
         assert callable(fn), n
         if sql is not None:

@@ -250,8 +250,16 @@ def ngram_jaccard_pairs(
     a quadratic join.  ``max_pairs=None`` disables the guard."""
     from pyspark import StorageLevel
 
+    from data_integration_est_spark.util import bounded_persist
+
     if max_pairs is not None:
         if candidates is not None:
+            # cache the (id_a, id_b) set through the bounded registry so
+            # the guard's count pass MATERIALIZES it for the verify join
+            # instead of executing the candidate join twice (the naive
+            # pre-count regressed dedup_corpus 2.6x); id pairs only —
+            # a few bytes per row at any realistic candidate volume
+            candidates = bounded_persist(candidates)
             n_pairs = candidates.count()
         else:
             n_docs = df.count()
@@ -268,8 +276,6 @@ def ngram_jaccard_pairs(
 
     # both sides of the pair join read the shingle table — persist so the
     # tokenize/shingle pass over the corpus runs once
-    from data_integration_est_spark.util import bounded_persist
-
     sh = bounded_persist(spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
     ))

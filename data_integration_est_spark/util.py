@@ -134,7 +134,12 @@ def check_probe_params(sketch, column: str, expect: dict, op: str) -> None:
 # EVICTED frame whose old handle is re-materialized simply recomputes —
 # correct, just slower.
 _LIVE_PERSISTS: list = []
-_MAX_LIVE_PERSISTS = 6
+# sized so the deepest single pipeline (dedup_corpus: dedup'd work +
+# LSH buckets + candidate set + shingle table + inverted index) never
+# evicts its OWN frames mid-query, with headroom for one prior query's
+# leftovers; 12 modest frames is far below executor memory, and the sf1
+# hang this registry fixes appeared only after ~40 accumulated blocks
+_MAX_LIVE_PERSISTS = 12
 
 
 def bounded_persist(df, storage_level=None):
@@ -143,14 +148,29 @@ def bounded_persist(df, storage_level=None):
     Use ONLY for persists whose owner returns a lazy result (the
     self-join/shared-scan pattern); code that can ``unpersist()`` in a
     ``finally`` should keep doing that — explicit lifecycle beats
-    eviction."""
+    eviction.
+
+    Entries are keyed by ``semanticHash``: Spark's CacheManager matches
+    cache entries by CANONICALIZED PLAN, so re-running the same query
+    produces a new handle onto the SAME cache entry — evicting the old
+    handle would unpersist the entry out from under the new one (seen
+    as a rerun getting progressively SLOWER).  A same-plan insert
+    refreshes the entry's position instead of scheduling its eviction.
+    """
     from pyspark import StorageLevel
 
+    try:
+        key = df.semanticHash()
+    except Exception:  # noqa: BLE001 — canonicalization failure: no dedup
+        key = object()
+    refreshed = [(k, h) for k, h in _LIVE_PERSISTS if k == key]
+    if refreshed:
+        _LIVE_PERSISTS[:] = [(k, h) for k, h in _LIVE_PERSISTS if k != key]
     while len(_LIVE_PERSISTS) >= _MAX_LIVE_PERSISTS:
         try:
-            _LIVE_PERSISTS.pop(0).unpersist()
+            _LIVE_PERSISTS.pop(0)[1].unpersist()
         except Exception:  # noqa: BLE001 — a dead SparkContext, at worst
             pass
     b = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
-    _LIVE_PERSISTS.append(b)
+    _LIVE_PERSISTS.append((key, b))
     return b

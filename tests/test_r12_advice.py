@@ -155,4 +155,4 @@ def test_bounded_persist_evicts_oldest(spark):
     assert frames[0].count() == 10
     # cleanup so other tests see a quiet registry
     while len(util._LIVE_PERSISTS) > start:
-        util._LIVE_PERSISTS.pop().unpersist()
+        util._LIVE_PERSISTS.pop()[1].unpersist()

@@ -95,6 +95,18 @@ def main():
         except Exception as e:  # noqa: BLE001
             issues = [f"EXCEPTION {type(e).__name__}: {e}"]
         dt = time.time() - t0
+        # hygiene between independent rows: long sessions otherwise
+        # accumulate cache/broadcast state until late rows grind (r12:
+        # two 10-20 s rows hung >25 min as row ~18 and ~45 of sf1 runs,
+        # both instant in fresh sessions); rows share no plans, so
+        # clearing costs nothing but the next row's cold cache
+        try:
+            from data_integration_est_spark import util as _u
+
+            _u._LIVE_PERSISTS.clear()
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001
+            pass
         if issues:
             n_fail += 1
             print(f"FAIL {name} ({dt:.1f}s)")

@@ -825,8 +825,9 @@ def run_stratified_oracle_slice(
 
     The battery keeps the closed-form members: the design-weighted A
     mean, naive B means (clean + contaminated tilde), RegDI correction-0
-    with the REAL stratified weights (no-aux k=3 and aux=[stratum] k=4
-    GREG), and PC scenario 1 with HT-estimated totals from the weighted
+    with the REAL stratified weights (no-aux k=3, aux=[stratum] k=4, and
+    the study's own aux=[stratum, x_i] k=5 GREG), and PC scenario 1
+    with HT-estimated totals from the weighted
     A sample — the ``weights_A`` code paths the NMAR slice does not
     touch.  E[y] = 5 + 0.1*10 + 3*0.5 = 7.5 = E[tilde]."""
     pop = stratified_grid_population(
@@ -850,6 +851,13 @@ def run_stratified_oracle_slice(
             "RegDI_X1": lambda: V.regdi_c0_grouped(
                 pop, "y_i", "y_i", "ind_A", "ind_B", g,
                 aux_vars=["stratum"], weights_A="d_i_A",
+            ),
+            # the study's own aux shape (nb[12]:48-60): TWO aux
+            # constraints on top of the base pair — a k=5 GREG, the
+            # widest Cramer replay in the oracle family
+            "RegDI_X2": lambda: V.regdi_c0_grouped(
+                pop, "y_i", "y_i", "ind_A", "ind_B", g,
+                aux_vars=["stratum", "x_i"], weights_A="d_i_A",
             ),
             "PC_X1": lambda: V.pc_s1_grouped(
                 pop, "y_i", "ind_B", ["stratum"], g,

@@ -804,6 +804,8 @@ def run_nmar_oracle_slice(
         spark, results, y_true,
         y_true_by_est={"Mean_S_B_tilde": 2.0},
     )
+
+
 def run_stratified_oracle_slice(
     spark: SparkSession,
     N: int = 2_000,
@@ -872,8 +874,6 @@ def run_stratified_oracle_slice(
         for name, cells in results.items()
     }
     return _summarize(spark, keyed, y_true)
-
-
 
 
 def run_deterministic_study(

@@ -248,8 +248,6 @@ def ngram_jaccard_pairs(
     the small-N exact-verify oracle for the banded-LSH production
     paths; at blowup scale the right answer is "use the LSH path", not
     a quadratic join.  ``max_pairs=None`` disables the guard."""
-    from pyspark import StorageLevel
-
     from data_integration_est_spark.util import bounded_persist
 
     if max_pairs is not None:

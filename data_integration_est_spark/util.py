@@ -8,6 +8,7 @@ error-context re-raiser.
 
 from __future__ import annotations
 
+import threading
 import warnings
 from contextlib import contextmanager
 
@@ -95,12 +96,15 @@ def check_probe_params(sketch, column: str, expect: dict, op: str) -> None:
     - stamped and equal to ``expect`` — ok;
     - stamped and DIFFERENT (parameters or ``*_fmt`` layout version) —
       raise at plan time: rebuild the table or fix the probe call;
-    - unstamped (no builder metadata — pre-r11 persisted tables, or
-      hand-built ones) — ``UserWarning``: the layout cannot be
-      verified.  Tables persisted by pre-r11 builders used the naive
-      ``1 + h2 mod (m-1)`` stride (layout v1) and MUST be rebuilt; the
-      current builders stamp layout v2 (odd stride) so this warning
-      ages out as old tables are rebuilt.
+    - parameter keys stamped but the ``*_fmt`` key absent — raise:
+      every in-repo builder that stamped parameters without a layout
+      version was pre-r11 and used the naive ``1 + h2 mod (m-1)``
+      stride (layout v1), so such a table is KNOWN to answer a v2
+      probe with silent false negatives — a warning is too easy to
+      filter in batch runs (r13; ADVICE r12);
+    - fully unstamped (no builder metadata at all — hand-built
+      tables) — ``UserWarning``: the layout cannot be verified either
+      way.
     """
     try:
         md = dict(sketch.schema[column].metadata or {})
@@ -113,6 +117,20 @@ def check_probe_params(sketch, column: str, expect: dict, op: str) -> None:
             f"probed with {expect} — rebuild the table or match the probe "
             "parameters (probing across layouts answers wrongly with no "
             "error)"
+        )
+    fmt_keys = [k for k in expect if k.endswith("_fmt")]
+    param_keys = [k for k in expect if not k.endswith("_fmt")]
+    if (
+        any(k not in md for k in fmt_keys)
+        and param_keys
+        and all(k in md for k in param_keys)
+    ):
+        raise ValueError(
+            f"{op}: sketch table stamps its build parameters but NO layout "
+            f"version ({fmt_keys}) — every in-repo builder that did that "
+            "is pre-r11 and used the v1 probe stride, so this table WILL "
+            "return silent false negatives under the current prober.  "
+            "Rebuild it with the current builder."
         )
     if any(k not in md for k in expect):
         warnings.warn(
@@ -134,6 +152,10 @@ def check_probe_params(sketch, column: str, expect: dict, op: str) -> None:
 # EVICTED frame whose old handle is re-materialized simply recomputes —
 # correct, just slower.
 _LIVE_PERSISTS: list = []
+# bounded_persist callers are sequential today, but nothing stops a user
+# from building frames on two threads; registry mutation is guarded so a
+# race cannot double-evict or leak a handle (r13; ADVICE r12)
+_LIVE_PERSISTS_LOCK = threading.Lock()
 # sized so the deepest single pipeline (dedup_corpus: dedup'd work +
 # LSH buckets + candidate set + shingle table + inverted index) never
 # evicts its OWN frames mid-query, with headroom for one prior query's
@@ -156,6 +178,11 @@ def bounded_persist(df, storage_level=None):
     handle would unpersist the entry out from under the new one (seen
     as a rerun getting progressively SLOWER).  A same-plan insert
     refreshes the entry's position instead of scheduling its eviction.
+    ``semanticHash`` is a HASH, so a collision between genuinely
+    different plans is possible — the refresh path confirms identity
+    with ``sameSemantics`` and unpersists the old handle when it is a
+    different plan (otherwise the old cache entry would leak untracked
+    for the session; r13, ADVICE r12).
     """
     from pyspark import StorageLevel
 
@@ -163,14 +190,23 @@ def bounded_persist(df, storage_level=None):
         key = df.semanticHash()
     except Exception:  # noqa: BLE001 — canonicalization failure: no dedup
         key = object()
-    refreshed = [(k, h) for k, h in _LIVE_PERSISTS if k == key]
-    if refreshed:
-        _LIVE_PERSISTS[:] = [(k, h) for k, h in _LIVE_PERSISTS if k != key]
-    while len(_LIVE_PERSISTS) >= _MAX_LIVE_PERSISTS:
-        try:
-            _LIVE_PERSISTS.pop(0)[1].unpersist()
-        except Exception:  # noqa: BLE001 — a dead SparkContext, at worst
-            pass
-    b = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
-    _LIVE_PERSISTS.append((key, b))
+    with _LIVE_PERSISTS_LOCK:
+        refreshed = [(k, h) for k, h in _LIVE_PERSISTS if k == key]
+        if refreshed:
+            _LIVE_PERSISTS[:] = [
+                (k, h) for k, h in _LIVE_PERSISTS if k != key
+            ]
+            for _, old in refreshed:
+                try:
+                    if not df.sameSemantics(old):
+                        old.unpersist()
+                except Exception:  # noqa: BLE001 — treat as same-plan
+                    pass
+        while len(_LIVE_PERSISTS) >= _MAX_LIVE_PERSISTS:
+            try:
+                _LIVE_PERSISTS.pop(0)[1].unpersist()
+            except Exception:  # noqa: BLE001 — dead SparkContext, at worst
+                pass
+        b = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+        _LIVE_PERSISTS.append((key, b))
     return b

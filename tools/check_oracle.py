@@ -100,10 +100,18 @@ def main():
         # two 10-20 s rows hung >25 min as row ~18 and ~45 of sf1 runs,
         # both instant in fresh sessions); rows share no plans, so
         # clearing costs nothing but the next row's cold cache
+        # drain by POPPING each handle so a clearCache() failure cannot
+        # orphan tracked blocks (ADVICE r12: clearing the registry first
+        # discarded the handles before the cache was actually dropped)
         try:
             from data_integration_est_spark import util as _u
 
-            _u._LIVE_PERSISTS.clear()
+            with _u._LIVE_PERSISTS_LOCK:
+                while _u._LIVE_PERSISTS:
+                    try:
+                        _u._LIVE_PERSISTS.pop()[1].unpersist()
+                    except Exception:  # noqa: BLE001
+                        pass
             spark.catalog.clearCache()
         except Exception:  # noqa: BLE001
             pass

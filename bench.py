@@ -166,6 +166,9 @@ HEADLINE = [
     # new-gate-rows-join-the-headline convention)
     "ipw_clw_orders",
     "ipw_null_weight_layout",
+    # round-13: perceptual image near-dup joins the headline (new gate
+    # rows join immediately)
+    "media_phash_neardup",
     # round-11: the portable-RNG MC slice + portable MinHash/LSH join
     # the headline (new gate rows join immediately).  Late-r11 widened
     # the slice battery 3 -> 5 estimators (Scenario-II tilde members):

@@ -1,0 +1,135 @@
+"""Perceptual media near-dup (``ops/media_dedup``, r13).
+
+The load-bearing claims, each pinned:
+
+1. ``dhash_bands`` is the classic 9x8 difference hash, integerized —
+   verified against a hand-computed tiny case and against a direct
+   numpy reimplementation on synthetic images.
+2. The decode round-trip: hashing REAL encoded PPM bytes through the
+   Arrow pipeline equals hashing the decoded arrays directly.
+3. The pigeonhole recall guarantee: at max_distance <= 7 < 8 bands the
+   banded candidate join finds EXACTLY the true all-pairs Hamming
+   <= d set (brute-force ground truth in numpy).
+4. Honest refusals: non-poolable dimensions and a too-large
+   max_distance raise.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_est_spark.ops import media_dedup as md
+from data_integration_est_spark.ops.multimodal import decode_ppm
+
+
+def _pix(group: int, variant: int, w: int = 18, h: int = 16) -> np.ndarray:
+    raw = md.synth_ppm_variant(group, variant, w=w, h=h)
+    return decode_ppm(raw)
+
+
+def _brute_bands(pix: np.ndarray) -> np.ndarray:
+    """Independent dHash reimplementation (flat loops, no reshape)."""
+    h, w, c = pix.shape
+    gray = pix.astype(np.int64).sum(axis=2)
+    bh, bw = h // 8, w // 9
+    blocks = np.zeros((8, 9), dtype=np.int64)
+    for r in range(8):
+        for cc in range(9):
+            blocks[r, cc] = gray[
+                r * bh:(r + 1) * bh, cc * bw:(cc + 1) * bw
+            ].sum()
+    bands = []
+    for r in range(8):
+        v = 0
+        for cc in range(8):
+            if blocks[r, cc] < blocks[r, cc + 1]:
+                v |= 1 << cc
+        bands.append(v)
+    return np.array(bands)
+
+
+def test_dhash_bands_matches_flat_reimplementation():
+    for g, v in [(0, 0), (3, 2), (7, 4), (11, 1)]:
+        pix = _pix(g, v)
+        assert md.dhash_bands(pix) == list(_brute_bands(pix))
+
+
+def test_dhash_bands_tiny_known_case():
+    # 8 rows x 18 cols, single channel, strictly increasing left to
+    # right: every horizontal gradient is positive -> all 8 bits set
+    # in every band (grid 8x9 pools rows 1:1, cols 2:1)
+    img = np.tile(np.arange(18, dtype=np.uint8), (8, 1))[:, :, None]
+    assert md.dhash_bands(img) == [255] * 8
+    # strictly decreasing -> no bits set
+    img_rev = img[:, ::-1, :]
+    assert md.dhash_bands(img_rev) == [0] * 8
+
+
+def test_dhash_refuses_unpoolable_dimensions():
+    with pytest.raises(NotImplementedError, match="does not pool"):
+        md.dhash_bands(np.zeros((10, 10, 3), dtype=np.uint8))
+
+
+def test_max_distance_must_respect_pigeonhole():
+    with pytest.raises(ValueError, match="pigeonhole"):
+        md.hamming_neardup_pairs(None, max_distance=8)
+
+
+def test_decode_roundtrip_through_arrow_pipeline(spark):
+    rows = [
+        (g * 5 + v, bytearray(md.synth_ppm_variant(g, v)))
+        for g in range(4) for v in range(5)
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r["media_id"]: r["bands"]
+        for r in md.dhash_images(df).collect()
+    }
+    for g in range(4):
+        for v in range(5):
+            assert got[g * 5 + v] == md.dhash_bands(_pix(g, v))
+
+
+def test_banded_join_equals_bruteforce_at_pigeonhole_distance(spark):
+    ids = [(g, v) for g in range(6) for v in range(5)]
+    hashes = {g * 5 + v: _brute_bands(_pix(g, v)) for g, v in ids}
+
+    def ham(a, b):
+        return int(sum(bin(x ^ y).count("1")
+                       for x, y in zip(hashes[a], hashes[b])))
+
+    truth = {
+        (a, b, ham(a, b))
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if ham(a, b) <= 7
+    }
+    assert truth, "fixture produced no near-dup pairs"
+
+    df = spark.createDataFrame(
+        [(mid, [int(x) for x in bands]) for mid, bands in hashes.items()],
+        "media_id long, bands array<int>",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in md.hamming_neardup_pairs(df, max_distance=7).collect()
+    }
+    assert got == truth
+
+
+def test_null_and_undecodable_rows_get_null_bands(spark):
+    rows = [
+        (0, bytearray(md.synth_ppm_variant(0, 0))),
+        (1, None),
+        (2, bytearray(b"JFIF not a ppm")),
+        # poolable refusal: 10x10 P6 (wrong grid) -> NULL, not a crash
+        (3, bytearray(b"P6\n10 10\n255\n" + bytes(300))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r["bands"] for r in md.dhash_images(df).collect()}
+    assert got[0] is not None
+    assert got[1] is None and got[2] is None and got[3] is None

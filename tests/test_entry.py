@@ -105,11 +105,12 @@ def test_rows_only_queries_run(spark, sf001, name):
 def test_registry_window_contract():
     """The driver certifies the FIRST 50 registry rows — pin the window
     invariants so a refactor can't silently shrink certification: only
-    sanctioned rows-only rows may sit in-window (r12: the three seeded
-    studies riding the rotation, each with a hash-certified
-    portable-stream twin), no duplicate names, and every oracle is a
-    non-trivial SQL string.  The full sanctioned rows-only set lives in
-    ``test_gate_staleness.py``; here we pin THIS round's window."""
+    sanctioned rows-only rows may sit in-window, no duplicate names,
+    and every oracle is a non-trivial SQL string.  The full sanctioned
+    rows-only set lives in ``test_gate_staleness.py``; here we pin THIS
+    round's window (r13: staleness-first rotation — every window row is
+    oracle-backed; the seeded studies ride the tail on their r12
+    records)."""
     from data_integration_est_spark.entry_queries import REGISTRY
 
     names = list(REGISTRY)
@@ -117,13 +118,13 @@ def test_registry_window_contract():
     assert len(names) >= 50
     window = names[:50]
     rows_only = [n for n in window if REGISTRY[n][1] is None]
-    assert rows_only == [
-        "mc_nmar_v2_study", "mc_contaminated_study", "mc_stratified_study",
-    ], rows_only
-    # every seeded study's oracle twin is certified in-window too
-    assert "mc_nmar_oracle_slice" in window
-    assert "mc_stratified_oracle_slice" in window
-    assert "mc_nmar_v2_oracle_slice" in window
+    assert rows_only == [], rows_only
+    # the r13 composition: the r6/r7/r9 staleness tranches lead, the
+    # round's code-touched rows and the new capability row close it
+    for n in ("dup_components", "jackknife_ratio_events",
+              "quantile_monitor_summary", "ngram_jaccard",
+              "stream_decontam_summary", "media_phash_neardup"):
+        assert n in window, n
     for n, (fn, sql) in REGISTRY.items():
         assert callable(fn), n
         if sql is not None:

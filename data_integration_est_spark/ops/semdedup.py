@@ -101,17 +101,40 @@ def semdedup_flags(
     seed: int = 42,
     centroids: list[list[float]] | None = None,
     init: str = "kmeans||",
+    max_cluster_rows: int | None = 100_000,
 ) -> DataFrame:
     """Per-row SemDeDup verdicts: (id, cluster, c_rank, centroid_sim,
     is_semdup).  ``centroids`` skips training (pass a precomputed or
     deterministic set — the gate oracle path uses ``init="first_k"``
     via ``deterministic_centroids``); otherwise spherical k-means runs
-    here (``ops/similarity.kmeans_centroids``)."""
+    here (``ops/similarity.kmeans_centroids``).
+
+    ``max_cluster_rows`` is the quadratic-blowup refusal (r13; the
+    sf10 probe wedged on 50k-row clusters): the dominance scan is
+    O(rows^2) WITHIN a cluster, and the paper's design constraint is
+    that cluster size N/k stays bounded — k must GROW with the corpus.
+    The guard pre-counts rows (one cheap scalar pass, the ``max_pairs``
+    discipline) and refuses loudly when the MEAN cluster size exceeds
+    the cap, telling the caller to raise ``k``; it is an average-size
+    heuristic, not a per-cluster bound (a skewed assignment can still
+    exceed it).  ``None`` disables."""
     if centroids is None:
         centroids = kmeans_centroids(
             df, vec_col=vec_col, id_col=id_col, k=k, n_iter=n_iter,
             seed=seed, init=init,
         )
+    if max_cluster_rows is not None:
+        n_rows = df.count()
+        mean_sz = n_rows / max(len(centroids), 1)
+        if mean_sz > max_cluster_rows:
+            raise ValueError(
+                f"semdedup_flags: {n_rows} rows over k={len(centroids)} "
+                f"clusters averages {mean_sz:,.0f} rows/cluster > "
+                f"max_cluster_rows={max_cluster_rows:,} — the dominance "
+                "scan is quadratic within a cluster, so grow k with the "
+                "corpus (the SemDeDup paper's design constraint) or "
+                "raise/disable max_cluster_rows explicitly"
+            )
     a = assign_clusters(df, centroids, vec_col=vec_col, id_col=id_col)
     # Per-cluster dominance scan as ONE applyInPandas over the cluster
     # key: each bounded group (N/k rows — the paper's design constraint)
@@ -142,12 +165,33 @@ def semdedup_flags(
         nrm = np.linalg.norm(V, axis=1)
         nrm[nrm == 0] = 1.0
         Vn = V / nrm[:, None]
-        G = np.round(Vn @ Vn.T, 6)
         n = len(pdf)
         # dup_i iff any j with rank_j < rank_i (strictly above in the
-        # sort) has G[i, j] >= threshold
-        tri = np.tril(G >= thr, k=-1)  # row i vs all j < i
-        dup = tri.any(axis=1)
+        # sort) has round(cos(i, j), 6) >= threshold.  TILED (r13): the
+        # full n x n Gram is 20 GB at a 50k-row cluster (the sf10 probe
+        # wedged three executors on exactly that allocation); compute
+        # G in row x column tiles and reduce each to a boolean
+        # any-over-prior-rows — memory O(tile), compute unchanged, and
+        # each dot product is the same full-width contraction, so the
+        # rounded values (and the SQL-oracle hash) are identical.
+        dup = np.zeros(n, dtype=bool)
+        RB, CB = 1024, 8192
+        for s in range(0, n, RB):
+            e = min(s + RB, n)
+            blk = Vn[s:e]
+            hit = np.zeros(e - s, dtype=bool)
+            for cs in range(0, e, CB):
+                ce = min(cs + CB, e)
+                g = np.round(blk @ Vn[cs:ce].T, 6) >= thr
+                # columns are global j in [cs, ce); row t is global
+                # i = s + t; count only j < i
+                if ce <= s:
+                    hit |= g.any(axis=1)
+                else:
+                    j = np.arange(cs, ce)[None, :]
+                    i = (s + np.arange(e - s))[:, None]
+                    hit |= (g & (j < i)).any(axis=1)
+            dup[s:e] = hit
         return pd.DataFrame(
             {
                 id_col: pdf[id_col],

@@ -104,13 +104,43 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     candidates: DataFrame | None = None,
     dim: int | None = None,
+    max_pairs: int | None = 50_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     cosine >= threshold, id_a < id_b.
 
     With ``candidates`` (e.g. LSH bucket cohabitants from
     ``lsh_bucket_candidates``) only those pairs are scored — the scale
-    path.  Without, all pairs are scored (small N / oracle checking)."""
+    path.  Without, all pairs are scored (small N / oracle checking).
+
+    ``max_pairs`` is the quadratic-blowup refusal (r13; the
+    ``ops/dedup.ngram_jaccard_pairs`` discipline): the sf10 probe found
+    a FIXED bucket count turning the candidate join into 1.25e9 pairs
+    (a >20-minute grind) — bucket geometry must grow with the corpus
+    (``n_bits``), and when it doesn't, refusing in seconds with the
+    knob named beats hanging.  The candidate pre-count doubles as
+    materialization for the verify join (bounded registry).  ``None``
+    disables."""
+    from data_integration_est_spark.util import bounded_persist
+
+    if max_pairs is not None:
+        if candidates is not None:
+            candidates = bounded_persist(candidates)
+            n_pairs = candidates.count()
+        else:
+            n = df.count()
+            n_pairs = n * (n - 1) // 2
+        if n_pairs > max_pairs:
+            raise ValueError(
+                f"cosine_near_dup_pairs: {n_pairs:,} candidate pairs exceed "
+                f"max_pairs={max_pairs:,} — the verify join would carry the "
+                "vector arrays through a quadratic-volume join.  Grow the "
+                "LSH bucket geometry with the corpus (n_bits: ~+3 bits per "
+                "data decade keeps per-bucket occupancy constant, ~+7 keeps "
+                "total noise-pair volume constant; exact-dup retention "
+                "stays ~1 at any n_bits) or raise/disable max_pairs "
+                "explicitly."
+            )
     a = spread(df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if candidates is not None:

@@ -118,7 +118,11 @@ def test_registry_window_contract():
     assert len(names) >= 50
     window = names[:50]
     rows_only = [n for n in window if REGISTRY[n][1] is None]
-    assert rows_only == [], rows_only
+    # embedding_neardup_lsh re-gates because the sf10 probe changed its
+    # code (adaptive bucket bits); it is engine-seeded (sanctioned
+    # rows-only) and its oracle-checked twin embedding_neardup_check
+    # sits beside it in the window
+    assert rows_only == ["embedding_neardup_lsh"], rows_only
     # the r13 composition: the r6/r7/r9 staleness tranches lead, the
     # round's code-touched rows and the new capability row close it
     for n in ("dup_components", "jackknife_ratio_events",

@@ -125,24 +125,49 @@ def hamming_neardup_pairs(
     max_distance: int = 7,
     id_col: str = "media_id",
     bands_col: str = "bands",
+    n_bands: int = 8,
+    max_pairs: int | None = 20_000_000,
 ) -> DataFrame:
     """Near-duplicate image pairs within ``max_distance`` Hamming bits,
-    via the band-value equi-join.  With ``max_distance <= 7`` (< the 8
-    bands) recall is EXACTLY 1 by pigeonhole — the banded candidate set
-    is a lossless superset of the true pair set, verified by exact
-    Hamming distance (per-band xor popcount) on candidates only.
-    Returns (id_a, id_b, hamming)."""
-    if max_distance >= GRID_ROWS:
+    via the band-value equi-join.  With ``max_distance < n_bands``
+    recall is EXACTLY 1 by pigeonhole — the banded candidate set is a
+    lossless superset of the true pair set, verified by exact Hamming
+    distance (per-band xor popcount) on candidates only.
+    Returns (id_a, id_b, hamming).
+
+    ``n_bands`` is the SCALE knob (r13; the sf10 probe OOM'd an
+    executor on this): an 8-bit band has only 256 values, so past
+    ~10-100k images random collisions alone make the candidate join
+    quadratic.  Regrouping the 64 bits into fewer, WIDER bands
+    (n_bands=4 -> 16-bit values, 65k;  n_bands=2 -> 32-bit) restores
+    selectivity at the price of the guaranteed distance
+    (max_distance < n_bands) — exact duplicates (distance 0) are
+    caught at ANY width.  ``max_pairs`` is the refusal backstop (the
+    ``ngram_jaccard_pairs`` discipline): pre-count candidates, refuse
+    loudly naming the knob instead of grinding."""
+    if n_bands not in (1, 2, 4, 8):
+        raise ValueError("n_bands must be 1, 2, 4, or 8 (regroups the "
+                         "8 dHash bytes evenly)")
+    if max_distance >= n_bands:
         raise ValueError(
             f"hamming_neardup_pairs: max_distance={max_distance} >= "
-            f"{GRID_ROWS} bands breaks the pigeonhole recall guarantee — "
+            f"{n_bands} bands breaks the pigeonhole recall guarantee — "
             "use more bands or a smaller distance"
         )
     hs = hashes.filter(F.col(bands_col).isNotNull()).select(
         F.col(id_col).alias("mid"), F.col(bands_col).alias("bands")
     )
+    group = GRID_ROWS // n_bands  # bytes per (wider) band
+    wide = F.array(*[
+        sum(
+            (F.element_at(F.col("bands"), g * group + j + 1)
+             .cast("long") * (1 << (8 * j)))
+            for j in range(group)
+        )
+        for g in range(n_bands)
+    ])
     exploded = hs.select(
-        "mid", F.posexplode("bands").alias("band_idx", "band_val")
+        "mid", F.posexplode(wide).alias("band_idx", "band_val")
     )
     cand = (
         exploded.alias("a")
@@ -159,6 +184,21 @@ def hamming_neardup_pairs(
         )
         .distinct()
     )
+    if max_pairs is not None:
+        from data_integration_est_spark.util import bounded_persist
+
+        cand = bounded_persist(cand)
+        n_cand = cand.count()
+        if n_cand > max_pairs:
+            raise ValueError(
+                f"hamming_neardup_pairs: {n_cand:,} candidate pairs > "
+                f"max_pairs={max_pairs:,} — the {n_bands}x"
+                f"{64 // n_bands}-bit band space has saturated at this "
+                "corpus size.  Use fewer, wider bands (n_bands=4 gives "
+                "16-bit values and guarantees recall to distance 3; "
+                "exact duplicates are caught at any width) or "
+                "raise/disable max_pairs explicitly."
+            )
     ham = F.aggregate(
         F.zip_with(
             F.col("ha.bands"), F.col("hb.bands"),
@@ -172,6 +212,129 @@ def hamming_neardup_pairs(
         .join(hs.alias("hb"), F.col("id_b") == F.col("hb.mid"))
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_distance)
+    )
+
+
+def hamming_neardup_stats(
+    hashes: DataFrame,
+    max_distance: int = 7,
+    id_col: str = "media_id",
+    bands_col: str = "bands",
+    n_bands: int = 8,
+    max_rep_pairs: int | None = 20_000_000,
+) -> DataFrame:
+    """Per-distance near-dup pair statistics with EXACT-COLLAPSE-FIRST
+    (r13; the ``dedup_corpus`` discipline applied to images): identical
+    dHashes are grouped before any pairing, the Hamming-band LSH join
+    runs on the (usually tiny) set of DISTINCT hashes, and pair counts
+    expand arithmetically from group sizes — never materializing the
+    per-pair set.  Hamming distance is a function of the hash alone, so
+    the expansion is exact: a group pair (A, B) at distance d
+    contributes |A|·|B| pairs, a group with itself contributes
+    C(|A|, 2) pairs at distance 0, and the symmetric id sum
+    decomposes as |B|·Σ(A) + |A|·Σ(B) (resp. (|A|-1)·Σ(A)).
+
+    This is the 100 TB path for duplication-heavy media corpora: the
+    sf10 probe found 100k synthetic images collapsing to 407 distinct
+    hashes — per-pair banding (``hamming_neardup_pairs``) would carry a
+    ~236M-row candidate join that the collapse reduces to C(407, 2).
+    Returns (hamming, n_pairs, id_sum) for distances <= max_distance."""
+    if n_bands not in (1, 2, 4, 8):
+        raise ValueError("n_bands must be 1, 2, 4, or 8")
+    if max_distance >= n_bands:
+        raise ValueError(
+            f"hamming_neardup_stats: max_distance={max_distance} >= "
+            f"{n_bands} bands breaks the pigeonhole recall guarantee"
+        )
+    from data_integration_est_spark.util import bounded_persist
+
+    hs = hashes.filter(F.col(bands_col).isNotNull())
+    groups = bounded_persist(
+        hs.groupBy(F.col(bands_col).alias("bands")).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col(id_col)).alias("id_sum"),
+            F.min(F.col(id_col)).alias("rep"),
+        )
+    )
+    # distance-0 pairs inside each group: C(cnt, 2), id sum (cnt-1)*Σ
+    within = groups.filter(F.col("cnt") > 1).agg(
+        F.sum(F.col("cnt") * (F.col("cnt") - 1) / 2)
+        .cast("long").alias("n_pairs"),
+        F.sum((F.col("cnt") - 1) * F.col("id_sum"))
+        .cast("long").alias("id_sum"),
+    ).select(F.lit(0).alias("hamming"), "n_pairs", "id_sum")
+
+    group = GRID_ROWS // n_bands
+    wide = F.array(*[
+        sum(
+            (F.element_at(F.col("bands"), g * group + j + 1)
+             .cast("long") * (1 << (8 * j)))
+            for j in range(group)
+        )
+        for g in range(n_bands)
+    ])
+    exploded = groups.select(
+        "rep", F.posexplode(wide).alias("band_idx", "band_val")
+    )
+    cand = (
+        exploded.alias("a")
+        .join(
+            exploded.alias("b"),
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.rep") < F.col("b.rep"),
+            ],
+        )
+        .select(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
+        .distinct()
+    )
+    if max_rep_pairs is not None:
+        cand = bounded_persist(cand)
+        n_cand = cand.count()
+        if n_cand > max_rep_pairs:
+            raise ValueError(
+                f"hamming_neardup_stats: {n_cand:,} DISTINCT-hash "
+                f"candidate pairs > max_rep_pairs={max_rep_pairs:,} even "
+                "after exact collapse — the corpus has that many "
+                "genuinely distinct near-identical textures; use fewer, "
+                "wider bands or raise/disable max_rep_pairs."
+            )
+    ga = groups.select(F.col("rep").alias("rep_a"),
+                       F.col("bands").alias("bands_a"),
+                       F.col("cnt").alias("cnt_a"),
+                       F.col("id_sum").alias("sum_a"))
+    gb = groups.select(F.col("rep").alias("rep_b"),
+                       F.col("bands").alias("bands_b"),
+                       F.col("cnt").alias("cnt_b"),
+                       F.col("id_sum").alias("sum_b"))
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("bands_a"), F.col("bands_b"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    cross = (
+        cand.join(ga, "rep_a").join(gb, "rep_b")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_distance)
+        .groupBy("hamming")
+        .agg(
+            F.sum(F.col("cnt_a") * F.col("cnt_b"))
+            .cast("long").alias("n_pairs"),
+            F.sum(F.col("cnt_b") * F.col("sum_a")
+                  + F.col("cnt_a") * F.col("sum_b"))
+            .cast("long").alias("id_sum"),
+        )
+    )
+    return (
+        within.filter(F.col("n_pairs").isNotNull())
+        .unionByName(cross)
+        .groupBy("hamming")
+        .agg(F.sum("n_pairs").cast("long").alias("n_pairs"),
+             F.sum("id_sum").cast("long").alias("id_sum"))
     )
 
 

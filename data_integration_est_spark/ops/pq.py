@@ -46,15 +46,21 @@ from pyspark.sql import functions as F
 from data_integration_est_spark.util import spread
 
 
-def _l2_score_sql(vec_name: str, centroids: list[list[float]]) -> str:
+def _l2_score_sql(
+    vec_name: str, centroids: list[list[float]], offset: int = 0
+) -> str:
     """Array of per-centroid L2 ORDER scores: x.c - ||c||^2/2 (argmax of
     this == argmin of squared L2; the row's own norm cancels).  Flat
-    codegen arithmetic — same rationale as similarity._centroid_sims_sql."""
+    codegen arithmetic — same rationale as similarity._centroid_sims_sql.
+    ``offset`` indexes a subvector INSIDE a full vector column, so
+    callers need no intermediate slice column (identical element values,
+    one less projection for Catalyst to re-analyze)."""
     C = np.asarray(centroids, dtype=float)
     offs = 0.5 * (C * C).sum(axis=1)
     dots = [
         " + ".join(
-            f"{float(cv)!r}D * CAST(element_at(`{vec_name}`, {j + 1}) AS DOUBLE)"
+            f"{float(cv)!r}D * CAST(element_at(`{vec_name}`, "
+            f"{offset + j + 1}) AS DOUBLE)"
             for j, cv in enumerate(c)
         )
         + f" - {float(o)!r}D"
@@ -177,15 +183,18 @@ def pq_encode(
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
     work = spread(df)
-    code_cols = []
-    for s in range(m):
-        sv = f"__pqsv{s}__"
-        work = work.withColumn(sv, _subvec(vec_col, s, d_sub))
-        code_cols.append(_argmax_expr(_l2_score_sql(sv, codebooks[s]),
-                                      len(codebooks[s])))
-    return work.withColumn(out_col, F.array(*code_cols)).drop(
-        *[f"__pqsv{s}__" for s in range(m)]
-    )
+    # ONE projection: each subspace's argmax indexes the full vector at
+    # its offset directly — r13: the previous 16 chained withColumn
+    # slices made Catalyst re-analyze a thousand-node tree per column
+    # (driver seconds per action, scale-invariant overhead)
+    code_cols = [
+        _argmax_expr(
+            _l2_score_sql(vec_col, codebooks[s], offset=s * d_sub),
+            len(codebooks[s]),
+        )
+        for s in range(m)
+    ]
+    return work.select("*", F.array(*code_cols).alias(out_col))
 
 
 def pq_score_expr(
@@ -199,28 +208,29 @@ def pq_score_expr(
     score approximates dot(query, corpus_vec) from codes alone."""
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
-    luts = []
+    lut_cols = []
     for s in range(m):
-        sv = f"__pqq{s}__"
-        lut = f"__pqlut{s}__"
-        work = work.withColumn(sv, _subvec(query_vec_col, s, d_sub))
-        # dot-only array (no -||c||^2/2 offset): ADC approximates the dot
+        # dot-only array (no -||c||^2/2 offset): ADC approximates the dot;
+        # element_at indexes the full query vector at the subspace offset
+        # (identical values to the old slice column, ONE projection total)
         C = np.asarray(codebooks[s], dtype=float)
         dots = [
             " + ".join(
-                f"{float(cv)!r}D * CAST(element_at(`{sv}`, {j + 1}) AS DOUBLE)"
+                f"{float(cv)!r}D * CAST(element_at(`{query_vec_col}`, "
+                f"{s * d_sub + j + 1}) AS DOUBLE)"
                 for j, cv in enumerate(c)
             )
             for c in C.tolist()
         ]
-        work = work.withColumn(
-            lut, F.expr("array(" + ", ".join(f"({d})" for d in dots) + ")")
-        ).drop(sv)
-        luts.append(lut)
+        lut_cols.append(
+            F.expr("array(" + ", ".join(f"({d})" for d in dots) + ")")
+            .alias(f"__pqlut{s}__")
+        )
+    work = work.select("*", *lut_cols)
     score: Column = F.lit(0.0)
-    for s, lut in enumerate(luts):
+    for s in range(m):
         score = score + F.element_at(
-            F.col(lut), F.element_at(F.col(code_col), s + 1) + 1
+            F.col(f"__pqlut{s}__"), F.element_at(F.col(code_col), s + 1) + 1
         )
     return work, score
 

@@ -126,8 +126,9 @@ def test_registry_window_contract():
     # the r13 composition: the r6/r7/r9 staleness tranches lead, the
     # round's code-touched rows and the new capability row close it
     for n in ("dup_components", "jackknife_ratio_events",
-              "quantile_monitor_summary", "ngram_jaccard",
-              "stream_decontam_summary", "media_phash_neardup"):
+              "dedup_corpus_stats", "ngram_jaccard",
+              "stream_decontam_summary", "media_phash_neardup",
+              "ivfpq_knn_recall"):
         assert n in window, n
     for n, (fn, sql) in REGISTRY.items():
         assert callable(fn), n

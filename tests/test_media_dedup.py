@@ -133,3 +133,66 @@ def test_null_and_undecodable_rows_get_null_bands(spark):
     got = {r["media_id"]: r["bands"] for r in md.dhash_images(df).collect()}
     assert got[0] is not None
     assert got[1] is None and got[2] is None and got[3] is None
+
+
+def test_wide_bands_equal_bruteforce_at_their_distance(spark):
+    """n_bands=4 (16-bit values) guarantees recall to distance 3 by the
+    same pigeonhole; the found set must equal brute force at d <= 3."""
+    ids = [(g, v) for g in range(6) for v in range(5)]
+    hashes = {g * 5 + v: _brute_bands(_pix(g, v)) for g, v in ids}
+
+    def ham(a, b):
+        return int(sum(bin(x ^ y).count("1")
+                       for x, y in zip(hashes[a], hashes[b])))
+
+    truth = {
+        (a, b, ham(a, b))
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if ham(a, b) <= 3
+    }
+    df = spark.createDataFrame(
+        [(mid, [int(x) for x in bands]) for mid, bands in hashes.items()],
+        "media_id long, bands array<int>",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in md.hamming_neardup_pairs(
+            df, max_distance=3, n_bands=4
+        ).collect()
+    }
+    assert got == truth
+    assert truth, "fixture produced no d<=3 pairs"
+
+
+def test_max_pairs_refusal_names_the_band_knob(spark):
+    rows = [(g * 5 + v, [int(x) for x in _brute_bands(_pix(g, v))])
+            for g in range(6) for v in range(5)]
+    df = spark.createDataFrame(rows, "media_id long, bands array<int>")
+    with pytest.raises(ValueError, match="wider bands"):
+        md.hamming_neardup_pairs(df, max_distance=7, max_pairs=1).count()
+
+
+def test_collapsed_stats_equal_perpair_aggregation(spark):
+    """hamming_neardup_stats (exact-collapse-first) must equal the
+    per-pair path aggregated — including distance-0 mass from groups of
+    identical hashes (duplicated rows planted deliberately)."""
+    ids = [(g, v) for g in range(5) for v in range(5)]
+    hashes = {g * 5 + v: _brute_bands(_pix(g, v)) for g, v in ids}
+    # plant exact duplicates: 3 extra copies of image 0's hash
+    for extra in (100, 101, 102):
+        hashes[extra] = hashes[0]
+    df = spark.createDataFrame(
+        [(mid, [int(x) for x in bands]) for mid, bands in hashes.items()],
+        "media_id long, bands array<int>",
+    )
+    per_pair = md.hamming_neardup_pairs(df, max_distance=7).collect()
+    want = {}
+    for r in per_pair:
+        n, s = want.get(r["hamming"], (0, 0))
+        want[r["hamming"]] = (n + 1, s + r["id_a"] + r["id_b"])
+    got = {
+        r["hamming"]: (r["n_pairs"], r["id_sum"])
+        for r in md.hamming_neardup_stats(df, max_distance=7).collect()
+    }
+    assert got == want
+    assert want.get(0, (0, 0))[0] >= 6  # C(4,2) from the planted dups

@@ -37,6 +37,28 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         out[name] = round(sorted(runs)[len(runs) // 2], 2)
         print(f"# {name}: {out[name]}s of {sorted(runs)}", file=sys.stderr)
+        # between-row hygiene (r13): a 40-row sf10 sweep accumulated
+        # ~700 driver-pinned broadcasts and died with "Not enough
+        # memory to build and broadcast" on an 8g driver — drain the
+        # persist registry (pop-by-pop, same as check_oracle.py), drop
+        # the cache, and nudge both GCs so the ContextCleaner releases
+        # dead broadcasts before the next row builds its own.
+        try:
+            import gc
+
+            from data_integration_est_spark import util as _u
+
+            with _u._LIVE_PERSISTS_LOCK:
+                while _u._LIVE_PERSISTS:
+                    try:
+                        _u._LIVE_PERSISTS.pop()[1].unpersist()
+                    except Exception:  # noqa: BLE001
+                        pass
+            spark.catalog.clearCache()
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
     print(json.dumps({"sf_dir": sf_dir, "reps": reps, "rows": out}))
 
 

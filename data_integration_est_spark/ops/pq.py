@@ -194,6 +194,11 @@ def pq_encode(
         )
         for s in range(m)
     ]
+    # r14 (ADVICE): select('*', ...) — unlike the old withColumn — would
+    # DUPLICATE a pre-existing out_col and poison every downstream
+    # by-name reference with ambiguity; replace it like withColumn did
+    if out_col in work.columns:
+        work = work.drop(out_col)
     return work.select("*", F.array(*code_cols).alias(out_col))
 
 
@@ -226,6 +231,12 @@ def pq_score_expr(
             F.expr("array(" + ", ".join(f"({d})" for d in dots) + ")")
             .alias(f"__pqlut{s}__")
         )
+    # r14 (ADVICE): same duplicate-column hazard as pq_encode if a frame
+    # already carrying __pqlut*__ (a second pq_score_expr pass) comes in
+    stale = [c for c in work.columns
+             if c.startswith("__pqlut") and c.endswith("__")]
+    if stale:
+        work = work.drop(*stale)
     work = work.select("*", *lut_cols)
     score: Column = F.lit(0.0)
     for s in range(m):

@@ -203,6 +203,32 @@ HEADLINE = [
 # row); resolved here instead of the gate registry.
 REPS_OVERRIDE = {"mc_grid_full": 1}
 
+# Noise sentinel (r14; r13 verdict #2).  Two rounds running, the
+# committed sf0.1 bench needed a POST-HOC hand-written noise
+# adjudication in BASELINE.md (r12 JIT warm-up, r13 a ~1.3x co-tenant
+# shift that made one untouched row read as a 3.6x regression).  The
+# sentinel makes the adjudication mechanical: ``deff_events`` — a
+# pinned-cost row untouched since r10, pure JVM aggregation, no
+# persists — runs FIRST and LAST (reps=3 warm medians, first rep
+# discarded), and the JSON header carries its ratio vs the recorded
+# quiet-box reference.  Read any row-level regression AGAINST
+# ``sentinel.shift`` before reading it as code: shift ~1.0 means the
+# box was quiet; start/end disagreement means load arrived mid-run.
+SENTINEL_ROW = "deff_events"
+# quiet-box warm median at sf0.1, measured solo this session
+# (load avg 1.2 on 32 cores; see BASELINE.md "r14 sentinel protocol")
+SENTINEL_REF_SEC = 0.95
+
+
+def _sentinel_median(spark, fn, sf_dir: str, reps: int = 3) -> float:
+    runs = []
+    for _ in range(reps + 1):  # +1: first rep is JIT warm-up, discarded
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        runs.append(time.perf_counter() - t0)
+    warm = runs[1:]
+    return sorted(warm)[len(warm) // 2]
+
 # Protocol note (r13; r12 verdict #5): the mc_*_study rows are the
 # queries most exposed to whole-stage-codegen JIT warm-up — their first
 # rep has measured 2-3x the converged time two rounds running
@@ -271,6 +297,12 @@ STDOUT_DROP = {
     # embedding_neardup_lsh); the portable rows ride BENCH_FULL.json
     "simhash_portable_buckets",
     "embedding_lsh_portable",
+    # r14: the sentinel object joins the stdout line (~140 chars); three
+    # more near-duplicate family members move to BENCH_FULL-only
+    # (kept stdout representatives in parens)
+    "svyvar_cal_events",        # (svyvar_events)
+    "qhist_quantiles_orders",   # (svyquantile_events)
+    "repetition_quality",       # (unigram_quality)
 }
 
 
@@ -305,6 +337,10 @@ def main() -> None:
     # JVM/codegen warm-up on a trivial job so q1 doesn't absorb startup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    sent_start = _sentinel_median(spark, qs[SENTINEL_ROW], sf_dir)
+    print(f"# sentinel {SENTINEL_ROW} (start): {sent_start:.3f}s "
+          f"(ref {SENTINEL_REF_SEC}s at sf0.1)", file=sys.stderr)
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     total = 0.0
@@ -326,6 +362,19 @@ def main() -> None:
         print(f"# {name}: median {dt:.3f}s of [{detail}]{note}",
               file=sys.stderr)
 
+    sent_end = _sentinel_median(spark, qs[SENTINEL_ROW], sf_dir)
+    print(f"# sentinel {SENTINEL_ROW} (end): {sent_end:.3f}s", file=sys.stderr)
+    sentinel = {
+        "row": SENTINEL_ROW,
+        "ref_sec": SENTINEL_REF_SEC,
+        "start_sec": round(sent_start, 3),
+        "end_sec": round(sent_end, 3),
+        # the session's environment shift vs the quiet-box reference;
+        # only meaningful at the sf the reference was recorded at
+        "shift": (round((sent_start + sent_end) / 2 / SENTINEL_REF_SEC, 2)
+                  if sf_num == 0.1 else None),
+    }
+
     full = {
         "metric": "suite_wall_sec",
         "value": round(total, 3),
@@ -333,6 +382,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_num,
         "reps": reps,
+        "sentinel": sentinel,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as f:

@@ -38,6 +38,10 @@ def _worst_case_line() -> str:
         },
         "sf": 0.1,
         "reps": 3,
+        # r14 noise sentinel rides the stdout line too — worst-case widths
+        "sentinel": {"row": bench.SENTINEL_ROW, "ref_sec": 9999.999,
+                     "start_sec": 9999.999, "end_sec": 9999.999,
+                     "shift": 99.99},
         "n_queries": len(timings),
         "full_file": "BENCH_FULL.json",
     }

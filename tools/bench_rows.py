@@ -28,6 +28,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     qs = ent.queries()
+
+    # r14: annotate the session with the bench noise sentinel so ad-hoc
+    # row probes carry the same environment context as the full suite
+    import bench as _b
+
+    sent = _b._sentinel_median(spark, qs[_b.SENTINEL_ROW], sf_dir)
+    shift = (round(sent / _b.SENTINEL_REF_SEC, 2)
+             if sf_dir.rstrip("/").endswith("sf0.1") else None)
+    print(f"# sentinel {_b.SENTINEL_ROW}: {sent:.3f}s shift={shift}",
+          file=sys.stderr)
+
     out = {}
     for name in rows:
         runs = []

@@ -45,6 +45,21 @@ class SurveyDesign:
     # correction; a census stratum (n_h = N_h) contributes zero
     # variance.  Estimation (point values, weights) is unchanged.
     fpc_col: str | None = None
+    # Two-stage cluster sampling — ``svydesign(ids=~psu)`` (r14): a
+    # column naming each element's first-stage sampling unit.  The
+    # reference constructs only ``ids=~1`` (every row its own cluster,
+    # ``RegDI2.R:181-185``), but a survey user's first generalization is
+    # PSU sampling; estimation (point values, weights) is unchanged and
+    # the linearization variance becomes the with-replacement
+    # FIRST-STAGE approximation: per-stratum variance of weighted PSU
+    # totals with the n_h/(n_h-1) correction, n_h = number of sampled
+    # PSUs in stratum h (the ``survey`` package's default
+    # ``options(survey.lonely.psu=)``-free behavior).  PSUs must nest
+    # within strata.  With ``fpc_col`` set, N_h is the POPULATION count
+    # of PSUs in the stratum (not elements).  Calibrated designs with a
+    # psu_col refuse (the element-level calibration Gram is not a PSU
+    # aggregate); the BRR replicate path covers that combination.
+    psu_col: str | None = None
 
     def __post_init__(self) -> None:
         cols = set(self.df.columns)

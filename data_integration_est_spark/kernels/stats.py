@@ -97,6 +97,77 @@ def _strat_var(pieces: list[tuple]) -> float:
     return v
 
 
+def _psu_collapse(
+    df: DataFrame,
+    design: SurveyDesign,
+    y_col: str,
+    group_cols: list[str],
+) -> tuple[DataFrame, dict | None]:
+    """Two-stage cluster designs (``svydesign(ids=~psu)``, r14): collapse
+    element rows to ONE pseudo-element per (group, stratum, PSU).
+
+    The with-replacement first-stage linearization treats the weighted
+    PSU total z_hc = Σ_{i∈c} w_i u_i as the sampling unit, so the
+    element-level machinery applies unchanged to pseudo-elements with
+    w' = Σ_{i∈c} w_i  and  y' = (Σ w_i y_i) / (Σ w_i):
+    every w-weighted moment (Σw'y' = Σwy, Σw' = Σw) is preserved, and
+    the w'²-Gram of [1, y'] is exactly the PSU-total Gram
+    Σ_c (Σ_i w_i z_i)(Σ_i w_i z_j) the linearization needs.  One extra
+    map-side-combining groupBy — still a fully distributed two-level
+    aggregation, no driver data.
+
+    Returns (collapsed_df, full_psu_counts).  ``full_psu_counts`` maps
+    each stratum value -> number of sampled PSUs in the FULL design; it
+    is None when ``group_cols`` is empty (the in-group PSU count is
+    already the full count).  For grouped/domain estimation the d.o.f.
+    and (Σz)²/n_h term must use the full-design PSU count — PSUs with
+    no in-domain elements contribute z = 0 to the stratum sums (which
+    collapsing drops for free) but still count as sampled PSUs
+    (``survey`` domain-estimation semantics).
+    """
+    strat, psu, fpc = design.strata_col, design.psu_col, design.fpc_col
+    w = F.col(design.weight_col).cast("double")
+    y = F.col(y_col).cast("double")
+    keys = group_cols + ([strat] if strat else []) + [psu]
+    aggs = [F.sum(w).alias("__psu_w__"), F.sum(w * y).alias("__psu_wy__")]
+    if fpc:
+        aggs.append(F.max(F.col(fpc).cast("double")).alias(fpc))
+    collapsed = (
+        df.groupBy(*keys)
+        .agg(*aggs)
+        .select(
+            *group_cols,
+            *([strat] if strat else []),
+            F.col("__psu_w__").alias(design.weight_col),
+            (F.col("__psu_wy__") / F.col("__psu_w__")).alias(y_col),
+            *([fpc] if fpc else []),
+        )
+    )
+    full_counts: dict | None = None
+    if group_cols:
+        if strat:
+            rows = df.groupBy(strat).agg(
+                F.countDistinct(psu).alias("__n_psu__")
+            ).collect()
+            full_counts = {r[strat]: int(r["__n_psu__"]) for r in rows}
+        else:
+            n = df.agg(F.countDistinct(psu)).first()[0]
+            full_counts = {None: int(n)}
+    return collapsed, full_counts
+
+
+def _psu_refuses_calibration(design: SurveyDesign, what: str) -> None:
+    if design.psu_col and design.is_calibrated:
+        raise NotImplementedError(
+            f"{what}: calibrated designs with a psu_col are not supported "
+            "— the element-level calibration Gram (Σ d x x') is not a PSU "
+            "aggregate, so the GREG residual projection cannot be formed "
+            "from PSU totals.  Use BRR replicate variance "
+            "(kernels.replicate) for calibrated cluster designs, or "
+            "calibrate at the PSU level."
+        )
+
+
 def svytotal(
     design: SurveyDesign, y_col: str, group_cols: list[str] | None = None
 ) -> list[EstimateRow]:
@@ -111,12 +182,19 @@ def svytotal(
     group_cols = list(group_cols or [])
     strat = design.strata_col
     fpc = design.fpc_col
+    _psu_refuses_calibration(design, "svytotal")
     if design.is_calibrated and design.calibration_cols:
         return _svytotal_calibrated(design, y_col, group_cols)
     df = design.df.na.drop(
         subset=[y_col, design.weight_col] + ([strat] if strat else [])
         + ([fpc] if fpc else [])
+        + ([design.psu_col] if design.psu_col else [])
     )
+    full_psu_n = None
+    if design.psu_col:
+        # cluster design: pseudo-elements are PSU totals; n becomes the
+        # sampled-PSU count and the same formulas below apply unchanged
+        df, full_psu_n = _psu_collapse(df, design, y_col, group_cols)
     w = F.col(design.weight_col).cast("double")
     y = F.col(y_col).cast("double")
     wy = w * y
@@ -134,33 +212,41 @@ def svytotal(
     def _Nh(r):
         return float(r["__N__"]) if fpc else None
 
+    def _n_var(r, hval):
+        # domain estimation on a cluster design: d.o.f. and the
+        # (Σz)²/n_h term use the FULL-design sampled-PSU count
+        if full_psu_n is not None:
+            return full_psu_n[hval]
+        return int(r["__n__"])
+
     out = []
     if strat:
         by_group: dict[tuple, list] = {}
         for k, r in res.items():
-            by_group.setdefault(k[:-1], []).append(r)
+            by_group.setdefault(k[:-1], []).append((k[-1], r))
         for k, rows in by_group.items():
-            t = sum(r["__t__"] or 0.0 for r in rows)
-            n = sum(int(r["__n__"]) for r in rows)
+            t = sum(r["__t__"] or 0.0 for _, r in rows)
+            n = sum(int(r["__n__"]) for _, r in rows)
             v = _strat_var([
-                (int(r["__n__"]), r["__t__"] or 0.0, r["__t2__"] or 0.0,
-                 _fpc_factor(int(r["__n__"]), _Nh(r)))
-                for r in rows
+                (_n_var(r, h), r["__t__"] or 0.0, r["__t2__"] or 0.0,
+                 _fpc_factor(_n_var(r, h), _Nh(r)))
+                for h, r in rows
             ])
             out.append(EstimateRow(key=k, estimate=float(t), variance=float(v), n=n))
         return out
     for k, r in res.items():
         n = int(r["__n__"])
+        n_v = _n_var(r, None)
         t = r["__t__"] or 0.0
         t2 = r["__t2__"] or 0.0
-        f = _fpc_factor(n, _Nh(r))
+        f = _fpc_factor(n_v, _Nh(r))
         # f * n/(n-1) * (sum z^2 - n*zbar^2), z = w*y
         if f == 0.0:
             v = 0.0
-        elif n < 2:
+        elif n_v < 2:
             v = float("nan")
         else:
-            v = f * n / (n - 1.0) * (t2 - t * t / n)
+            v = f * n_v / (n_v - 1.0) * (t2 - t * t / n_v)
         out.append(EstimateRow(key=k, estimate=float(t), variance=float(v), n=n))
     return out
 
@@ -293,12 +379,22 @@ def svymean(
     group_cols = list(group_cols or [])
     strat = design.strata_col
     fpc = design.fpc_col
+    _psu_refuses_calibration(design, "svymean")
     xcols = list(design.calibration_cols or []) if design.is_calibrated else []
     kx = len(xcols)
     subset = [y_col, design.weight_col] + (
         [design.base_weight_col] if design.is_calibrated else []
-    ) + xcols + ([strat] if strat else []) + ([fpc] if fpc else [])
+    ) + xcols + ([strat] if strat else []) + ([fpc] if fpc else []) + (
+        [design.psu_col] if design.psu_col else []
+    )
     df = design.df.na.drop(subset=list(dict.fromkeys(subset)))
+    full_psu_n = None
+    if design.psu_col:
+        # cluster design (r14): pseudo-elements carry the per-PSU
+        # w-sums, so the w²-Gram below IS the PSU-total Gram and the
+        # element-level linearization applies unchanged (kx = 0 here —
+        # calibrated+psu refused above)
+        df, full_psu_n = _psu_collapse(df, design, y_col, group_cols)
     w = F.col(design.weight_col).cast("double")
     y = F.col(y_col).cast("double")
     xs = [F.col(c).cast("double") for c in xcols]
@@ -336,21 +432,28 @@ def svymean(
     if strat:
         grouped: dict[tuple, list] = {}
         for key, r in res.items():
-            grouped.setdefault(key[:-1], []).append(r)
+            grouped.setdefault(key[:-1], []).append((key[-1], r))
         items = [(k, rows) for k, rows in grouped.items()]
     else:
-        items = [(k, [r]) for k, r in res.items()]
+        items = [(k, [(None, r)]) for k, r in res.items()]
+
+    def _n_var(r, hval):
+        # domain estimation on a cluster design: d.o.f. and the
+        # (Σu)²/n_h term use the FULL-design sampled-PSU count
+        if full_psu_n is not None:
+            return full_psu_n[hval]
+        return int(r["n"])
 
     out: list[EstimateRow] = []
     for key, rows in items:
-        n = sum(int(r["n"]) for r in rows)
-        sw = sum(_f(r, "sw") for r in rows)
-        m = sum(_f(r, "swy") for r in rows) / sw
+        n = sum(int(r["n"]) for _, r in rows)
+        sw = sum(_f(r, "sw") for _, r in rows)
+        m = sum(_f(r, "swy") for _, r in rows) / sw
 
         if design.is_calibrated and kx:
             G = np.zeros((kx, kx))
             rhs = np.zeros(kx)
-            for r in rows:
+            for _, r in rows:
                 for i in range(kx):
                     for j in range(i, kx):
                         v = _f(r, f"g_{i}_{j}")
@@ -366,7 +469,7 @@ def svymean(
 
         # per-stratum (or single-block) influence sums with the GLOBAL m, B
         pieces = []
-        for r in rows:
+        for hval, r in rows:
             sum_we = _f(r, "swy") - m * _f(r, "sw") - sum(
                 B[j] * _f(r, f"swx_{j}") for j in range(kx)
             )
@@ -377,8 +480,8 @@ def svymean(
             # Σw²e² via the quadratic form: e = [1, y, x]·(-m, 1, -B)
             sum_w2e2 = float(c @ q @ c)
             pieces.append((
-                int(r["n"]), sum_we / sw, sum_w2e2 / (sw * sw),
-                _fpc_factor(int(r["n"]),
+                _n_var(r, hval), sum_we / sw, sum_w2e2 / (sw * sw),
+                _fpc_factor(_n_var(r, hval),
                             float(r["__N__"]) if fpc else None),
             ))
 
@@ -388,10 +491,10 @@ def svymean(
             n_h, s1, s2, f = pieces[0]
             if f == 0.0:
                 v = 0.0
-            elif n < 2:
+            elif n_h < 2:
                 v = float("nan")
             else:
-                v = f * n / (n - 1.0) * (s2 - s1 * s1 / n)
+                v = f * n_h / (n_h - 1.0) * (s2 - s1 * s1 / n_h)
         out.append(EstimateRow(key=key, estimate=float(m), variance=float(v), n=n))
     return out
 

@@ -1,0 +1,179 @@
+"""Two-stage cluster (PSU) designs — ``svydesign(ids=~psu)`` (r14).
+
+The reference only ever constructs ``ids=~1`` (every element its own
+cluster, ``RegDI2.R:181-185``), which the engine has always matched;
+this round adds the with-replacement FIRST-STAGE linearization for real
+PSU sampling: per-stratum variance of weighted PSU totals with the
+n_h/(n_h-1) correction (n_h = sampled PSUs in stratum h), optional
+first-stage fpc (N_h = population PSUs).  Checks here:
+
+- numpy oracle: svymean/svytotal variance equals the closed-form PSU
+  linearization computed directly from the fixture arrays;
+- ids=~1 degeneracy: a psu_col with one element per PSU reproduces the
+  element-level design bit-for-bit;
+- BRR cross-check: on a 2-PSU-per-stratum fixture the BRR replicate SE
+  of the mean approximates the linearization SE;
+- domain estimation uses FULL-design PSU counts (a group that misses
+  some PSUs keeps the design d.o.f.);
+- calibrated + psu refuses with an actionable message.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_est_spark.design import SurveyDesign
+from data_integration_est_spark.kernels.stats import svymean, svytotal
+
+
+def _fixture(spark, n=400, n_psu=40, n_strata=4, seed=7):
+    """Deterministic element table: PSU nests in stratum (psu % n_strata)."""
+    rng = np.random.default_rng(seed)
+    psu = rng.integers(0, n_psu, size=n)
+    h = psu % n_strata
+    w = 1.0 + (rng.integers(0, 10, size=n)).astype(float)
+    # cluster-correlated outcome: a PSU effect plus element noise
+    psu_eff = rng.normal(0, 2.0, size=n_psu)
+    y = 10.0 + psu_eff[psu] + rng.normal(0, 1.0, size=n)
+    grp = rng.integers(0, 2, size=n)
+    rows = [(int(i), int(psu[i]), int(h[i]), float(w[i]), float(y[i]),
+             int(grp[i])) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "id long, psu long, h long, w double, y double, g long"
+    )
+    return df, psu, h, w, y, grp
+
+
+def _np_psu_mean_var(psu, h, w, y, fpc_by_h=None, domain=None):
+    """Closed-form PSU linearization for the mean: u_c = Σ_{i∈c} w_i
+    (y_i - m)/sw; V = Σ_h f_h n_h/(n_h-1)(Σu² - (Σu)²/n_h) with n_h the
+    FULL-design sampled-PSU count."""
+    sel = np.ones(len(y), bool) if domain is None else domain
+    sw = float(np.sum(w[sel]))
+    m = float(np.sum(w[sel] * y[sel]) / sw)
+    v = 0.0
+    for hv in np.unique(h):
+        n_h = len(np.unique(psu[h == hv]))  # full design, not domain
+        us = []
+        for c in np.unique(psu[(h == hv) & sel]):
+            mask = (psu == c) & sel
+            us.append(np.sum(w[mask] * (y[mask] - m)) / sw)
+        us = np.asarray(us)
+        f = 1.0
+        if fpc_by_h is not None:
+            f = max(0.0, 1.0 - n_h / float(fpc_by_h[int(hv)]))
+        s1, s2 = float(us.sum()), float((us ** 2).sum())
+        v += f * n_h / (n_h - 1.0) * (s2 - s1 * s1 / n_h)
+    return m, v
+
+
+def test_svymean_psu_matches_numpy_oracle(spark):
+    df, psu, h, w, y, _ = _fixture(spark)
+    des = SurveyDesign(df=df, weight_col="w", strata_col="h", psu_col="psu")
+    est = svymean(des, "y")[0]
+    m, v = _np_psu_mean_var(psu, h, w, y)
+    assert est.estimate == pytest.approx(m, rel=1e-12)
+    assert est.variance == pytest.approx(v, rel=1e-9)
+
+
+def test_svymean_psu_fpc_matches_numpy_oracle(spark):
+    df, psu, h, w, y, _ = _fixture(spark)
+    fpc_by_h = {hv: 50.0 * (hv + 1) for hv in range(4)}  # population PSUs
+    dff = df.withColumn(
+        "Npsu", (F.col("h") + 1).cast("double") * F.lit(50.0)
+    )
+    des = SurveyDesign(df=dff, weight_col="w", strata_col="h",
+                       psu_col="psu", fpc_col="Npsu")
+    est = svymean(des, "y")[0]
+    m, v = _np_psu_mean_var(psu, h, w, y, fpc_by_h=fpc_by_h)
+    assert est.estimate == pytest.approx(m, rel=1e-12)
+    assert est.variance == pytest.approx(v, rel=1e-9)
+
+
+def test_svytotal_psu_matches_numpy_oracle(spark):
+    df, psu, h, w, y, _ = _fixture(spark)
+    des = SurveyDesign(df=df, weight_col="w", strata_col="h", psu_col="psu")
+    est = svytotal(des, "y")[0]
+    t = float(np.sum(w * y))
+    v = 0.0
+    for hv in np.unique(h):
+        zs = np.asarray([np.sum(w[psu == c] * y[psu == c])
+                         for c in np.unique(psu[h == hv])])
+        n_h = len(zs)
+        v += n_h / (n_h - 1.0) * float(((zs - zs.mean()) ** 2).sum())
+    assert est.estimate == pytest.approx(t, rel=1e-12)
+    assert est.variance == pytest.approx(v, rel=1e-9)
+
+
+def test_psu_one_element_per_cluster_degenerates_to_element_design(spark):
+    df, *_ = _fixture(spark)
+    # ids=~id: every element its own PSU == the reference's ids=~1
+    elem = SurveyDesign(df=df, weight_col="w", strata_col="h")
+    clus = SurveyDesign(df=df, weight_col="w", strata_col="h", psu_col="id")
+    e1, e2 = svymean(elem, "y")[0], svymean(clus, "y")[0]
+    assert e2.estimate == pytest.approx(e1.estimate, rel=1e-12)
+    assert e2.variance == pytest.approx(e1.variance, rel=1e-10)
+    t1, t2 = svytotal(elem, "y")[0], svytotal(clus, "y")[0]
+    assert t2.estimate == pytest.approx(t1.estimate, rel=1e-12)
+    assert t2.variance == pytest.approx(t1.variance, rel=1e-10)
+
+
+def test_psu_clustering_inflates_variance_vs_element_design(spark):
+    # the whole point of cluster designs: with a real PSU effect the
+    # element-level ids=~1 variance is an UNDERESTIMATE
+    df, psu, h, w, y, _ = _fixture(spark)
+    elem = SurveyDesign(df=df, weight_col="w", strata_col="h")
+    clus = SurveyDesign(df=df, weight_col="w", strata_col="h", psu_col="psu")
+    assert svymean(clus, "y")[0].variance > svymean(elem, "y")[0].variance
+
+
+def test_brr_cross_check_two_psu_per_stratum(spark):
+    """On the canonical 2-PSU-per-stratum design, BRR and linearization
+    estimate the same variance (they agree exactly for totals on
+    balanced designs; for the ratio-mean within a few percent)."""
+    from data_integration_est_spark.kernels.replicate import brr_mean
+
+    rng = np.random.default_rng(11)
+    n_strata, n_per = 16, 12
+    rows = []
+    rid = 0
+    for hv in range(n_strata):
+        for p in (0, 1):
+            eff = rng.normal(0, 1.5)
+            for _ in range(n_per):
+                rows.append((rid, hv, p, float(1 + rng.integers(0, 5)),
+                             float(20 + eff + rng.normal(0, 1.0))))
+                rid += 1
+    df = spark.createDataFrame(
+        rows, "id long, h long, psu long, w double, y double"
+    )
+    des = SurveyDesign(df=df, weight_col="w", strata_col="h",
+                       psu_col="psu")
+    lin = svymean(des, "y")[0]
+    brr = brr_mean(df, "y", strata_col="h", psu_col="psu",
+                   weight_col="w").first()
+    assert brr["mean"] == pytest.approx(lin.estimate, abs=1e-6)  # 6-dp output
+    assert brr["se_brr"] == pytest.approx(lin.se, rel=0.10)
+
+
+def test_psu_domain_uses_full_design_psu_counts(spark):
+    df, psu, h, w, y, grp = _fixture(spark)
+    des = SurveyDesign(df=df, weight_col="w", strata_col="h", psu_col="psu")
+    out = {r.key[0]: r for r in svymean(des, "y", group_cols=["g"])}
+    for gv in (0, 1):
+        m, v = _np_psu_mean_var(psu, h, w, y, domain=(grp == gv))
+        assert out[gv].estimate == pytest.approx(m, rel=1e-12)
+        assert out[gv].variance == pytest.approx(v, rel=1e-9)
+
+
+def test_calibrated_psu_design_refuses(spark):
+    df, *_ = _fixture(spark)
+    des = SurveyDesign(df=df.withColumn("one", F.lit(1.0)), weight_col="w",
+                       strata_col="h", psu_col="psu",
+                       calibration_cols=["one"], base_weight_col="w")
+    with pytest.raises(NotImplementedError, match="BRR"):
+        svymean(des, "y")
+    with pytest.raises(NotImplementedError, match="BRR"):
+        svytotal(des, "y")

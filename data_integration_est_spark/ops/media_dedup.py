@@ -120,6 +120,72 @@ def dhash_images(
     ).mapInPandas(run, DHASH_SCHEMA)
 
 
+FRAME_DHASH_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("bands", ArrayType(IntegerType()), True),
+])
+
+
+def dhash_frames(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    every_n: int = 1,
+) -> DataFrame:
+    """Frame-sampled dHash over multi-frame PPM streams (r14: executed
+    frame extraction, upgrading the metadata-only ``sample_frames``
+    plan).  One Arrow-batched ``mapInPandas`` pass splits each stream
+    (``multimodal.split_ppm_stream``), keeps every ``every_n``-th frame
+    (indices 0, every_n, 2·every_n, ...), and dHashes it — stream bytes
+    live only for one batch; (media_id, frame_idx, 8 band ints) flow
+    on.  Undecodable streams emit ONE null-bands row at frame_idx -1 so
+    callers can count refusals; unpoolable frames emit null bands at
+    their index.  The per-frame ids feed ``hamming_neardup_stats`` for
+    cross-media near-dup exactly like image ids do."""
+    from data_integration_est_spark.ops.multimodal import split_ppm_stream
+
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            bands_out: list[list[int] | None] = []
+            for mid, content in zip(b[id_col], b[content_col]):
+                if content is None:
+                    continue
+                raw = bytes(content)
+                try:
+                    frames = split_ppm_stream(raw)
+                except (NotImplementedError, ValueError):
+                    ids.append(mid)
+                    idxs.append(-1)
+                    bands_out.append(None)
+                    continue
+                for fi in range(0, len(frames), every_n):
+                    bands = None
+                    try:
+                        pix = decode_ppm(frames[fi])
+                        if pix.ndim == 2:
+                            pix = pix[:, :, None]
+                        bands = dhash_bands(pix)
+                    except (NotImplementedError, ValueError):
+                        bands = None
+                    ids.append(mid)
+                    idxs.append(fi)
+                    bands_out.append(bands)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "bands": bands_out}
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(content_col).alias(content_col),
+    ).mapInPandas(run, FRAME_DHASH_SCHEMA)
+
+
 def hamming_neardup_pairs(
     hashes: DataFrame,
     max_distance: int = 7,

@@ -227,6 +227,78 @@ def extract_features(
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def _ppm_frame_end(content: bytes, off: int) -> int:
+    """End offset of the P6/P5 frame starting at ``off`` in a
+    concatenated multi-frame PPM stream (header whitespace/# comments
+    handled exactly like ``decode_ppm``)."""
+    magic = content[off : off + 2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary PPM/PGM frame at offset {off}")
+    channels = 3 if magic == b"P6" else 1
+    pos = off + 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(content[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    end = pos + w * h * channels
+    if end > len(content):
+        raise ValueError(
+            f"truncated PPM frame at offset {off}: header promises "
+            f"{w}x{h}x{channels} bytes past the stream end"
+        )
+    return end
+
+
+def split_ppm_stream(content: bytes) -> list[bytes]:
+    """Split a concatenated multi-frame binary PPM/PGM stream (the
+    uncompressed 'video' container this environment CAN decode — P6/P5
+    frames back to back, each self-describing via its header) into
+    per-frame blobs.  Executed frame EXTRACTION (r14), upgrading the
+    decode-free ``sample_frames`` plan: each returned blob feeds
+    ``decode_ppm`` / ``media_dedup.dhash_bands`` unchanged."""
+    frames: list[bytes] = []
+    off = 0
+    while off < len(content):
+        end = _ppm_frame_end(content, off)
+        frames.append(content[off:end])
+        off = end
+    return frames
+
+
+def wav_windows(
+    content: bytes, window_ms: int = 250, hop_ms: int | None = None
+) -> list[tuple[int, np.ndarray]]:
+    """Fixed-length PCM windows from a RIFF/WAV blob — the audio
+    analogue of frame sampling (r14): (start_ms, samples[int16,
+    (n, channels)]) tuples, hop defaulting to the window (no overlap).
+    The trailing partial window is kept (real pipelines score it too);
+    an empty data chunk yields no windows."""
+    rate, n_ch, samples = decode_wav(content)
+    if hop_ms is None:
+        hop_ms = window_ms
+    win = max(1, rate * window_ms // 1000)
+    hop = max(1, rate * hop_ms // 1000)
+    out: list[tuple[int, np.ndarray]] = []
+    for start in range(0, len(samples), hop):
+        chunk = samples[start : start + win]
+        if chunk.size == 0:
+            break
+        out.append((start * 1000 // rate, chunk))
+    return out
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: emits (media_id, frame_ts_ms)
     pairs from the typed metadata WITHOUT decoding — pure Column exprs, so

@@ -118,17 +118,19 @@ def test_registry_window_contract():
     assert len(names) >= 50
     window = names[:50]
     rows_only = [n for n in window if REGISTRY[n][1] is None]
-    # embedding_neardup_lsh re-gates because the sf10 probe changed its
-    # code (adaptive bucket bits); it is engine-seeded (sanctioned
-    # rows-only) and its oracle-checked twin embedding_neardup_check
-    # sits beside it in the window
-    assert rows_only == ["embedding_neardup_lsh"], rows_only
-    # the r13 composition: the r6/r7/r9 staleness tranches lead, the
-    # round's code-touched rows and the new capability row close it
-    for n in ("dup_components", "jackknife_ratio_events",
-              "dedup_corpus_stats", "ngram_jaccard",
-              "stream_decontam_summary", "media_phash_neardup",
-              "ivfpq_knn_recall"):
+    # the r14 window is FULLY oracle-backed: every row hash-certifies
+    # (the seeded studies and engine-hash diagnostics ride the tail on
+    # their r12/r13 records)
+    assert rows_only == [], rows_only
+    # the r14 composition: r9/r10 staleness tranches lead, the new
+    # capability rows and the round's code-touched rows follow, the r11
+    # estimator family closes it (_R14_WINDOW in entry_queries.py)
+    for n in ("quantile_monitor_summary", "svycov_events",
+              "hll_distinct_users", "anova_orders",
+              "svymean_cluster_events", "media_frame_neardup",
+              "ngram_jaccard", "fs_linkage_patterns",
+              "pq_knn_recall", "ivfpq_knn_recall",
+              "regdi_c0", "pc_s1", "mc_deterministic_study"):
         assert n in window, n
     for n, (fn, sql) in REGISTRY.items():
         assert callable(fn), n

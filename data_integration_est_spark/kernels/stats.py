@@ -100,7 +100,7 @@ def _strat_var(pieces: list[tuple]) -> float:
 def _psu_collapse(
     df: DataFrame,
     design: SurveyDesign,
-    y_col: str,
+    value_cols: list[str] | str,
     group_cols: list[str],
 ) -> tuple[DataFrame, dict | None]:
     """Two-stage cluster designs (``svydesign(ids=~psu)``, r14): collapse
@@ -109,12 +109,15 @@ def _psu_collapse(
     The with-replacement first-stage linearization treats the weighted
     PSU total z_hc = Σ_{i∈c} w_i u_i as the sampling unit, so the
     element-level machinery applies unchanged to pseudo-elements with
-    w' = Σ_{i∈c} w_i  and  y' = (Σ w_i y_i) / (Σ w_i):
-    every w-weighted moment (Σw'y' = Σwy, Σw' = Σw) is preserved, and
-    the w'²-Gram of [1, y'] is exactly the PSU-total Gram
-    Σ_c (Σ_i w_i z_i)(Σ_i w_i z_j) the linearization needs.  One extra
-    map-side-combining groupBy — still a fully distributed two-level
-    aggregation, no driver data.
+    w' = Σ_{i∈c} w_i  and  v' = (Σ w_i v_i) / (Σ w_i)  per value
+    column v: every w-weighted moment (Σw'v' = Σwv, Σw' = Σw) is
+    preserved, and any w'²-Gram over [1, v1', v2', ...] is exactly the
+    PSU-total Gram Σ_c (Σ_i w_i z_i)(Σ_i w_i z_j) the linearization
+    needs — valid whenever the estimator's influence is LINEAR in the
+    value columns (svymean/svytotal: [y]; svyratio: [num, den];
+    svyvar: [y, y²] with y² materialized as its own element column
+    BEFORE collapsing).  One extra map-side-combining groupBy — still a
+    fully distributed two-level aggregation, no driver data.
 
     Returns (collapsed_df, full_psu_counts).  ``full_psu_counts`` maps
     each stratum value -> number of sampled PSUs in the FULL design; it
@@ -125,11 +128,15 @@ def _psu_collapse(
     collapsing drops for free) but still count as sampled PSUs
     (``survey`` domain-estimation semantics).
     """
+    if isinstance(value_cols, str):
+        value_cols = [value_cols]
     strat, psu, fpc = design.strata_col, design.psu_col, design.fpc_col
     w = F.col(design.weight_col).cast("double")
-    y = F.col(y_col).cast("double")
     keys = group_cols + ([strat] if strat else []) + [psu]
-    aggs = [F.sum(w).alias("__psu_w__"), F.sum(w * y).alias("__psu_wy__")]
+    aggs = [F.sum(w).alias("__psu_w__")] + [
+        F.sum(w * F.col(v).cast("double")).alias(f"__psu_wv_{i}__")
+        for i, v in enumerate(value_cols)
+    ]
     if fpc:
         aggs.append(F.max(F.col(fpc).cast("double")).alias(fpc))
     collapsed = (
@@ -139,7 +146,10 @@ def _psu_collapse(
             *group_cols,
             *([strat] if strat else []),
             F.col("__psu_w__").alias(design.weight_col),
-            (F.col("__psu_wy__") / F.col("__psu_w__")).alias(y_col),
+            *[
+                (F.col(f"__psu_wv_{i}__") / F.col("__psu_w__")).alias(v)
+                for i, v in enumerate(value_cols)
+            ],
             *([fpc] if fpc else []),
         )
     )
@@ -524,8 +534,14 @@ def svyratio(
     the linearized variable t_i = y_i - R x_i is residualized against
     the calibration columns, e_i = t_i - xc_i'B with B solving
     (Σ d xc xc') B = Σ d xc t over the pre-calibration weights d;
-    influence z_i = w_i e_i / Σ(w x)."""
+    influence z_i = w_i e_i / Σ(w x).
+
+    Cluster designs (r14, ``psu_col``): the influence is linear in
+    (y, x), so the PSU pseudo-element collapse applies directly — the
+    w²-Gram of (y, x) becomes the PSU-total Gram and the same formulas
+    run unchanged on one-row-per-PSU input."""
     group_cols = list(group_cols or [])
+    _psu_refuses_calibration(design, "svyratio")
     if design.is_calibrated and design.calibration_cols:
         return _svyratio_calibrated(design, num_col, den_col, group_cols)
     strat = design.strata_col
@@ -533,7 +549,13 @@ def svyratio(
     df = design.df.na.drop(
         subset=[num_col, den_col, design.weight_col] + ([strat] if strat else [])
         + ([fpc] if fpc else [])
+        + ([design.psu_col] if design.psu_col else [])
     )
+    full_psu_n = None
+    if design.psu_col:
+        df, full_psu_n = _psu_collapse(
+            df, design, [num_col, den_col], group_cols
+        )
     w = F.col(design.weight_col).cast("double")
     y = F.col(num_col).cast("double")
     x = F.col(den_col).cast("double")
@@ -553,19 +575,24 @@ def svyratio(
     if strat:
         grouped: dict[tuple, list] = {}
         for k, r in res.items():
-            grouped.setdefault(k[:-1], []).append(r)
+            grouped.setdefault(k[:-1], []).append((k[-1], r))
         items = [(k, rows) for k, rows in grouped.items()]
     else:
-        items = [(k, [r]) for k, r in res.items()]
+        items = [(k, [(None, r)]) for k, r in res.items()]
 
     def _f(r, name):
         return float(r[name] or 0.0)
 
+    def _n_var(r, hval):
+        if full_psu_n is not None:
+            return full_psu_n[hval]
+        return int(r["n"])
+
     out: list[EstimateRow] = []
     for k, rows in items:
-        n = sum(int(r["n"]) for r in rows)
-        swy = sum(_f(r, "swy") for r in rows)
-        swx = sum(_f(r, "swx") for r in rows)
+        n = sum(int(r["n"]) for _, r in rows)
+        swy = sum(_f(r, "swy") for _, r in rows)
+        swx = sum(_f(r, "swx") for _, r in rows)
         if swx == 0.0:
             out.append(EstimateRow(key=k, estimate=float("nan"),
                                    variance=float("nan"), n=n))
@@ -574,25 +601,26 @@ def svyratio(
         # per piece: sum_h w(y-Rx) and sum_h w^2 (y-Rx)^2 in moments,
         # scaled by the GROUP-level denominator sum(w x)
         pieces = []
-        for r in rows:
+        for hval, r in rows:
             s_h = (_f(r, "swy") - R * _f(r, "swx")) / swx
             q_h = (
                 _f(r, "qyy") - 2.0 * R * _f(r, "qxy") + R * R * _f(r, "qxx")
             ) / (swx * swx)
             pieces.append((
-                int(r["n"]), s_h, q_h,
-                _fpc_factor(int(r["n"]), float(r["__N__"]) if fpc else None),
+                _n_var(r, hval), s_h, q_h,
+                _fpc_factor(_n_var(r, hval),
+                            float(r["__N__"]) if fpc else None),
             ))
         if strat or len(pieces) > 1:
             v = _strat_var(pieces)
         else:
-            f = pieces[0][3]
+            n_h, s1_p, q_p, f = pieces[0]
             if f == 0.0:
                 v = 0.0
-            elif n < 2:
+            elif n_h < 2:
                 v = float("nan")
             else:
-                v = f * n / (n - 1.0) * (pieces[0][2] - pieces[0][1] ** 2 / n)
+                v = f * n_h / (n_h - 1.0) * (q_p - s1_p ** 2 / n_h)
         out.append(EstimateRow(key=k, estimate=float(R), variance=float(v), n=n))
     return out
 
@@ -1048,8 +1076,17 @@ def svyvar(
     svyratio: the linearized variable h_i = (y_i - m)^2 - V is
     residualized against the calibration columns, e_i = h_i - xc_i'B
     with B solving (Σ d xc xc') B = Σ d xc h over the pre-calibration
-    weights d; influence z_i = w_i e_i / Σw."""
+    weights d; influence z_i = w_i e_i / Σw.
+
+    r14: the w²-moments are organized as the Gram of z = [1, y, y²]
+    (algebraically identical to the old Σw²y^k expansion — the
+    linearized variable is z·(c, -2m, 1) with c = m² - V), because on
+    a CLUSTER design (``psu_col``) the influence is linear in (y, y²)
+    only when y² is its own collapsed value column: a pseudo-element's
+    y'² is NOT the PSU mean of y², so y² is materialized
+    element-level BEFORE the PSU collapse."""
     group_cols = list(group_cols or [])
+    _psu_refuses_calibration(design, "svyvar")
     if design.is_calibrated and design.calibration_cols:
         return _svyvar_calibrated(design, y_col, group_cols)
     strat = design.strata_col
@@ -1057,16 +1094,31 @@ def svyvar(
     df = design.df.na.drop(
         subset=[y_col, design.weight_col] + ([strat] if strat else [])
         + ([fpc] if fpc else [])
+        + ([design.psu_col] if design.psu_col else [])
     )
+    full_psu_n = None
     w = F.col(design.weight_col).cast("double")
     y = F.col(y_col).cast("double")
+    if design.psu_col:
+        df = df.withColumn("__y2__", y * y)
+        df, full_psu_n = _psu_collapse(
+            df, design, [y_col, "__y2__"], group_cols
+        )
+        y2 = F.col("__y2__").cast("double")
+    else:
+        y2 = y * y
     w2 = w * w
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.sum(w).alias("sw"),
         F.sum(w * y).alias("swy"),
-        F.sum(w * y * y).alias("swy2"),
-        *[F.sum(w2 * F.pow(y, k)).alias(f"s{k}") for k in range(5)],
+        F.sum(w * y2).alias("swy2"),
+        F.sum(w2).alias("q00"),
+        F.sum(w2 * y).alias("q01"),
+        F.sum(w2 * y2).alias("q02"),
+        F.sum(w2 * y * y).alias("q11"),
+        F.sum(w2 * y * y2).alias("q12"),
+        F.sum(w2 * y2 * y2).alias("q22"),
         *([F.max(F.col(fpc).cast("double")).alias("__N__")] if fpc else []),
     ]
     res = _collect_keyed(df, group_cols + ([strat] if strat else []), aggs)
@@ -1074,36 +1126,44 @@ def svyvar(
     def _f(r, name):
         return float(r[name] or 0.0)
 
+    def _n_var(r, hval):
+        if full_psu_n is not None:
+            return full_psu_n[hval]
+        return int(r["n"])
+
     if strat:
         grouped: dict[tuple, list] = {}
         for key, r in res.items():
-            grouped.setdefault(key[:-1], []).append(r)
+            grouped.setdefault(key[:-1], []).append((key[-1], r))
         items = [(k, rows) for k, rows in grouped.items()]
     else:
-        items = [(k, [r]) for k, r in res.items()]
+        items = [(k, [(None, r)]) for k, r in res.items()]
 
     out: list[EstimateRow] = []
     for key, rows in items:
-        n = sum(int(r["n"]) for r in rows)
-        sw = sum(_f(r, "sw") for r in rows)
-        m = sum(_f(r, "swy") for r in rows) / sw
-        V = sum(_f(r, "swy2") for r in rows) / sw - m * m
+        n = sum(int(r["n"]) for _, r in rows)
+        sw = sum(_f(r, "sw") for _, r in rows)
+        m = sum(_f(r, "swy") for _, r in rows) / sw
+        V = sum(_f(r, "swy2") for _, r in rows) / sw - m * m
         c = m * m - V
         pieces = []
-        for r in rows:
-            # sum_h w((y-m)^2 - V) and sum_h w^2 ((y-m)^2 - V)^2
+        for hval, r in rows:
+            # sum_h w((y-m)^2 - V) and sum_h w^2 ((y-m)^2 - V)^2, the
+            # latter as the quadratic form of (c, -2m, 1) over the
+            # [1, y, y2] Gram
             s_h = (
                 _f(r, "swy2") - 2.0 * m * _f(r, "swy")
                 + (m * m - V) * _f(r, "sw")
             ) / sw
             q_h = (
-                _f(r, "s4") - 4.0 * m * _f(r, "s3")
-                + (4.0 * m * m + 2.0 * c) * _f(r, "s2")
-                - 4.0 * m * c * _f(r, "s1") + c * c * _f(r, "s0")
+                c * c * _f(r, "q00") - 4.0 * m * c * _f(r, "q01")
+                + 2.0 * c * _f(r, "q02") + 4.0 * m * m * _f(r, "q11")
+                - 4.0 * m * _f(r, "q12") + _f(r, "q22")
             ) / (sw * sw)
             pieces.append((
-                int(r["n"]), s_h, q_h,
-                _fpc_factor(int(r["n"]), float(r["__N__"]) if fpc else None),
+                _n_var(r, hval), s_h, q_h,
+                _fpc_factor(_n_var(r, hval),
+                            float(r["__N__"]) if fpc else None),
             ))
         if strat:
             var = _strat_var(pieces)
@@ -1111,10 +1171,10 @@ def svyvar(
             n_h, s1, s2, f = pieces[0]
             if f == 0.0:
                 var = 0.0
-            elif n < 2:
+            elif n_h < 2:
                 var = float("nan")
             else:
-                var = f * n / (n - 1.0) * (s2 - s1 * s1 / n)
+                var = f * n_h / (n_h - 1.0) * (s2 - s1 * s1 / n_h)
         out.append(EstimateRow(key=key, estimate=float(V), variance=float(var), n=n))
     return out
 

@@ -177,3 +177,70 @@ def test_calibrated_psu_design_refuses(spark):
         svymean(des, "y")
     with pytest.raises(NotImplementedError, match="BRR"):
         svytotal(des, "y")
+
+
+def test_svyratio_psu_matches_numpy_oracle(spark):
+    df, psu, h, w, y, _ = _fixture(spark)
+    from data_integration_est_spark.kernels.stats import svyratio
+
+    x = 1.0 + (np.arange(len(y)) % 4)
+    dfr = df.withColumn("x", 1.0 + (F.col("id") % 4).cast("double"))
+    des = SurveyDesign(df=dfr, weight_col="w", strata_col="h", psu_col="psu")
+    est = svyratio(des, "y", "x")[0]
+    swx = float(np.sum(w * x))
+    R = float(np.sum(w * y) / swx)
+    v = 0.0
+    for hv in np.unique(h):
+        us = np.asarray([
+            np.sum(w[psu == c] * (y[psu == c] - R * x[psu == c])) / swx
+            for c in np.unique(psu[h == hv])
+        ])
+        n_h = len(us)
+        s1, s2 = float(us.sum()), float((us ** 2).sum())
+        v += n_h / (n_h - 1.0) * (s2 - s1 * s1 / n_h)
+    assert est.estimate == pytest.approx(R, rel=1e-12)
+    assert est.variance == pytest.approx(v, rel=1e-9)
+
+
+def test_svyvar_psu_matches_numpy_oracle(spark):
+    df, psu, h, w, y, _ = _fixture(spark)
+    from data_integration_est_spark.kernels.stats import svyvar
+
+    des = SurveyDesign(df=df, weight_col="w", strata_col="h", psu_col="psu")
+    est = svyvar(des, "y")[0]
+    sw = float(np.sum(w))
+    m = float(np.sum(w * y) / sw)
+    V = float(np.sum(w * y * y) / sw - m * m)
+    v = 0.0
+    for hv in np.unique(h):
+        us = np.asarray([
+            np.sum(w[psu == c] * ((y[psu == c] - m) ** 2 - V)) / sw
+            for c in np.unique(psu[h == hv])
+        ])
+        n_h = len(us)
+        s1, s2 = float(us.sum()), float((us ** 2).sum())
+        v += n_h / (n_h - 1.0) * (s2 - s1 * s1 / n_h)
+    assert est.estimate == pytest.approx(V, rel=1e-12)
+    assert est.variance == pytest.approx(v, rel=1e-9)
+
+
+def test_svyratio_svyvar_psu_degeneracy_and_refusal(spark):
+    df, *_ = _fixture(spark)
+    from data_integration_est_spark.kernels.stats import svyratio, svyvar
+
+    dfr = df.withColumn("x", 1.0 + (F.col("id") % 4).cast("double"))
+    elem = SurveyDesign(df=dfr, weight_col="w", strata_col="h")
+    clus = SurveyDesign(df=dfr, weight_col="w", strata_col="h", psu_col="id")
+    r1, r2 = svyratio(elem, "y", "x")[0], svyratio(clus, "y", "x")[0]
+    assert r2.estimate == pytest.approx(r1.estimate, rel=1e-12)
+    assert r2.variance == pytest.approx(r1.variance, rel=1e-10)
+    v1, v2 = svyvar(elem, "y")[0], svyvar(clus, "y")[0]
+    assert v2.estimate == pytest.approx(v1.estimate, rel=1e-12)
+    assert v2.variance == pytest.approx(v1.variance, rel=1e-10)
+    cal = SurveyDesign(df=dfr.withColumn("one", F.lit(1.0)), weight_col="w",
+                       strata_col="h", psu_col="psu",
+                       calibration_cols=["one"], base_weight_col="w")
+    with pytest.raises(NotImplementedError, match="BRR"):
+        svyratio(cal, "y", "x")
+    with pytest.raises(NotImplementedError, match="BRR"):
+        svyvar(cal, "y")

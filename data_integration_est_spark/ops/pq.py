@@ -79,6 +79,36 @@ def _argmax_expr(arr_sql: str, k: int) -> Column:
     )
 
 
+# Above this many total centroids (m*k) the assignment/encode argmins
+# dispatch to the Arrow numpy twin below instead of codegen'd column
+# expressions: the SQL expression tree costs Catalyst seconds of
+# analysis/compilation PER ACTION at m=16/k=16 (256 argmin branches x
+# d_sub element_at terms — the r7 scale probe's documented envelope),
+# while the math itself is microseconds.  The expr path stays for
+# small codebooks where whole-stage codegen wins.
+_ARROW_MIN_CELLS = 64
+
+
+def _l2_argmax_np(X: np.ndarray, centroids: list[list[float]]) -> np.ndarray:
+    """BIT-EXACT numpy twin of ``_l2_score_sql`` + ``_argmax_expr``:
+    scores accumulate left-to-right per coordinate (the same IEEE-754
+    operation sequence as the SQL ``c0*x0 + c1*x1 + ...`` chain, so a
+    float tie or near-tie resolves identically), the -||c||²/2 offset
+    uses the same numpy-computed literal, and ties break to the LOWER
+    centroid index (``np.argmax`` first-max == the strict ``>``
+    accumulator).  Engine invariant: expr path and Arrow path produce
+    IDENTICAL codes on identical input — pinned by
+    ``tests/test_pq.py::test_arrow_and_expr_paths_bit_identical``."""
+    C = np.asarray(centroids, dtype=np.float64)
+    offs = 0.5 * (C * C).sum(axis=1)
+    X = X.astype(np.float64, copy=False)
+    scores = C[:, 0][None, :] * X[:, 0][:, None]
+    for j in range(1, C.shape[1]):
+        scores = scores + C[:, j][None, :] * X[:, j][:, None]
+    scores = scores - offs[None, :]
+    return np.argmax(scores, axis=1)
+
+
 def _subvec(vec_col: str, s: int, d_sub: int) -> Column:
     return F.slice(F.col(vec_col), s * d_sub + 1, d_sub)
 
@@ -136,17 +166,27 @@ def pq_train(
             books[r["__s__"]].append([float(v) for v in r["__sv__"]])
 
         for _ in range(n_iter):
-            # subspace-dispatched assignment: CASE WHEN s=0 THEN argmin_0 ...
-            assign = None
-            for s in range(m):
-                arr = _l2_score_sql("__sv__", books[s])
-                am = _argmax_expr(arr, len(books[s]))
-                assign = (
-                    F.when(F.col("__s__") == s, am) if assign is None
-                    else assign.when(F.col("__s__") == s, am)
+            if m * max(len(b) for b in books) >= _ARROW_MIN_CELLS:
+                # Arrow twin of the dispatched CASE below — identical
+                # codes (see _l2_argmax_np), micro-cost math instead of
+                # a 256-branch expression tree per iteration
+                assigned = _assign_subspace_arrow(sub, books)
+            else:
+                # subspace-dispatched assignment:
+                # CASE WHEN s=0 THEN argmin_0 ...
+                assign = None
+                for s in range(m):
+                    arr = _l2_score_sql("__sv__", books[s])
+                    am = _argmax_expr(arr, len(books[s]))
+                    assign = (
+                        F.when(F.col("__s__") == s, am) if assign is None
+                        else assign.when(F.col("__s__") == s, am)
+                    )
+                assigned = sub.select(
+                    "__s__", assign.alias("__c__"), "__sv__"
                 )
             agg_rows = (
-                sub.select("__s__", assign.alias("__c__"), "__sv__")
+                assigned
                 .groupBy("__s__", "__c__")
                 .agg(
                     F.count(F.lit(1)).alias("__n__"),
@@ -172,6 +212,44 @@ def pq_train(
         sub.unpersist()
 
 
+def _assign_subspace_arrow(sub: DataFrame, books) -> DataFrame:
+    """Arrow-batched Lloyd assignment over the exploded (subspace,
+    subvector) rows: (__s__, __c__, __sv__) with __c__ from the
+    bit-exact ``_l2_argmax_np``.  A map (no repartition), so the row
+    order feeding the downstream sum aggregation is unchanged — the
+    trained codebooks are bit-identical to the expression path's."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    src = sub.select("__s__", "__sv__")
+    schema = StructType([
+        src.schema["__s__"],
+        StructField("__c__", IntegerType(), False),
+        src.schema["__sv__"],
+    ])
+    bks = [list(b) for b in books]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            svs = np.stack([
+                np.asarray(v, dtype=np.float64) for v in b["__sv__"]
+            ])
+            ss = b["__s__"].to_numpy()
+            codes = np.empty(len(b), dtype=np.int32)
+            for s in np.unique(ss):
+                mask = ss == s
+                codes[mask] = _l2_argmax_np(svs[mask], bks[int(s)])
+            yield pd.DataFrame({
+                "__s__": b["__s__"], "__c__": codes, "__sv__": b["__sv__"],
+            })
+
+    return src.mapInPandas(run, schema)
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -179,10 +257,20 @@ def pq_encode(
     out_col: str = "pq_code",
 ) -> DataFrame:
     """Add the m-element code array (0-based centroid indices) — pure
-    codegen'd column expressions, no shuffle."""
+    codegen'd column expressions (no shuffle) for small codebooks;
+    above ``_ARROW_MIN_CELLS`` total centroids, the bit-exact Arrow
+    numpy twin (the m*k expression tree costs Catalyst seconds per
+    action; the math is microseconds — r14)."""
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
     work = spread(df)
+    # r14 (ADVICE): select('*', ...) — unlike the old withColumn — would
+    # DUPLICATE a pre-existing out_col and poison every downstream
+    # by-name reference with ambiguity; replace it like withColumn did
+    if out_col in work.columns:
+        work = work.drop(out_col)
+    if m * max(len(b) for b in codebooks) >= _ARROW_MIN_CELLS:
+        return _encode_arrow(work, codebooks, vec_col, out_col, d_sub)
     # ONE projection: each subspace's argmax indexes the full vector at
     # its offset directly — r13: the previous 16 chained withColumn
     # slices made Catalyst re-analyze a thousand-node tree per column
@@ -194,12 +282,60 @@ def pq_encode(
         )
         for s in range(m)
     ]
-    # r14 (ADVICE): select('*', ...) — unlike the old withColumn — would
-    # DUPLICATE a pre-existing out_col and poison every downstream
-    # by-name reference with ambiguity; replace it like withColumn did
-    if out_col in work.columns:
-        work = work.drop(out_col)
     return work.select("*", F.array(*code_cols).alias(out_col))
+
+
+def _encode_arrow(
+    work: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    out_col: str,
+    d_sub: int,
+) -> DataFrame:
+    """Arrow twin of the expression encode: all input columns pass
+    through one ``mapInPandas`` batch; codes from ``_l2_argmax_np``
+    (bit-identical to the expr path).  Null vectors encode to NULL."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StructField, StructType,
+    )
+
+    m = len(codebooks)
+    out_schema = StructType(
+        list(work.schema.fields)
+        + [StructField(out_col, ArrayType(IntegerType()), True)]
+    )
+    bks = [list(b) for b in codebooks]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = b.copy()
+            if not len(b):
+                out[out_col] = []
+                yield out
+                continue
+            vals = list(b[vec_col])
+            ok = [i for i, v in enumerate(vals) if v is not None]
+            codes: list = [None] * len(vals)
+            if ok:
+                X = np.stack([
+                    np.asarray(vals[i], dtype=np.float64) for i in ok
+                ])
+                per_s = [
+                    _l2_argmax_np(
+                        X[:, s * d_sub:(s + 1) * d_sub], bks[s]
+                    )
+                    for s in range(m)
+                ]
+                stacked = np.stack(per_s, axis=1)
+                for row_i, i in enumerate(ok):
+                    codes[i] = [int(c) for c in stacked[row_i]]
+            out[out_col] = codes
+            yield out
+
+    return work.mapInPandas(run, out_schema)
 
 
 def pq_score_expr(

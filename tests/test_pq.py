@@ -121,3 +121,54 @@ def test_pq_composes_with_ivf_candidates(spark, proto_corpus, protos):
     for r in out:
         exact = float(vecs[r["query_id"]] @ vecs[r["neighbor_id"]])
         assert r["adc_score"] == pytest.approx(exact, rel=1e-6, abs=1e-6)
+
+
+def test_arrow_and_expr_paths_bit_identical(spark):
+    """r14: above _ARROW_MIN_CELLS the train assignment and encode
+    dispatch to an Arrow numpy twin — pin that its codebooks and codes
+    are BIT-identical to the expression path (left-to-right IEEE
+    accumulation, first-max ties; see _l2_argmax_np)."""
+    from data_integration_est_spark.ops import pq as pqm
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(300)
+    )
+    old = pqm._ARROW_MIN_CELLS
+    try:
+        pqm._ARROW_MIN_CELLS = 10 ** 9  # force expression path
+        books_expr = pqm.pq_train(emb, m=8, k=8, n_iter=2)
+        enc_expr = sorted(
+            (r["vec_id"], tuple(r["pq_code"]))
+            for r in pqm.pq_encode(emb, books_expr).select(
+                "vec_id", "pq_code").collect()
+        )
+        pqm._ARROW_MIN_CELLS = 1  # force Arrow path
+        books_arrow = pqm.pq_train(emb, m=8, k=8, n_iter=2)
+        enc_arrow = sorted(
+            (r["vec_id"], tuple(r["pq_code"]))
+            for r in pqm.pq_encode(emb, books_expr).select(
+                "vec_id", "pq_code").collect()
+        )
+    finally:
+        pqm._ARROW_MIN_CELLS = old
+    assert books_expr == books_arrow
+    assert enc_expr == enc_arrow
+
+
+def test_encode_arrow_null_vector_encodes_null(spark):
+    from data_integration_est_spark.ops import pq as pqm
+
+    df = spark.createDataFrame(
+        [(0, [float(j % 5) for j in range(8)]), (1, None)],
+        "vec_id long, embedding array<float>",
+    )
+    books = pqm.pq_train(df.filter("vec_id = 0"), m=2, k=1, n_iter=1)
+    old = pqm._ARROW_MIN_CELLS
+    try:
+        pqm._ARROW_MIN_CELLS = 1
+        rows = {r["vec_id"]: r["pq_code"]
+                for r in pqm.pq_encode(df, books).collect()}
+    finally:
+        pqm._ARROW_MIN_CELLS = old
+    assert rows[0] is not None and rows[1] is None

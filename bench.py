@@ -361,6 +361,30 @@ def main() -> None:
         note = f" (discarded warm-up {runs[0]:.3f}s)" if discard else ""
         print(f"# {name}: median {dt:.3f}s of [{detail}]{note}",
               file=sys.stderr)
+        # between-row hygiene (r14; the bench_rows.py r13 lesson applied
+        # to the suite): 129 rows x 3 reps accumulate driver-pinned
+        # broadcasts and builder caches, and late-suite rows then absorb
+        # GC pauses into their medians (r14 first run: media_phash reps
+        # [1.5, 8.3, 16.7] s mid-suite vs 1.4 s solo).  Drain OUTSIDE
+        # the timed region so every row starts from the same heap state;
+        # within-row reps still share persists (the recall rows' exact
+        # table split relies on that).
+        try:
+            import gc
+
+            from data_integration_est_spark import util as _u
+
+            with _u._LIVE_PERSISTS_LOCK:
+                while _u._LIVE_PERSISTS:
+                    try:
+                        _u._LIVE_PERSISTS.pop()[1].unpersist()
+                    except Exception:  # noqa: BLE001
+                        pass
+            spark.catalog.clearCache()
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
 
     sent_end = _sentinel_median(spark, qs[SENTINEL_ROW], sf_dir)
     print(f"# sentinel {SENTINEL_ROW} (end): {sent_end:.3f}s", file=sys.stderr)

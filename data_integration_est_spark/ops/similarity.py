@@ -292,11 +292,16 @@ def assign_nearest_arrow(
     Adds ``out_c`` (0-based argmax cluster, int) and optionally
     ``out_dot`` (the max dot product against the L2-NORMALIZED centroid
     — the same quantity as ``array_max(_centroid_sims_sql(...))``).
-    Semantics match the expression path: centroids unit-normalized on
-    the driver, first-max tie rule (np.argmax == the strict-``>`` fold).
-    Only FP summation ORDER differs (BLAS pairwise vs left-to-right),
-    visible solely on exact dot-product ties at ulp level — which is
-    why the small-k gate/oracle paths stay on the codegen expression.
+    BIT-EXACT twin of the expression path (r14; previously ulp-exposed
+    on ties): centroids unit-normalized by the same driver numpy code
+    (identical literals), the dot accumulates LEFT-TO-RIGHT per
+    coordinate — the same IEEE-754 operation sequence as the codegen'd
+    ``c0*x0 + c1*x1 + ...`` chain, not a BLAS pairwise matmul — and
+    ties break first-max (np.argmax == the strict-``>`` fold).  Pinned
+    by ``tests/test_similarity.py::test_assign_arrow_bit_identical``.
+    The small-k paths still prefer the codegen expression: at real
+    scale the corpus scan stays whole-stage-JVM with no Arrow hop, and
+    the expression's driver compile seconds amortize over the job.
     """
     import pandas as pd
     from pyspark.sql.types import (
@@ -326,7 +331,10 @@ def assign_nearest_arrow(
             V = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            S = V @ Cn.T
+            # left-to-right accumulation == the SQL chain's IEEE order
+            S = V[:, 0][:, None] * Cn[:, 0][None, :]
+            for j in range(1, Cn.shape[1]):
+                S = S + V[:, j][:, None] * Cn[:, j][None, :]
             c = np.argmax(S, axis=1)
             pdf = pdf.assign(**{out_c: c.astype(np.int32)})
             if out_dot:

@@ -204,3 +204,37 @@ class TestLargeKIvfDispatch:
         # probing ALL clusters makes IVF exact regardless of centroid
         # path, so the two top-k sets must coincide
         assert res_expr == res_arrow
+
+
+def test_assign_arrow_bit_identical(spark):
+    """r14: assign_nearest_arrow accumulates left-to-right — the same
+    IEEE op sequence as the codegen chain — so cluster ids AND max-dot
+    values are BIT-identical between the two paths (previously the
+    BLAS matmul could flip ulp-level ties)."""
+    from pyspark.sql import functions as F
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(400)
+    )
+    cent_rows = emb.filter(F.col("vec_id") < 7).collect()
+    centroids = [[float(v) for v in r["embedding"]] for r in cent_rows]
+    expr_df = sim._with_cluster(emb, centroids, "embedding")
+    expr_res = sorted(
+        (r["vec_id"], r["__c__"]) for r in expr_df.collect()
+    )
+    arrow_df = sim.assign_nearest_arrow(
+        emb, centroids, "embedding", out_dot="__d__"
+    )
+    arrow_res = sorted(
+        (r["vec_id"], r["__c__"]) for r in arrow_df.collect()
+    )
+    assert expr_res == arrow_res
+    # and the dot values equal the expression-path array_max exactly
+    sims = F.expr(sim._centroid_sims_sql("embedding", centroids))
+    expr_dots = {
+        r["vec_id"]: r["d"]
+        for r in emb.select("vec_id", F.array_max(sims).alias("d")).collect()
+    }
+    for r in arrow_df.collect():
+        assert expr_dots[r["vec_id"]] == r["__d__"], r["vec_id"]

@@ -343,6 +343,11 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    # per-row MIN rep (BENCH_FULL only): robust to transient co-tenant
+    # bursts — when median >> min on a row, the median absorbed a burst
+    # and the min is the operator's true cost (r14; replaces ad-hoc
+    # solo re-measures as the adjudication record)
+    mins: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = BENCH_ONLY.get(name) or qs[name]
@@ -356,6 +361,7 @@ def main() -> None:
         warm = runs[1:] if discard else runs
         dt = sorted(warm)[len(warm) // 2]
         timings[name] = round(dt, 3)
+        mins[name] = round(min(warm), 3)
         total += dt
         detail = "/".join(f"{r:.3f}" for r in sorted(warm))
         note = f" (discarded warm-up {runs[0]:.3f}s)" if discard else ""
@@ -407,6 +413,7 @@ def main() -> None:
         "sf": sf_num,
         "reps": reps,
         "sentinel": sentinel,
+        "queries_min": mins,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as f:
@@ -415,6 +422,7 @@ def main() -> None:
     line["queries"] = {
         k: v for k, v in timings.items() if k not in STDOUT_DROP
     }
+    del line["queries_min"]  # BENCH_FULL-only (129 entries; driver tail)
     line["n_queries"] = len(timings)
     line["full_file"] = "BENCH_FULL.json"
     out = json.dumps(line, separators=(",", ":"))

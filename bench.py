@@ -169,6 +169,11 @@ HEADLINE = [
     # round-13: perceptual image near-dup joins the headline (new gate
     # rows join immediately)
     "media_phash_neardup",
+    # round-14: cluster-design mean, frame near-dup, audio-window
+    # near-dup (new gate rows join immediately)
+    "svymean_cluster_events",
+    "media_frame_neardup",
+    "audio_window_neardup",
     # round-11: the portable-RNG MC slice + portable MinHash/LSH join
     # the headline (new gate rows join immediately).  Late-r11 widened
     # the slice battery 3 -> 5 estimators (Scenario-II tilde members):
@@ -303,6 +308,11 @@ STDOUT_DROP = {
     "svyvar_cal_events",        # (svyvar_events)
     "qhist_quantiles_orders",   # (svyquantile_events)
     "repetition_quality",       # (unigram_quality)
+    # r14 new-row near-duplicates: stdout keeps media_frame_neardup as
+    # the frame-family representative
+    "svymean_cluster_events",   # (svymean_events)
+    "audio_window_neardup",     # (media_frame_neardup)
+    "stream_frequency_summary",  # (cms_token_counts)
 }
 
 

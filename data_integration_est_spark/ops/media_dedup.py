@@ -404,6 +404,95 @@ def hamming_neardup_stats(
     )
 
 
+AUDIO_FP_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("win_idx", IntegerType(), False),
+    StructField("fp", LongType(), True),
+])
+
+
+def wav_window_fingerprints(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    window_ms: int = 2,
+) -> DataFrame:
+    """Per-window integer fingerprints over PCM-WAV blobs (r14 — the
+    AUDIO leg of the media near-dup family, completing image/video/
+    audio): one Arrow ``mapInPandas`` pass decodes each blob with the
+    real ``multimodal.decode_wav``, cuts fixed windows
+    (``multimodal.wav_windows``), and fingerprints each window as
+
+        fp = Σ_j (s_j + 1000) * (j + 1)      (channel 0, j 0-based)
+
+    — pure int16/int64 arithmetic, so the fingerprint replays
+    bit-for-bit in SQL from a closed-form sample formula.  Blob bytes
+    live one Arrow batch; (media_id, win_idx, fp) flow on.  Audios
+    sharing a (win_idx, fp) cell are near-dup CANDIDATES via the
+    inverted-index equi-join — linear in collision mass, never
+    all-pairs (the banded-LSH discipline).  Undecodable blobs emit one
+    NULL-fp row at win_idx -1 (refusal count)."""
+    from data_integration_est_spark.ops.multimodal import (
+        decode_wav, wav_windows,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            fps: list[int | None] = []
+            for mid, content in zip(b[id_col], b[content_col]):
+                if content is None:
+                    continue
+                try:
+                    wins = wav_windows(bytes(content), window_ms=window_ms)
+                except (NotImplementedError, ValueError):
+                    ids.append(mid)
+                    idxs.append(-1)
+                    fps.append(None)
+                    continue
+                for wi, (_, samples) in enumerate(wins):
+                    s = samples[:, 0].astype(np.int64)
+                    fp = int(((s + 1000) * np.arange(1, len(s) + 1)).sum())
+                    ids.append(mid)
+                    idxs.append(wi)
+                    fps.append(fp)
+            yield pd.DataFrame({"media_id": ids, "win_idx": idxs, "fp": fps})
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(content_col).alias(content_col),
+    ).mapInPandas(run, AUDIO_FP_SCHEMA)
+
+
+def synth_wav_variant(
+    group: int, variant: int, n: int = 64, rate: int = 8000
+) -> bytes:
+    """Deterministic REAL mono 16-bit PCM WAV for near-dup testing:
+    sample i = ((group*7 + i*13) % 2001) - 1000, plus a sparse
+    perturbation (+50*variant at i % 37 == 0) — variants of one group
+    share the base signal, so most 16-sample windows fingerprint
+    identically across variants while perturbed windows differ.
+    Closed-form, SQL-replayable (the audio analogue of
+    ``synth_ppm_variant``)."""
+    import struct
+
+    data = b"".join(
+        struct.pack(
+            "<h",
+            ((group * 7 + i * 13) % 2001) - 1000
+            + (50 * variant if i % 37 == 0 else 0),
+        )
+        for i in range(n)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def synth_ppm_variant(
     group: int, variant: int, w: int = 18, h: int = 16
 ) -> bytes:

@@ -110,3 +110,48 @@ def test_frame_neardup_pipeline_exact_dups_across_videos(spark):
         if d <= 7:
             expect[d] = expect.get(d, 0) + 1
     assert stats == expect and expect.get(0, 0) >= 1
+
+
+def test_wav_window_fingerprints_match_direct_formula(spark):
+    blob = md.synth_wav_variant(3, 1)
+    df = spark.createDataFrame(
+        [(9, bytearray(blob))], "media_id long, content binary"
+    )
+    rows = {r["win_idx"]: r["fp"]
+            for r in md.wav_window_fingerprints(df, window_ms=2).collect()}
+    # direct closed-form replay (the SQL oracle's formula)
+    expect = {}
+    for i in range(64):
+        s = ((3 * 7 + i * 13) % 2001) - 1000 + (50 if i % 37 == 0 else 0)
+        w = i // 16
+        expect[w] = expect.get(w, 0) + (s + 1000) * (i % 16 + 1)
+    assert rows == expect
+
+
+def test_wav_window_fingerprints_refusal_row(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"NOTAWAV")), (2, bytearray(md.synth_wav_variant(0, 0)))],
+        "media_id long, content binary",
+    )
+    out = md.wav_window_fingerprints(df).collect()
+    bad = [r for r in out if r["media_id"] == 1]
+    good = [r for r in out if r["media_id"] == 2]
+    assert len(bad) == 1 and bad[0]["win_idx"] == -1 and bad[0]["fp"] is None
+    assert len(good) == 4 and all(r["fp"] is not None for r in good)
+
+
+def test_audio_variants_share_unperturbed_windows():
+    # variants of one group fingerprint identically on windows without
+    # a perturbed position (i % 37 == 0 hits windows 0 and 2 only)
+    import numpy as np
+
+    from data_integration_est_spark.ops.multimodal import wav_windows
+
+    def fps(v):
+        wins = wav_windows(md.synth_wav_variant(5, v), window_ms=2)
+        return [int(((w[:, 0].astype(np.int64) + 1000)
+                     * np.arange(1, len(w) + 1)).sum()) for _, w in wins]
+
+    f0, f1 = fps(0), fps(1)
+    assert f0[1] == f1[1] and f0[3] == f1[3]   # shared windows
+    assert f0[0] != f1[0] and f0[2] != f1[2]   # perturbed windows

@@ -34,10 +34,12 @@ from data_integration_est_spark.formula import Formula
 from data_integration_est_spark.kernels.linalg import fit_logistic, fit_ols, fit_poisson
 
 
-def _sandwich(A: np.ndarray, M: np.ndarray, n: float) -> np.ndarray:
-    """n/(n-1) * A^{-1} M A^{-1} diag, via solves (no explicit inverse)."""
+def _sandwich(A: np.ndarray, M: np.ndarray, factor: float = 1.0) -> np.ndarray:
+    """factor * A^{-1} M A^{-1} diag, via solves (no explicit inverse).
+    The element path passes factor = n/(n-1) with uncentered M; the PSU
+    path passes factor = 1 (its M is already per-stratum df-corrected)."""
     X = np.linalg.solve(A, M)
-    V = n / (n - 1.0) * np.linalg.solve(A, X.T).T
+    V = factor * np.linalg.solve(A, X.T).T
     return np.sqrt(np.clip(np.diag(V), 0.0, None))
 
 
@@ -52,12 +54,30 @@ def svyglm(
     ``model_type``: 'normal' (identity), 'logistic', or 'poisson'
     (log link).  Groups with
     fewer rows than design columns report NULL coef/se (the grouped
-    solvers' degenerate-key convention)."""
+    solvers' degenerate-key convention).
+
+    Cluster designs (``psu_col``, r15): coefficients are unchanged
+    (the weighted fit), and M becomes the per-stratum df-corrected
+    centered second moment of the weighted PSU score totals — the
+    cluster-robust (CR0-with-df) sandwich, matching the element path
+    in the every-element-its-own-PSU limit (where Σwş ≈ 0 at
+    convergence makes centering a no-op).  Strata are honored on the
+    PSU path (they nest the PSUs); the element path keeps its
+    documented with-replacement element approximation.  A stratum with
+    a single sampled PSU yields NULL SEs for that group (the NaN
+    variance convention); calibrated + psu refuses loudly."""
     f = Formula.parse(formula) if isinstance(formula, str) else formula
     group_cols = list(group_cols or [])
     xs = list(f.predictors)
+    psu = design.psu_col
+    strat = design.strata_col if psu else None
+    if psu:
+        from data_integration_est_spark.kernels.stats import (
+            _psu_refuses_calibration)
+        _psu_refuses_calibration(design, "svyglm")
     df = design.df.na.drop(
         subset=[f.response, design.weight_col] + xs + group_cols
+        + ([psu] if psu else []) + ([strat] if strat else [])
     )
     w = F.col(design.weight_col).cast("double")
     y = F.col(f.response).cast("double")
@@ -109,36 +129,103 @@ def svyglm(
     else:
         a_w = w * pred
 
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for i in range(k):
-        for j in range(i, k):
-            aggs.append(F.sum(a_w * xcols[i] * xcols[j]).alias(f"a_{i}_{j}"))
-            aggs.append(
-                F.sum(w * w * resid * resid * xcols[i] * xcols[j]).alias(f"m_{i}_{j}")
-            )
-    if group_cols:
-        collected = work.groupBy(*group_cols).agg(*aggs).collect()
+    if psu:
+        # cluster-robust sandwich (r15): M is the per-stratum
+        # df-corrected centered second moment of the weighted PSU score
+        # totals u_c = Σ_{i∈c} w_i s_i — the survey first-stage
+        # with-replacement linearization.  TWO-LEVEL distributed
+        # aggregation: one groupBy at (group, stratum, PSU) grain
+        # builds the score totals and the A partials, one more collapses
+        # to (group, stratum); O(groups × strata × k²) driver scalars.
+        hcols = [strat] if strat else []
+        l1 = [F.count(F.lit(1)).alias("n_el")]
+        for i in range(k):
+            l1.append(F.sum(w * resid * xcols[i]).alias(f"u_{i}"))
+            for j in range(i, k):
+                l1.append(F.sum(a_w * xcols[i] * xcols[j]).alias(f"a_{i}_{j}"))
+        lvl1 = work.groupBy(*group_cols, *hcols, psu).agg(*l1)
+        l2 = [
+            F.count(F.lit(1)).alias("n_psu"),
+            F.sum("n_el").alias("n_el"),
+        ]
+        for i in range(k):
+            l2.append(F.sum(F.col(f"u_{i}")).alias(f"s_{i}"))
+            for j in range(i, k):
+                l2.append(F.sum(F.col(f"a_{i}_{j}")).alias(f"a_{i}_{j}"))
+                l2.append(
+                    F.sum(F.col(f"u_{i}") * F.col(f"u_{j}")).alias(f"uu_{i}_{j}")
+                )
+        collected = lvl1.groupBy(*group_cols, *hcols).agg(*l2).collect()
+        # domain estimation: d.o.f. uses the FULL-design PSU count per
+        # stratum (PSUs with no in-group rows contribute zero scores)
+        full_psu_n = None
+        if group_cols:
+            cnt = df.groupBy(*hcols).agg(
+                F.countDistinct(F.col(psu)).alias("__n__")
+            ).collect()
+            full_psu_n = {
+                (r[strat] if strat else None): int(r["__n__"]) for r in cnt
+            }
+        by_key = {}
+        for r in collected:
+            by_key.setdefault(tuple(r[c] for c in group_cols), []).append(r)
     else:
-        collected = work.agg(*aggs).collect()
-    by_key = {tuple(r[c] for c in group_cols): r for r in collected}
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for i in range(k):
+            for j in range(i, k):
+                aggs.append(F.sum(a_w * xcols[i] * xcols[j]).alias(f"a_{i}_{j}"))
+                aggs.append(
+                    F.sum(w * w * resid * resid * xcols[i] * xcols[j]).alias(f"m_{i}_{j}")
+                )
+        if group_cols:
+            collected = work.groupBy(*group_cols).agg(*aggs).collect()
+        else:
+            collected = work.agg(*aggs).collect()
+        by_key = {tuple(r[c] for c in group_cols): r for r in collected}
 
     degenerate = set(fit.degenerate_keys)
     out_rows = []
     for key in fit.keys:
-        r = by_key[key]
         beta = np.asarray(fit.coef_for(key), dtype=float)
         if key in degenerate or not np.all(np.isfinite(beta)):
             for t in terms:
                 out_rows.append(tuple(key) + (t, None, None))
             continue
-        n = float(r["n"])
         A = np.zeros((k, k))
         M = np.zeros((k, k))
-        for i in range(k):
-            for j in range(i, k):
-                A[i, j] = A[j, i] = float(r[f"a_{i}_{j}"] or 0.0)
-                M[i, j] = M[j, i] = float(r[f"m_{i}_{j}"] or 0.0)
-        se = _sandwich(A, M, n)
+        if psu:
+            rows = by_key[key]
+            bad = False
+            for r in rows:
+                hval = r[strat] if strat else None
+                n_h = (full_psu_n[hval] if full_psu_n is not None
+                       else int(r["n_psu"]))
+                if n_h < 2:
+                    bad = True
+                    break
+                S = np.array([float(r[f"s_{i}"] or 0.0) for i in range(k)])
+                UU = np.zeros((k, k))
+                for i in range(k):
+                    for j in range(i, k):
+                        UU[i, j] = UU[j, i] = float(r[f"uu_{i}_{j}"] or 0.0)
+                        A[i, j] = float(A[i, j]) + float(r[f"a_{i}_{j}"] or 0.0)
+                        A[j, i] = A[i, j]
+                M += n_h / (n_h - 1.0) * (UU - np.outer(S, S) / n_h)
+            if bad:
+                # lonely-PSU stratum: the point fit stands, the
+                # first-stage variance is undefined (NaN convention)
+                for t, b in zip(terms, beta):
+                    out_rows.append(tuple(key) + (t, round(float(b), 6), None))
+                continue
+            se = _sandwich(A, M)
+        else:
+            r = by_key[key]
+            n = float(r["n"])
+            for i in range(k):
+                for j in range(i, k):
+                    A[i, j] = A[j, i] = float(r[f"a_{i}_{j}"] or 0.0)
+                    M[i, j] = M[j, i] = float(r[f"m_{i}_{j}"] or 0.0)
+            se = _sandwich(A, M, n / (n - 1.0))
         for t, b, s in zip(terms, beta, se):
             out_rows.append(tuple(key) + (t, round(float(b), 6), round(float(s), 6)))
 

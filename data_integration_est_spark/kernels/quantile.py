@@ -183,7 +183,15 @@ def svyquantile(
     same passes.  Returns a DataFrame (group_cols..., q, quantile); with
     ``alpha`` set, (group_cols..., q, quantile, ci_l, ci_u) where the
     CI is the Woodruff (1 - alpha) interval (NULL when the group has
-    fewer than 2 rows, matching the NaN variance convention)."""
+    fewer than 2 rows, matching the NaN variance convention).
+
+    Cluster designs (``psu_col``, r15): the point quantile is
+    unchanged (a functional of the weighted data alone), but the
+    Woodruff SE of the indicator mean collapses to weighted PSU totals
+    first — per-stratum df-corrected first-stage variance with the
+    PSU-count fpc when ``fpc_col`` is set, NaN/NULL when a non-census
+    stratum has a single sampled PSU.  Calibrated + psu refuses (the
+    ``_psu_refuses_calibration`` discipline)."""
     if not qs or any(not (0.0 < q < 1.0) for q in qs):
         raise ValueError("each q must be in (0, 1)")
     if alpha is not None and not (0.0 < alpha < 1.0):
@@ -192,8 +200,26 @@ def svyquantile(
     spark = design.df.sparkSession
     w = F.col(design.weight_col).cast("double")
     y = F.col(y_col).cast("double")
-    base = design.df.na.drop(subset=[y_col, design.weight_col] + group_cols).select(
-        *group_cols, y.alias("__y__"), w.alias("__w__")
+    # Cluster designs (psu_col, r15) change only the Woodruff SE: the
+    # point quantile is a population functional of (y, w) alone.  The
+    # strata/psu columns ride along in the persisted projection (the
+    # bisection groupBys never touch them) and feed the PSU-collapsed
+    # indicator moments below.
+    psu = design.psu_col if alpha is not None else None
+    strat = design.strata_col if psu else None
+    if psu and design.is_calibrated:
+        from data_integration_est_spark.kernels.stats import (
+            _psu_refuses_calibration)
+        _psu_refuses_calibration(design, "svyquantile")
+    design_cols = ([psu] if psu else []) + ([strat] if strat else [])
+    base = design.df.na.drop(
+        subset=[y_col, design.weight_col] + group_cols + design_cols
+    ).select(
+        *group_cols, y.alias("__y__"), w.alias("__w__"),
+        *([F.col(psu).alias("__psu__")] if psu else []),
+        *([F.col(strat).alias("__h__")] if strat else []),
+        *([F.col(design.fpc_col).cast("double").alias("__fpc__")]
+          if psu and design.fpc_col else []),
     )
     base = base.persist()
     try:
@@ -257,32 +283,108 @@ def svyquantile(
         )
         z = F.when(F.col("__y__") <= F.col("__qhat__"), 1.0).otherwise(0.0)
         w_ = F.col("__w__")
-        mom = (
-            joined.groupBy(*group_cols, "__qi__")
-            .agg(
-                F.sum(w_ * z).alias("swz"),
-                F.sum(w_ * w_ * z).alias("sw2z"),
-                F.sum(w_ * w_).alias("sw2"),
+        se_by_key: dict[tuple, float] = {}
+        if psu:
+            # first-stage with-replacement linearization of the
+            # indicator mean: collapse to weighted PSU totals
+            # (u_c = Σ_{i∈c} w_i z_i, t_c = Σ w_i), then per-stratum
+            # df-corrected centered second moments — a two-level
+            # distributed aggregation; O(groups × qs × strata) scalars
+            # reach the driver
+            from data_integration_est_spark.kernels.stats import (
+                _fpc_factor, _strat_var)
+
+            hcols = ["__h__"] if strat else []
+            lvl1 = joined.groupBy(
+                *group_cols, "__qi__", *hcols, "__psu__"
+            ).agg(
+                F.sum(w_ * z).alias("uz"),
+                F.sum(w_).alias("uw"),
+                *([F.max("__fpc__").alias("__fpc__")]
+                  if design.fpc_col else []),
             )
-            .collect()
-        )
+            uz, uw = F.col("uz"), F.col("uw")
+            mom = lvl1.groupBy(*group_cols, "__qi__", *hcols).agg(
+                F.count(F.lit(1)).alias("n_c"),
+                F.sum(uz).alias("swz"),
+                F.sum(uw).alias("sw"),
+                F.sum(uz * uz).alias("szz"),
+                F.sum(uz * uw).alias("szw"),
+                F.sum(uw * uw).alias("sww"),
+                *([F.max("__fpc__").alias("__N__")]
+                  if design.fpc_col else []),
+            ).collect()
+            # domain estimation (group_cols): d.o.f. uses the
+            # FULL-design PSU count per stratum — PSUs with no
+            # in-group rows contribute zero totals but still count
+            full_psu_n: dict | None = None
+            if group_cols:
+                cnt = base.groupBy(*hcols).agg(
+                    F.countDistinct("__psu__").alias("__n__")
+                ).collect()
+                full_psu_n = {
+                    (r["__h__"] if strat else None): int(r["__n__"])
+                    for r in cnt
+                }
+            by_key: dict[tuple, list] = {}
+            for r in mom:
+                k = tuple(r[c] for c in group_cols) + (int(r["__qi__"]),)
+                by_key.setdefault(k, []).append(r)
+            for k, rows in by_key.items():
+                _lo, _hi, W, _n = group_info[k[:-1]]
+                p_hat = sum(float(r["swz"] or 0.0) for r in rows) / W
+                pieces = []
+                for r in rows:
+                    hval = r["__h__"] if strat else None
+                    n_h = (full_psu_n[hval] if full_psu_n is not None
+                           else int(r["n_c"]))
+                    s1 = float(r["swz"] or 0.0) - p_hat * float(r["sw"] or 0.0)
+                    s2 = (
+                        float(r["szz"] or 0.0)
+                        - 2.0 * p_hat * float(r["szw"] or 0.0)
+                        + p_hat * p_hat * float(r["sww"] or 0.0)
+                    )
+                    pieces.append((
+                        n_h, s1, s2,
+                        _fpc_factor(
+                            n_h,
+                            float(r["__N__"]) if design.fpc_col else None,
+                        ),
+                    ))
+                v_p = _strat_var(pieces) / (W * W)
+                se_by_key[k] = (
+                    float("nan") if math.isnan(v_p)
+                    else math.sqrt(max(v_p, 0.0))
+                )
+        else:
+            mom = (
+                joined.groupBy(*group_cols, "__qi__")
+                .agg(
+                    F.sum(w_ * z).alias("swz"),
+                    F.sum(w_ * w_ * z).alias("sw2z"),
+                    F.sum(w_ * w_).alias("sw2"),
+                )
+                .collect()
+            )
+            for r in mom:
+                k = tuple(r[c] for c in group_cols) + (int(r["__qi__"]),)
+                _lo, _hi, W, n = group_info[k[:-1]]
+                p_hat = float(r["swz"]) / W
+                # sum(w^2 (z - p)^2) = (1 - 2p) sum(w^2 z) + p^2 sum(w^2)
+                sum_w2e2 = (1.0 - 2.0 * p_hat) * float(r["sw2z"]) + (
+                    p_hat * p_hat
+                ) * float(r["sw2"])
+                if n < 2:
+                    se_by_key[k] = float("nan")
+                    continue
+                v_p = n / (n - 1.0) * sum_w2e2 / (W * W)
+                se_by_key[k] = math.sqrt(max(v_p, 0.0))
         zcrit = NormalDist().inv_cdf(1.0 - alpha / 2.0)
         ci_state: dict[tuple, dict] = {}
-        se_by_key: dict[tuple, float] = {}
-        for r in mom:
-            k = tuple(r[c] for c in group_cols) + (int(r["__qi__"]),)
-            lo, hi, W, n = group_info[k[:-1]]
-            p_hat = float(r["swz"]) / W
-            # sum(w^2 (z - p)^2) = (1 - 2p) sum(w^2 z) + p^2 sum(w^2)
-            sum_w2e2 = (1.0 - 2.0 * p_hat) * float(r["sw2z"]) + (
-                p_hat * p_hat
-            ) * float(r["sw2"])
-            if n < 2:
-                se_by_key[k] = float("nan")
+        for k, se_p in se_by_key.items():
+            if math.isnan(se_p):
                 continue
-            v_p = n / (n - 1.0) * sum_w2e2 / (W * W)
-            se_p = math.sqrt(max(v_p, 0.0))
-            se_by_key[k] = se_p
+            lo, hi, W, _n = group_info[k[:-1]]
             q = float(qs[k[-1]])
             t_lo = max(q - zcrit * se_p, 0.0) * W
             t_hi = min(q + zcrit * se_p, 1.0) * W

@@ -399,3 +399,121 @@ def brr_mean(
         StructField("n_strata", LongType(), False),
     ])
     return df.sparkSession.createDataFrame(out_rows, schema)
+
+
+def jackknife_psu_calibrated_mean(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    totals: dict[str, float] | list[float],
+    d_col: str,
+    psu_col: str,
+    n_groups: int = 20,
+) -> DataFrame:
+    """Delete-a-group jackknife mean for CALIBRATED cluster designs
+    (r15 — r14 verdict #4): the variance path the linearization kernels
+    refuse (``_psu_refuses_calibration``: the element-level calibration
+    Gram is not a PSU aggregate), generalizing beyond ``brr_mean``'s
+    exactly-2-PSUs-per-stratum requirement to ANY number of PSUs.
+
+    Kott's delete-a-group jackknife: sampled PSUs are split into G
+    random groups (``psu % G`` — deterministic and SQL-portable, the
+    ``jackknife_mean`` contract; psu ids must be non-negative
+    integers); replicate g drops group g's PSUs entirely, upweights the
+    retained base weights by G/(G-1), RE-CALIBRATES them to the SAME
+    population totals (replicate-specific lambda — the step that makes
+    this valid for GREG estimators), and recomputes the mean:
+
+        V_JK = (G-1)/G * sum_g (theta_(g) - theta_full)^2 .
+
+    Scale shape: ONE distributed pass builds per-JK-group sufficient
+    statistics — the d-weighted Gram of x (k(k+1)/2 entries), sum d*x,
+    sum d*x*y, sum d*y, sum d — because the GREG mean is a closed form
+    in exactly these: w = d(1 + x'lam) with Gram*lam = T - sum(d x),
+    so sum(w y) = sum(d y) + lam'sum(d x y) and sum(w) = sum(d) +
+    lam'sum(d x).  Every replicate is then a k x k driver solve on
+    (totals - group-g sums) — G+1 solves over O(G k^2) scalars, the
+    data never rescanned.  Returns one row (mean, se_jk, n_groups).
+    """
+    import numpy as np
+
+    if n_groups < 2:
+        raise ValueError("jackknife needs at least 2 groups")
+    k = len(x_cols)
+    if k == 0:
+        raise ValueError("need at least one calibration column")
+    T = (
+        np.array([float(totals[c]) for c in x_cols])
+        if isinstance(totals, dict)
+        else np.asarray(totals, dtype=float).ravel()
+    )
+    if T.size != k:
+        raise ValueError(f"expected {k} totals, got {T.size}")
+    d = F.col(d_col).cast("double")
+    y = F.col(y_col).cast("double")
+    xs = [F.col(c).cast("double") for c in x_cols]
+    aggs = [
+        F.sum(d).alias("sd"),
+        F.sum(d * y).alias("sdy"),
+    ]
+    for i in range(k):
+        aggs.append(F.sum(d * xs[i]).alias(f"dx_{i}"))
+        aggs.append(F.sum(d * xs[i] * y).alias(f"dxy_{i}"))
+        for j in range(i, k):
+            aggs.append(F.sum(d * xs[i] * xs[j]).alias(f"g_{i}_{j}"))
+    cells = (
+        df.na.drop(subset=[y_col, d_col, psu_col] + list(x_cols))
+        .groupBy(F.pmod(F.col(psu_col).cast("long"), F.lit(n_groups))
+                 .alias("__g__"))
+        .agg(*aggs)
+        .collect()
+    )
+    G = n_groups
+    sd = np.zeros(G)
+    sdy = np.zeros(G)
+    dx = np.zeros((G, k))
+    dxy = np.zeros((G, k))
+    gram = np.zeros((G, k, k))
+    for r in cells:
+        g = int(r["__g__"])
+        sd[g] = float(r["sd"] or 0.0)
+        sdy[g] = float(r["sdy"] or 0.0)
+        for i in range(k):
+            dx[g, i] = float(r[f"dx_{i}"] or 0.0)
+            dxy[g, i] = float(r[f"dxy_{i}"] or 0.0)
+            for j in range(i, k):
+                gram[g, i, j] = gram[g, j, i] = float(r[f"g_{i}_{j}"] or 0.0)
+
+    def _greg_mean(sd_, sdy_, dx_, dxy_, gram_):
+        lam = np.linalg.solve(gram_, T - dx_)
+        num = sdy_ + lam @ dxy_
+        den = sd_ + lam @ dx_
+        return num / den
+
+    theta = _greg_mean(sd.sum(), sdy.sum(), dx.sum(0), dxy.sum(0),
+                       gram.sum(0))
+    c = G / (G - 1.0)
+    ss = 0.0
+    for g in range(G):
+        theta_g = _greg_mean(
+            c * (sd.sum() - sd[g]),
+            c * (sdy.sum() - sdy[g]),
+            c * (dx.sum(0) - dx[g]),
+            c * (dxy.sum(0) - dxy[g]),
+            c * (gram.sum(0) - gram[g]),
+        )
+        ss += (theta_g - theta) ** 2
+    v = (G - 1.0) / G * ss
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("mean", DoubleType(), True),
+        StructField("se_jk", DoubleType(), True),
+        StructField("n_groups", LongType(), False),
+    ])
+    return df.sparkSession.createDataFrame(
+        [(round(float(theta), 6), round(float(v) ** 0.5, 6), G)], schema
+    )

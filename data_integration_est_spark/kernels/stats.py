@@ -756,7 +756,21 @@ def svychisq_pearson(
     pair with ``poisson_bootstrap_mean`` style replication if the full
     Rao-Scott p-value is required).  Returns (X2, df, n).
 
+    Cluster designs refuse loudly (r15): the n-scaled statistic's
+    implicit multinomial null assumes independent elements, so under
+    PSU sampling it is anti-conservative with no visible symptom — use
+    ``svychisq_rao_scott``, whose bootstrap resamples whole PSUs when
+    the design carries a ``psu_col``.
+
     Cost: the svytable pass + O(cells) driver arithmetic."""
+    if design.psu_col:
+        raise NotImplementedError(
+            "svychisq_pearson: the uncorrected n-scaled Pearson statistic "
+            "assumes independently sampled elements; on a cluster design "
+            "(psu_col) it understates the variance with no warning.  Use "
+            "svychisq_rao_scott — its deterministic Poisson bootstrap "
+            "resamples whole PSUs when the design has a psu_col."
+        )
     cells = svytable(design, row_col, col_col).collect()
     W = sum(c["wsum"] for c in cells)
     n = sum(c["n"] for c in cells)
@@ -826,21 +840,29 @@ def svychisq_rao_scott(
     carries the B replicate-weighted cell sums next to the point sums
     (B <= a few hundred keeps the row narrow); the eigenproblem is
     O((RC)^3) on the driver over the tiny cell table.
+
+    Cluster designs (``psu_col``, r15): the replicate multiplicity is
+    hashed from the PSU id instead of ``id_col``, so every element of a
+    PSU enters replicate b with the SAME Poisson(1) count — the cluster
+    bootstrap; within-PSU correlation then shows up in V_u and inflates
+    the deltas exactly as first-stage resampling should.  The psu
+    column must be integral (the same contract ``id_col`` carries).
     """
     from data_integration_est_spark.kernels.replicate import (
         _POIS1_CDF, _POIS1_P, _QH_A1, _QH_A2, _QH_B1, _QH_B2, _QH_C2)
 
     if n_replicates < 2:
         raise ValueError("need at least 2 replicates")
+    rep_id = design.psu_col or id_col
     df = design.df.na.drop(
-        subset=[row_col, col_col, design.weight_col, id_col]
+        subset=[row_col, col_col, design.weight_col, rep_id]
     )
     w = F.col(design.weight_col).cast("double")
     base = df.select(
         F.col(row_col).alias("__r__"),
         F.col(col_col).alias("__c__"),
         w.alias("__w__"),
-        F.col(id_col).cast("long").alias("__id__"),
+        F.col(rep_id).cast("long").alias("__id__"),
     )
     # CPU-bound replicate projection must not run at a small scan's
     # parallelism (same guard as poisson_bootstrap_mean)
@@ -1398,7 +1420,16 @@ def design_effect(
     EstimateRows whose ``estimate`` is the DEFF, ``variance`` the
     design variance it was computed from, and ``n`` the group size.
     Two kernel calls = two distributed passes (the estimator kernel's
-    moment pass + one SRS-moment pass); O(groups) driver scalars."""
+    moment pass + one SRS-moment pass); O(groups) driver scalars.
+
+    Cluster designs (``psu_col``) are honored BY DELEGATION (r15,
+    pinned in ``tests/test_r15_psu.py``): the design-variance numerator
+    comes from svymean/svytotal/svyratio/svyvar, all of which collapse
+    to PSU totals, while the SRS denominator is deliberately
+    element-level — DEFF compares the actual design against an SRS of
+    the same number of ELEMENTS (``survey``'s deff semantics), so its
+    f = 1 − n/W and S²/n use element counts and design-free population
+    moments that no collapse can change."""
     group_cols = list(group_cols or [])
     if statistic not in ("mean", "total", "ratio"):
         raise ValueError("statistic must be 'mean', 'total', or 'ratio'")
@@ -1479,10 +1510,20 @@ def svycov(
     form), stratified designs summing df-corrected per-stratum pieces
     with the fpc factor.  ONE distributed pass of uncentered
     (w, w²)-weighted cross-moments up to total degree 4 — the svyvar
-    pattern with two variables."""
+    pattern with two variables.
+
+    Cluster designs (``psu_col``, r15): the influence is linear in
+    (x, y, xy) once the product is its own element column — a
+    pseudo-element's x'y' is NOT the PSU mean of xy, so xy is
+    materialized BEFORE the ``_psu_collapse`` (the svyvar y² rule) and
+    the w²-Gram runs over the basis (1, x, y, p=xy) with coefficient
+    vector (k0, −my, −mx, 1)."""
     group_cols = list(group_cols or [])
     strat = design.strata_col
     fpc = design.fpc_col
+    _psu_refuses_calibration(design, "svycov")
+    if design.psu_col:
+        return _svycov_psu(design, x_col, y_col, group_cols)
     df = design.df.na.drop(
         subset=[x_col, y_col, design.weight_col] + ([strat] if strat else [])
         + ([fpc] if fpc else [])
@@ -1559,5 +1600,116 @@ def svycov(
                 var = float("nan")
             else:
                 var = fct * n / (n - 1.0) * (s2 - s1 * s1 / n)
+        out.append(EstimateRow(key=key, estimate=float(C), variance=float(var), n=n))
+    return out
+
+
+def _svycov_psu(
+    design: SurveyDesign,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+) -> list[EstimateRow]:
+    """svycov on a two-stage cluster design: materialize p = x·y
+    element-level, ``_psu_collapse`` on [x, y, p], then the same
+    ratio-functional linearization with the w'²-Gram over the basis
+    b = (1, x', y', p') — every Gram entry is exactly the PSU-total
+    Gram the first-stage with-replacement variance needs.  Same one
+    distributed pass (plus the collapse's map-side-combining groupBy);
+    ``n`` in the output is the sampled-PSU count (the svyvar psu
+    convention); domain estimation uses the FULL-design PSU count for
+    d.o.f. (PSUs with no in-domain rows contribute zero totals)."""
+    strat = design.strata_col
+    fpc = design.fpc_col
+    df = design.df.na.drop(
+        subset=[x_col, y_col, design.weight_col, design.psu_col]
+        + ([strat] if strat else []) + ([fpc] if fpc else [])
+    )
+    xe = F.col(x_col).cast("double")
+    ye = F.col(y_col).cast("double")
+    df = df.withColumn("__p__", xe * ye)
+    df, full_psu_n = _psu_collapse(
+        df, design, [x_col, y_col, "__p__"], group_cols
+    )
+    w = F.col(design.weight_col).cast("double")
+    w2 = w * w
+    # basis (1, x, y, p): first moments + the 10-entry symmetric Gram
+    basis = {
+        "1": F.lit(1.0),
+        "x": F.col(x_col).cast("double"),
+        "y": F.col(y_col).cast("double"),
+        "p": F.col("__p__").cast("double"),
+    }
+    names = ["1", "x", "y", "p"]
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(w).alias("sw"),
+        F.sum(w * basis["x"]).alias("swx"),
+        F.sum(w * basis["y"]).alias("swy"),
+        F.sum(w * basis["p"]).alias("swp"),
+    ]
+    for i, u in enumerate(names):
+        for v in names[i:]:
+            aggs.append(F.sum(w2 * basis[u] * basis[v]).alias(f"g_{u}_{v}"))
+    if fpc:
+        aggs.append(F.max(F.col(fpc).cast("double")).alias("__N__"))
+    res = _collect_keyed(df, group_cols + ([strat] if strat else []), aggs)
+
+    def _f(r, name):
+        return float(r[name] or 0.0)
+
+    pairs = {(u, v) for i, u in enumerate(names) for v in names[i:]}
+
+    def _g(r, u, v):
+        return _f(r, f"g_{u}_{v}" if (u, v) in pairs else f"g_{v}_{u}")
+
+    def _n_var(r, hval):
+        if full_psu_n is not None:
+            return full_psu_n[hval]
+        return int(r["n"])
+
+    if strat:
+        grouped: dict[tuple, list] = {}
+        for key, r in res.items():
+            grouped.setdefault(key[:-1], []).append((key[-1], r))
+        items = [(k, rows) for k, rows in grouped.items()]
+    else:
+        items = [(k, [(None, r)]) for k, r in res.items()]
+
+    out: list[EstimateRow] = []
+    for key, rows in items:
+        n = sum(int(r["n"]) for _, r in rows)
+        sw = sum(_f(r, "sw") for _, r in rows)
+        mx = sum(_f(r, "swx") for _, r in rows) / sw
+        my = sum(_f(r, "swy") for _, r in rows) / sw
+        C = sum(_f(r, "swp") for _, r in rows) / sw - mx * my
+        k0 = mx * my - C
+        cvec = {"p": 1.0, "x": -my, "y": -mx, "1": k0}
+        pieces = []
+        for hval, r in rows:
+            s_h = (
+                _f(r, "swp") - my * _f(r, "swx") - mx * _f(r, "swy")
+                + k0 * _f(r, "sw")
+            ) / sw
+            q_h = 0.0
+            for u, cu in cvec.items():
+                for v, cv in cvec.items():
+                    q_h += cu * cv * _g(r, u, v)
+            q_h /= sw * sw
+            pieces.append((
+                _n_var(r, hval), s_h, q_h,
+                _fpc_factor(_n_var(r, hval),
+                            float(r["__N__"]) if fpc else None),
+            ))
+        if strat:
+            var = _strat_var(pieces)
+        else:
+            n_h, s1, s2, fct = pieces[0]
+            if fct == 0.0:
+                var = 0.0
+            elif n_h < 2:
+                var = float("nan")
+            else:
+                var = fct * n_h / (n_h - 1.0) * (s2 - s1 * s1 / n_h)
         out.append(EstimateRow(key=key, estimate=float(C), variance=float(var), n=n))
     return out

@@ -509,3 +509,97 @@ def synth_ppm_variant(
         ((group * 37 + j) % 199 + (24 * variant if j % 97 == 0 else 0)) % 256
         for j in range(n)
     )
+
+
+def media_dedup_corpus(
+    media: DataFrame,
+    id_col: str = "media_id",
+    kind_col: str = "kind",
+    content_col: str = "content",
+    max_distance: int = 7,
+    n_bands: int = 8,
+    frame_every_n: int = 1,
+    window_ms: int = 2,
+    min_shared_windows: int = 2,
+    max_pairs: int | None = 20_000_000,
+) -> DataFrame:
+    """One-call MEDIA corpus near-dedup across image/video/audio (r15 —
+    r14 verdict #7, mirroring ``ops.dedup.dedup_corpus``): the
+    composition a multimodal pipeline actually calls.
+
+    1. exact dedup: md5(content) keyed window, keep the minimum id —
+       verbatim byte copies collapse before any decoding, so the Python
+       decode stages only ever see DISTINCT blobs;
+    2. per-modality near-dup pairs over the survivors, each via this
+       module's certified primitives:
+       - ``kind='image'``: ``dhash_images`` -> Hamming-band LSH pairs
+         at ``max_distance``;
+       - ``kind='video'``: ``dhash_frames(every_n=frame_every_n)`` ->
+         the SAME band join keyed by media id — frames of one video
+         never pair (id equality), cross-video frame hits become media
+         pairs directly;
+       - ``kind='audio'``: ``wav_window_fingerprints`` -> (win_idx, fp)
+         inverted-index join, pairs sharing >= ``min_shared_windows``
+         windows;
+    3. connected components over the union of pair lists -> keep the
+       minimum-id representative per near-dup cluster.
+
+    Returns the surviving rows of the exact-dedup survivors (all
+    original columns).  Scale posture is the stages' own: media BYTES
+    never cross a shuffle (each decode is one Arrow pass emitting ids +
+    small ints), every pair path is banded/inverted-index (never
+    all-pairs), and the ``max_pairs`` refusal backstop is inherited by
+    the image and video band joins.  Unknown kinds and undecodable
+    blobs survive untouched (they produce no pairs), so the call is
+    safe on mixed corpora."""
+    from pyspark.sql import Window
+
+    from data_integration_est_spark.ops.components import (
+        dedup_keep_representative,
+    )
+    from data_integration_est_spark.util import bounded_persist
+
+    win = Window.partitionBy("__fp__").orderBy(id_col)
+    work = (
+        media.withColumn("__fp__", F.md5(F.col(content_col)))
+        .withColumn("__rn__", F.row_number().over(win))
+        .filter(F.col("__rn__") == 1)
+        .drop("__fp__", "__rn__")
+    )
+    work = bounded_persist(work)
+
+    kinds = F.col(kind_col)
+    img_pairs = hamming_neardup_pairs(
+        dhash_images(
+            work.filter(kinds == "image"), id_col=id_col,
+            content_col=content_col,
+        ),
+        max_distance=max_distance, n_bands=n_bands, max_pairs=max_pairs,
+    ).select("id_a", "id_b")
+    frame_pairs = hamming_neardup_pairs(
+        dhash_frames(
+            work.filter(kinds == "video"), id_col=id_col,
+            content_col=content_col, every_n=frame_every_n,
+        ),
+        max_distance=max_distance, n_bands=n_bands, max_pairs=max_pairs,
+    ).select("id_a", "id_b").distinct()
+    fps = wav_window_fingerprints(
+        work.filter(kinds == "audio"), id_col=id_col,
+        content_col=content_col, window_ms=window_ms,
+    ).filter(F.col("fp").isNotNull())
+    audio_pairs = (
+        fps.select("win_idx", "fp", F.col("media_id").alias("id_a"))
+        .join(
+            fps.select("win_idx", "fp", F.col("media_id").alias("id_b")),
+            ["win_idx", "fp"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared_windows)
+        .select("id_a", "id_b")
+    )
+    pairs = img_pairs.unionByName(frame_pairs).unionByName(audio_pairs)
+    return dedup_keep_representative(
+        work, pairs, id_col=id_col, left_col="id_a", right_col="id_b"
+    )

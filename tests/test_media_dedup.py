@@ -196,3 +196,91 @@ def test_collapsed_stats_equal_perpair_aggregation(spark):
     }
     assert got == want
     assert want.get(0, (0, 0))[0] >= 6  # C(4,2) from the planted dups
+
+
+def test_media_dedup_corpus_wiring(spark):
+    """r15: the one-call composition must equal the primitives wired by
+    hand — exact md5 collapse, per-modality pairs, min-id components —
+    and unknown kinds must survive untouched."""
+    rows = []
+    # images: 2 groups x 3 variants (ids 0..5) + exact copy of (0,0)
+    for i, (g, v) in enumerate([(0, 0), (0, 1), (0, 2),
+                                (1, 0), (1, 1), (1, 2)]):
+        rows.append((i, "image", md.synth_ppm_variant(g, v)))
+    rows.append((6, "image", md.synth_ppm_variant(0, 0)))  # exact dup of 0
+    # videos: 2-frame streams, two videos per group sharing a frame
+    for i, (g, b) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        rows.append((
+            10 + i, "video",
+            b"".join(md.synth_ppm_variant(g, (b + f) % 5)
+                     for f in range(2)),
+        ))
+    # audios: two variants per group (shared base windows) + exact copy
+    for i, (g, v) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        rows.append((20 + i, "audio", md.synth_wav_variant(g, v)))
+    rows.append((24, "audio", md.synth_wav_variant(0, 0)))  # dup of 20
+    # an unknown kind: must pass through
+    rows.append((30, "blob", b"opaque-bytes"))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+
+    kept = sorted(
+        r["media_id"]
+        for r in md.media_dedup_corpus(media, frame_every_n=1).collect()
+    )
+
+    # hand-wired expectation from the primitives
+    import hashlib
+
+    seen, work = set(), []
+    for mid, kind, content in sorted(rows):
+        fp = hashlib.md5(content).hexdigest()
+        if fp in seen:
+            continue
+        seen.add(fp)
+        work.append((mid, kind, content))
+    wdf = spark.createDataFrame(
+        work, "media_id long, kind string, content binary"
+    )
+    img = md.hamming_neardup_pairs(
+        md.dhash_images(wdf.filter(F.col("kind") == "image"))
+    ).collect()
+    vid = md.hamming_neardup_pairs(
+        md.dhash_frames(wdf.filter(F.col("kind") == "video"), every_n=1)
+    ).collect()
+    afp = md.wav_window_fingerprints(
+        wdf.filter(F.col("kind") == "audio")
+    ).toPandas()
+    from collections import Counter
+
+    shared = Counter()
+    cells = {}
+    for _, r in afp.iterrows():
+        cells.setdefault((r["win_idx"], r["fp"]), []).append(int(r["media_id"]))
+    for members in cells.values():
+        ms = sorted(set(members))
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                shared[(ms[i], ms[j])] += 1
+    pairs = (
+        [(r["id_a"], r["id_b"]) for r in img]
+        + [(r["id_a"], r["id_b"]) for r in vid]
+        + [p for p, c in shared.items() if c >= 2]
+    )
+    parent = {m: m for m, _, _ in work}
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = sorted(m for m, _, _ in work if find(m) == m)
+
+    assert kept == expect
+    assert 30 in kept          # unknown kind untouched
+    assert 6 not in kept       # exact image dup dropped
+    assert 24 not in kept      # exact audio dup dropped

@@ -174,6 +174,14 @@ HEADLINE = [
     "svymean_cluster_events",
     "media_frame_neardup",
     "audio_window_neardup",
+    # round-15: the cluster-design SE surface + DAGJK calibrated-cluster
+    # variance + the one-call multimodal dedup corpus (new gate rows
+    # join immediately)
+    "svyquantile_cluster_events",
+    "svyglm_cluster_events",
+    "svycov_cluster_events",
+    "jk_psu_calibrated_events",
+    "media_dedup_corpus",
     # round-11: the portable-RNG MC slice + portable MinHash/LSH join
     # the headline (new gate rows join immediately).  Late-r11 widened
     # the slice battery 3 -> 5 estimators (Scenario-II tilde members):
@@ -313,6 +321,13 @@ STDOUT_DROP = {
     "svymean_cluster_events",   # (svymean_events)
     "audio_window_neardup",     # (media_frame_neardup)
     "stream_frequency_summary",  # (cms_token_counts)
+    # r15 new-row near-duplicates: stdout keeps media_dedup_corpus (the
+    # only genuinely new family); the cluster-SE rows ride BENCH_FULL
+    # behind their element representatives
+    "svyglm_cluster_events",    # (svyglm_linear)
+    "svycov_cluster_events",    # (svycov_events)
+    "jk_psu_calibrated_events",  # (jackknife_mean)
+    "svyquantile_cluster_events",  # (svyquantile_events)
 }
 
 

@@ -118,19 +118,22 @@ def test_registry_window_contract():
     assert len(names) >= 50
     window = names[:50]
     rows_only = [n for n in window if REGISTRY[n][1] is None]
-    # the r14 window is FULLY oracle-backed: every row hash-certifies
+    # the r15 window is FULLY oracle-backed: every row hash-certifies
     # (the seeded studies and engine-hash diagnostics ride the tail on
     # their r12/r13 records)
     assert rows_only == [], rows_only
-    # the r14 composition: r9/r10 staleness tranches lead, the new
-    # capability rows and the round's code-touched rows follow, the r11
-    # estimator family closes it (_R14_WINDOW in entry_queries.py)
-    for n in ("quantile_monitor_summary", "svycov_events",
-              "hll_distinct_users", "anova_orders",
-              "svymean_cluster_events", "media_frame_neardup",
-              "ngram_jaccard", "fs_linkage_patterns",
-              "pq_knn_recall", "ivfpq_knn_recall",
-              "regdi_c0", "pc_s1", "mc_deterministic_study"):
+    # the r15 composition: the whole r11 staleness tranche leads, the
+    # new cluster-SE/DAGJK/media-corpus capability rows and the round's
+    # code-touched rows follow, 10 r12 rows close it (_R15_WINDOW in
+    # entry_queries.py)
+    for n in ("stream_frequency_summary", "pricing_summary",
+              "split_columns", "svyvar_cal_events",
+              "svyquantile_cluster_events", "svyglm_cluster_events",
+              "svycov_cluster_events", "jk_psu_calibrated_events",
+              "media_dedup_corpus",
+              "svyglm_linear", "svyquantile_ci_events", "svycov_events",
+              "svychisq_rs_events", "price_quantiles",
+              "cms_token_counts", "event_funnel"):
         assert n in window, n
     for n, (fn, sql) in REGISTRY.items():
         assert callable(fn), n

@@ -483,3 +483,28 @@ def test_jackknife_psu_calibrated_validates(spark):
         jackknife_psu_calibrated_mean(
             df2, "y", ["one"], [1.0, 2.0], "w", "psu"
         )
+
+
+def test_svyciprop_and_svyby_delegate_psu(spark):
+    """The dispatcher surface (svyciprop, svyby) inherits PSU handling
+    from the moment kernels — pinned so a refactor can't silently
+    reintroduce element-level SEs behind these front doors."""
+    from data_integration_est_spark.kernels.stats import svyby, svyciprop
+
+    df, psu, h, w, x, y, grp = _fixture(spark)
+    dfi = df.withColumn("ind", (F.col("y") > 10.0).cast("double"))
+    des = SurveyDesign(df=dfi, weight_col="w", strata_col="h",
+                       psu_col="psu")
+    el = SurveyDesign(df=dfi, weight_col="w")
+    # svyciprop: se must equal svymean-on-indicator under the SAME
+    # cluster design (and exceed the element-level se on this
+    # cluster-correlated fixture)
+    cp = svyciprop(des, "ind").collect()[0]
+    sm = svymean(des, "ind")[0]
+    assert cp["se"] == pytest.approx(sm.se, rel=1e-12)
+    assert cp["se"] > svyciprop(el, "ind").collect()[0]["se"]
+    # svyby(mean): per-domain rows equal the grouped psu svymean
+    by = {r["g"]: r for r in svyby(des, "g", "y", stat="mean").collect()}
+    for r in svymean(des, "y", group_cols=["g"]):
+        assert by[r.key[0]]["est"] == pytest.approx(r.estimate, rel=1e-12)
+        assert by[r.key[0]]["se"] == pytest.approx(r.se, rel=1e-12)

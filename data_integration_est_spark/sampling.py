@@ -229,3 +229,111 @@ def bernoulli_sample(
     """Poisson/Bernoulli sampling — ``rbinom(N, 1, prob)`` per row
     (reference ``nb[7]:69,77``).  ``prob``: float or Column."""
     return df.withColumn(out_col, rng.bernoulli([id_col], seed, prob, tag))
+
+
+def cluster_sample(
+    df: DataFrame,
+    psu_col: str,
+    n_psu: dict | int,
+    seed: int,
+    stratum_col: str | None = None,
+    m_per_psu: int | None = None,
+    id_col: str | None = None,
+    out_col: str = "ind",
+    weight_col: str | None = None,
+    tag: str = "cluster",
+    stream: str = "xxhash64",
+) -> DataFrame:
+    """Two-stage cluster sampling (r15 — the S-family generator that
+    pairs with the ``SurveyDesign(psu_col=)`` estimators): stage 1
+    draws an exact-size SRS of PSUs (per stratum when ``stratum_col``
+    is given; PSUs must nest within strata), stage 2 optionally draws
+    an exact-size SRS of ``m_per_psu`` elements within each selected
+    PSU (needs ``id_col``).  ``svydesign(ids=~psu)``'s sampling-side
+    counterpart.
+
+    Randomness is the ``rng`` keyed-hash discipline: the PSU draw keys
+    on the PSU id, the element draw on the element id — deterministic,
+    partition-independent, and with ``stream="md5"`` every draw (hence
+    the full MEMBERSHIP) replays bit-for-bit in any engine with md5,
+    which is what the gate row hash-checks.
+
+    Scale shape: stage 1 ranks a PSU-LEVEL aggregate (one
+    map-side-combined groupBy of the data, then a per-stratum window
+    over the small PSU table — or a distributed TakeOrdered when
+    unstratified); stage 2 is one window over the data partitioned by
+    PSU (parallel across PSUs).  Nothing wider than the PSU id ever
+    shuffles; no driver collection.
+
+    With ``weight_col`` set, sampled rows carry the design weight
+    (N_psu_h / n_sel_h) * (M_c / m_sel_c) — the exact two-stage
+    inverse-inclusion HT weight under realized sizes (min(n, N) /
+    min(m, M)); unsampled rows get NULL.  Feeding the result into
+    ``SurveyDesign(weight_col=..., strata_col=..., psu_col=...)``
+    closes the generate -> estimate loop."""
+    if m_per_psu is not None and id_col is None:
+        raise ValueError("stage-2 subsampling (m_per_psu) needs id_col")
+    skeys = [stratum_col] if stratum_col else []
+    psus = df.groupBy(*skeys, psu_col).agg(F.count(F.lit(1)).alias("__M__"))
+    key = rng.uniform([psu_col], seed, f"{tag}:psu", stream=stream)
+    if stratum_col:
+        wrank = Window.partitionBy(stratum_col).orderBy(
+            key.asc(), F.col(psu_col).asc()
+        )
+        wcnt = Window.partitionBy(stratum_col)
+        ranked = psus.withColumn("__rn__", F.row_number().over(wrank)) \
+                     .withColumn("__Npsu__", F.count(F.lit(1)).over(wcnt))
+        if isinstance(n_psu, int):
+            limit = F.lit(n_psu)
+        else:
+            limit = F.lit(None)
+            for sv, nv in n_psu.items():
+                limit = F.when(
+                    F.col(stratum_col) == F.lit(sv), F.lit(int(nv))
+                ).otherwise(limit)
+        sel = ranked.filter(F.col("__rn__") <= limit).withColumn(
+            "__w1__",
+            F.col("__Npsu__").cast("double")
+            / F.least(limit, F.col("__Npsu__")).cast("double"),
+        )
+    else:
+        if not isinstance(n_psu, int):
+            raise ValueError("per-stratum n_psu dict needs stratum_col")
+        n_tot = psus.count()
+        sel = (
+            psus.withColumn("__key__", key)
+            .orderBy("__key__", psu_col)
+            .limit(n_psu)
+            .drop("__key__")
+            .withColumn(
+                "__w1__", F.lit(float(n_tot) / float(min(n_psu, n_tot)))
+            )
+        )
+    sel = sel.select(
+        F.col(psu_col).alias("__spsu__"), "__M__", "__w1__"
+    )
+    out = df.join(
+        sel, on=df[psu_col] == F.col("__spsu__"), how="left"
+    ).drop("__spsu__")
+    picked = F.col("__M__").isNotNull()
+    if m_per_psu is None:
+        ind = F.when(picked, 1).otherwise(0)
+        w = F.when(picked, F.col("__w1__"))
+    else:
+        ekey = rng.uniform([id_col], seed, f"{tag}:el", stream=stream)
+        wel = Window.partitionBy(psu_col).orderBy(
+            ekey.asc(), F.col(id_col).asc()
+        )
+        out = out.withColumn("__ern__", F.row_number().over(wel))
+        ind = F.when(
+            picked & (F.col("__ern__") <= m_per_psu), 1
+        ).otherwise(0)
+        w = F.when(
+            ind == 1,
+            F.col("__w1__") * F.col("__M__").cast("double")
+            / F.least(F.lit(m_per_psu), F.col("__M__")).cast("double"),
+        )
+    out = out.withColumn(out_col, ind)
+    if weight_col is not None:
+        out = out.withColumn(weight_col, w)
+    return out.drop("__M__", "__w1__", "__ern__")

@@ -178,6 +178,7 @@ HEADLINE = [
     # variance + the one-call multimodal dedup corpus (new gate rows
     # join immediately)
     "svyquantile_cluster_events",
+    "cluster_sample_events",
     "svyglm_cluster_events",
     "svycov_cluster_events",
     "jk_psu_calibrated_events",
@@ -328,6 +329,7 @@ STDOUT_DROP = {
     "svycov_cluster_events",    # (svycov_events)
     "jk_psu_calibrated_events",  # (jackknife_mean)
     "svyquantile_cluster_events",  # (svyquantile_events)
+    "cluster_sample_events",    # (stratified_sample_counts)
 }
 
 

@@ -508,3 +508,28 @@ def test_svyciprop_and_svyby_delegate_psu(spark):
     for r in svymean(des, "y", group_cols=["g"]):
         assert by[r.key[0]]["est"] == pytest.approx(r.estimate, rel=1e-12)
         assert by[r.key[0]]["se"] == pytest.approx(r.se, rel=1e-12)
+
+
+def test_svyglm_psu_poisson_matches_numpy(spark):
+    """Poisson link shares the PSU sandwich machinery — pinned
+    separately since a_w = w*mu differs from both other links."""
+    df, psu, h, w, x, y, _ = _fixture(spark, n=400, n_psu=32)
+    dfc = df.withColumn("yc", F.floor(F.abs(F.col("y")) / 4).cast("double"))
+    yc = np.floor(np.abs(y) / 4)
+    des = SurveyDesign(df=dfc, weight_col="w", strata_col="h", psu_col="psu")
+    out = {r["term"]: r
+           for r in svyglm(des, "yc ~ x", model_type="poisson").collect()}
+    X = np.column_stack([np.ones(len(x)), x])
+    beta = np.zeros(2)
+    for _ in range(100):
+        mu = np.exp(X @ beta)
+        A = (X * (w * mu)[:, None]).T @ X
+        g = (w * (yc - mu)) @ X
+        step = np.linalg.solve(A, g)
+        beta = beta + step
+        if np.max(np.abs(step)) < 1e-12:
+            break
+    mu = np.exp(X @ beta)
+    se = _np_cluster_sandwich(psu, h, w, X, yc - mu, w * mu)
+    assert out["x"]["coef"] == pytest.approx(beta[1], abs=1e-5)
+    assert out["x"]["se"] == pytest.approx(se[1], rel=1e-4, abs=1e-5)

@@ -75,6 +75,7 @@ from data_integration_est_spark.kernels.rake import poststratify, rake
 from data_integration_est_spark.kernels.replicate import (
     brr_mean,
     jackknife_mean,
+    jackknife_psu_calibrated_mean,
     poisson_bootstrap_mean,
 )
 from data_integration_est_spark.ops.packing import (
@@ -167,6 +168,7 @@ __all__ = [
     "trim_weights",
     "brr_mean",
     "jackknife_mean",
+    "jackknife_psu_calibrated_mean",
     "poisson_bootstrap_mean",
     "regdi_by",
     "pc_by",

@@ -200,17 +200,21 @@ def svyquantile(
     spark = design.df.sparkSession
     w = F.col(design.weight_col).cast("double")
     y = F.col(y_col).cast("double")
-    # Cluster designs (psu_col, r15) change only the Woodruff SE: the
-    # point quantile is a population functional of (y, w) alone.  The
-    # strata/psu columns ride along in the persisted projection (the
-    # bisection groupBys never touch them) and feed the PSU-collapsed
-    # indicator moments below.
+    # Cluster and stratified designs (r15) change only the Woodruff SE:
+    # the point quantile is a population functional of (y, w) alone.
+    # The strata/psu columns ride along in the persisted projection
+    # (the bisection groupBys never touch them) and feed the
+    # design-aware indicator moments below — PSU-collapsed per-stratum
+    # pieces under psu_col, per-stratum df-corrected element pieces
+    # under strata_col alone (previously silently unstratified).
     psu = design.psu_col if alpha is not None else None
-    strat = design.strata_col if psu else None
+    strat = design.strata_col if alpha is not None else None
     if psu and design.is_calibrated:
         from data_integration_est_spark.kernels.stats import (
             _psu_refuses_calibration)
         _psu_refuses_calibration(design, "svyquantile")
+    carry_fpc = design.fpc_col if (alpha is not None and (psu or strat)
+                                   and design.fpc_col) else None
     design_cols = ([psu] if psu else []) + ([strat] if strat else [])
     base = design.df.na.drop(
         subset=[y_col, design.weight_col] + group_cols + design_cols
@@ -218,8 +222,8 @@ def svyquantile(
         *group_cols, y.alias("__y__"), w.alias("__w__"),
         *([F.col(psu).alias("__psu__")] if psu else []),
         *([F.col(strat).alias("__h__")] if strat else []),
-        *([F.col(design.fpc_col).cast("double").alias("__fpc__")]
-          if psu and design.fpc_col else []),
+        *([F.col(carry_fpc).cast("double").alias("__fpc__")]
+          if carry_fpc else []),
     )
     base = base.persist()
     try:
@@ -349,6 +353,47 @@ def svyquantile(
                         _fpc_factor(
                             n_h,
                             float(r["__N__"]) if design.fpc_col else None,
+                        ),
+                    ))
+                v_p = _strat_var(pieces) / (W * W)
+                se_by_key[k] = (
+                    float("nan") if math.isnan(v_p)
+                    else math.sqrt(max(v_p, 0.0))
+                )
+        elif strat:
+            # stratified element design (r15): per-stratum df-corrected
+            # pieces of u_i = w_i (z_i - p_hat), with the stratum fpc —
+            # the same variance svymean reports on this design (the SE
+            # was silently unstratified before this round)
+            from data_integration_est_spark.kernels.stats import (
+                _fpc_factor, _strat_var)
+
+            mom = joined.groupBy(*group_cols, "__qi__", "__h__").agg(
+                F.count(F.lit(1)).alias("n_h"),
+                F.sum(w_ * z).alias("swz"),
+                F.sum(w_).alias("sw"),
+                F.sum(w_ * w_ * z).alias("sw2z"),
+                F.sum(w_ * w_).alias("sw2"),
+                *([F.max("__fpc__").alias("__N__")] if carry_fpc else []),
+            ).collect()
+            by_key: dict[tuple, list] = {}
+            for r in mom:
+                k = tuple(r[c] for c in group_cols) + (int(r["__qi__"]),)
+                by_key.setdefault(k, []).append(r)
+            for k, rows in by_key.items():
+                _lo, _hi, W, _n = group_info[k[:-1]]
+                p_hat = sum(float(r["swz"] or 0.0) for r in rows) / W
+                pieces = []
+                for r in rows:
+                    s1 = float(r["swz"] or 0.0) - p_hat * float(r["sw"] or 0.0)
+                    s2 = (1.0 - 2.0 * p_hat) * float(r["sw2z"] or 0.0) + (
+                        p_hat * p_hat
+                    ) * float(r["sw2"] or 0.0)
+                    pieces.append((
+                        int(r["n_h"]), s1, s2,
+                        _fpc_factor(
+                            int(r["n_h"]),
+                            float(r["__N__"]) if carry_fpc else None,
                         ),
                     ))
                 v_p = _strat_var(pieces) / (W * W)

@@ -533,3 +533,34 @@ def test_svyglm_psu_poisson_matches_numpy(spark):
     se = _np_cluster_sandwich(psu, h, w, X, yc - mu, w * mu)
     assert out["x"]["coef"] == pytest.approx(beta[1], abs=1e-5)
     assert out["x"]["se"] == pytest.approx(se[1], rel=1e-4, abs=1e-5)
+
+
+def test_svyquantile_stratified_element_woodruff(spark):
+    """r15: strata_col alone (no psu) now drives per-stratum
+    df-corrected Woodruff pieces — matching the variance svymean
+    reports on the same indicator under the same design (previously
+    the SE was silently unstratified)."""
+    df, psu, h, w, x, y, _ = _fixture(spark)
+    des = SurveyDesign(df=df, weight_col="w", strata_col="h")
+    q = 0.5
+    row = svyquantile(des, "y", qs=(q,), alpha=0.05).collect()[0]
+    W = float(np.sum(w))
+    qhat = _weighted_quantile(y, w, q * W)
+    z = (y <= qhat).astype(float)
+    p = float(np.sum(w * z) / W)
+    v = 0.0
+    for hv in np.unique(h):
+        sel = h == hv
+        u = w[sel] * (z[sel] - p)
+        n_h = int(sel.sum())
+        v += n_h / (n_h - 1.0) * (float((u**2).sum())
+                                  - float(u.sum()) ** 2 / n_h)
+    se = np.sqrt(v) / W
+    from statistics import NormalDist
+
+    zc = NormalDist().inv_cdf(0.975)
+    lo = _weighted_quantile(y, w, max(q - zc * se, 0.0) * W)
+    hi = _weighted_quantile(y, w, min(q + zc * se, 1.0) * W)
+    assert row["quantile"] == pytest.approx(qhat, abs=0)
+    assert row["ci_l"] == pytest.approx(lo, abs=0)
+    assert row["ci_u"] == pytest.approx(hi, abs=0)

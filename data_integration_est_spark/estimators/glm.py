@@ -61,16 +61,17 @@ def svyglm(
     centered second moment of the weighted PSU score totals — the
     cluster-robust (CR0-with-df) sandwich, matching the element path
     in the every-element-its-own-PSU limit (where Σwş ≈ 0 at
-    convergence makes centering a no-op).  Strata are honored on the
-    PSU path (they nest the PSUs); the element path keeps its
-    documented with-replacement element approximation.  A stratum with
-    a single sampled PSU yields NULL SEs for that group (the NaN
-    variance convention); calibrated + psu refuses loudly."""
+    convergence makes centering a no-op).  Stratified element designs
+    (``strata_col`` alone, r15) get the same per-stratum df-corrected
+    centered moments with elements as the first-stage units —
+    previously strata were silently ignored.  A stratum with a single
+    sampled unit yields NULL SEs for that group (the NaN variance
+    convention); calibrated + psu refuses loudly."""
     f = Formula.parse(formula) if isinstance(formula, str) else formula
     group_cols = list(group_cols or [])
     xs = list(f.predictors)
     psu = design.psu_col
-    strat = design.strata_col if psu else None
+    strat = design.strata_col
     if psu:
         from data_integration_est_spark.kernels.stats import (
             _psu_refuses_calibration)
@@ -129,40 +130,62 @@ def svyglm(
     else:
         a_w = w * pred
 
-    if psu:
-        # cluster-robust sandwich (r15): M is the per-stratum
-        # df-corrected centered second moment of the weighted PSU score
-        # totals u_c = Σ_{i∈c} w_i s_i — the survey first-stage
-        # with-replacement linearization.  TWO-LEVEL distributed
-        # aggregation: one groupBy at (group, stratum, PSU) grain
-        # builds the score totals and the A partials, one more collapses
-        # to (group, stratum); O(groups × strata × k²) driver scalars.
+    if psu or strat:
+        # design-robust sandwich (r15): M is the per-stratum
+        # df-corrected centered second moment of the weighted score
+        # TOTALS of the first-stage sampling units — PSUs when
+        # ``psu_col`` is set (the survey first-stage with-replacement
+        # linearization; TWO-LEVEL aggregation: (group, stratum, PSU)
+        # grain builds score totals + A partials, one more groupBy
+        # collapses to (group, stratum)), ELEMENTS when only
+        # ``strata_col`` is set (stratified element sampling; ONE
+        # aggregation at (group, stratum) grain, uu = Σ w²s s' —
+        # previously strata were silently ignored here).  Either way
+        # O(groups × strata × k²) driver scalars.
         hcols = [strat] if strat else []
-        l1 = [F.count(F.lit(1)).alias("n_el")]
-        for i in range(k):
-            l1.append(F.sum(w * resid * xcols[i]).alias(f"u_{i}"))
-            for j in range(i, k):
-                l1.append(F.sum(a_w * xcols[i] * xcols[j]).alias(f"a_{i}_{j}"))
-        lvl1 = work.groupBy(*group_cols, *hcols, psu).agg(*l1)
-        l2 = [
-            F.count(F.lit(1)).alias("n_psu"),
-            F.sum("n_el").alias("n_el"),
-        ]
-        for i in range(k):
-            l2.append(F.sum(F.col(f"u_{i}")).alias(f"s_{i}"))
-            for j in range(i, k):
-                l2.append(F.sum(F.col(f"a_{i}_{j}")).alias(f"a_{i}_{j}"))
-                l2.append(
-                    F.sum(F.col(f"u_{i}") * F.col(f"u_{j}")).alias(f"uu_{i}_{j}")
-                )
-        collected = lvl1.groupBy(*group_cols, *hcols).agg(*l2).collect()
-        # domain estimation: d.o.f. uses the FULL-design PSU count per
-        # stratum (PSUs with no in-group rows contribute zero scores)
+        if psu:
+            l1 = [F.count(F.lit(1)).alias("n_el")]
+            for i in range(k):
+                l1.append(F.sum(w * resid * xcols[i]).alias(f"u_{i}"))
+                for j in range(i, k):
+                    l1.append(
+                        F.sum(a_w * xcols[i] * xcols[j]).alias(f"a_{i}_{j}")
+                    )
+            lvl1 = work.groupBy(*group_cols, *hcols, psu).agg(*l1)
+            l2 = [
+                F.count(F.lit(1)).alias("n_psu"),
+                F.sum("n_el").alias("n_el"),
+            ]
+            for i in range(k):
+                l2.append(F.sum(F.col(f"u_{i}")).alias(f"s_{i}"))
+                for j in range(i, k):
+                    l2.append(F.sum(F.col(f"a_{i}_{j}")).alias(f"a_{i}_{j}"))
+                    l2.append(
+                        F.sum(F.col(f"u_{i}") * F.col(f"u_{j}"))
+                        .alias(f"uu_{i}_{j}")
+                    )
+            collected = lvl1.groupBy(*group_cols, *hcols).agg(*l2).collect()
+        else:
+            le = [F.count(F.lit(1)).alias("n_psu")]
+            for i in range(k):
+                le.append(F.sum(w * resid * xcols[i]).alias(f"s_{i}"))
+                for j in range(i, k):
+                    le.append(
+                        F.sum(a_w * xcols[i] * xcols[j]).alias(f"a_{i}_{j}")
+                    )
+                    le.append(
+                        F.sum(w * w * resid * resid * xcols[i] * xcols[j])
+                        .alias(f"uu_{i}_{j}")
+                    )
+            collected = work.groupBy(*group_cols, *hcols).agg(*le).collect()
+        # domain estimation: d.o.f. uses the FULL-design unit count per
+        # stratum (units with no in-group rows contribute zero scores)
         full_psu_n = None
         if group_cols:
-            cnt = df.groupBy(*hcols).agg(
-                F.countDistinct(F.col(psu)).alias("__n__")
-            ).collect()
+            unit_cnt = (
+                F.countDistinct(F.col(psu)) if psu else F.count(F.lit(1))
+            )
+            cnt = df.groupBy(*hcols).agg(unit_cnt.alias("__n__")).collect()
             full_psu_n = {
                 (r[strat] if strat else None): int(r["__n__"]) for r in cnt
             }
@@ -193,7 +216,7 @@ def svyglm(
             continue
         A = np.zeros((k, k))
         M = np.zeros((k, k))
-        if psu:
+        if psu or strat:
             rows = by_key[key]
             bad = False
             for r in rows:

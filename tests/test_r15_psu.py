@@ -564,3 +564,29 @@ def test_svyquantile_stratified_element_woodruff(spark):
     assert row["quantile"] == pytest.approx(qhat, abs=0)
     assert row["ci_l"] == pytest.approx(lo, abs=0)
     assert row["ci_u"] == pytest.approx(hi, abs=0)
+
+
+def test_svyglm_stratified_element_matches_numpy(spark):
+    """r15: strata_col alone now drives per-stratum df-corrected
+    centered score moments in the svyglm sandwich (elements as the
+    first-stage units; previously silently ignored)."""
+    df, psu, h, w, x, y, _ = _fixture(spark)
+    des = SurveyDesign(df=df, weight_col="w", strata_col="h")
+    out = {r["term"]: r for r in svyglm(des, "y ~ x").collect()}
+    X = np.column_stack([np.ones(len(x)), x])
+    beta = _np_ols(w, X, y)
+    resid = y - X @ beta
+    k = 2
+    A = (X * w[:, None]).T @ X
+    M = np.zeros((k, k))
+    for hv in np.unique(h):
+        sel = h == hv
+        U = (w[sel] * resid[sel])[:, None] * X[sel]
+        n_h = int(sel.sum())
+        S = U.sum(0)
+        M += n_h / (n_h - 1.0) * (U.T @ U - np.outer(S, S) / n_h)
+    V = np.linalg.solve(A, np.linalg.solve(A, M).T).T
+    se = np.sqrt(np.clip(np.diag(V), 0.0, None))
+    assert out["x"]["coef"] == pytest.approx(beta[1], abs=1e-6)
+    assert out["x"]["se"] == pytest.approx(se[1], abs=2e-6)
+    assert out["(Intercept)"]["se"] == pytest.approx(se[0], abs=2e-6)

@@ -847,6 +847,11 @@ def svychisq_rao_scott(
     bootstrap; within-PSU correlation then shows up in V_u and inflates
     the deltas exactly as first-stage resampling should.  The psu
     column must be integral (the same contract ``id_col`` carries).
+    ``strata_col`` is deliberately NOT read: the Poisson bootstrap is
+    an unstratified with-replacement resample, which for a stratified
+    design OVERSTATES V_u (ignoring the between-stratum variance
+    reduction) — the correction errs conservative, never silently
+    anti-conservative like the pre-r15 element-level psu gap.
     """
     from data_integration_est_spark.kernels.replicate import (
         _POIS1_CDF, _POIS1_P, _QH_A1, _QH_A2, _QH_B1, _QH_B2, _QH_C2)

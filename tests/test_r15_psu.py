@@ -590,3 +590,20 @@ def test_svyglm_stratified_element_matches_numpy(spark):
     assert out["x"]["coef"] == pytest.approx(beta[1], abs=1e-6)
     assert out["x"]["se"] == pytest.approx(se[1], abs=2e-6)
     assert out["(Intercept)"]["se"] == pytest.approx(se[0], abs=2e-6)
+
+
+def test_design_effect_total_and_ratio_psu_delegation(spark):
+    """DEFF's total/ratio statistics delegate to the psu-honoring
+    kernels too — pinned like the mean path."""
+    from data_integration_est_spark.kernels.stats import svyratio, svytotal
+
+    df, psu, h, w, x, y, _ = _fixture(spark)
+    df2 = df.withColumn("xp", F.abs(F.col("x")) + 1.0)
+    des = SurveyDesign(df=df2, weight_col="w", strata_col="h", psu_col="psu")
+    dt = design_effect(des, "y", statistic="total")[0]
+    vt = svytotal(des, "y")[0].variance
+    assert dt.variance == pytest.approx(vt, rel=1e-12)
+    dr = design_effect(des, "y", statistic="ratio", den_col="xp")[0]
+    vr = svyratio(des, "y", "xp")[0].variance
+    assert dr.variance == pytest.approx(vr, rel=1e-12)
+    assert np.isfinite(dt.estimate) and np.isfinite(dr.estimate)

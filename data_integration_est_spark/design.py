@@ -56,9 +56,12 @@ class SurveyDesign:
     # PSUs in stratum h (the ``survey`` package's default
     # ``options(survey.lonely.psu=)``-free behavior).  PSUs must nest
     # within strata.  With ``fpc_col`` set, N_h is the POPULATION count
-    # of PSUs in the stratum (not elements).  Calibrated designs with a
-    # psu_col refuse (the element-level calibration Gram is not a PSU
-    # aggregate); the BRR replicate path covers that combination.
+    # of PSUs in the stratum (not elements).  Calibrated cluster
+    # designs: svymean/svytotal linearize directly (r15 — the GREG
+    # residual projection B comes from the ELEMENT-level d-Gram, then
+    # the influence w·e collapses to PSU totals: survey::svyrecvar's
+    # shape); the other kernels refuse, pointing at brr_mean /
+    # jackknife_psu_calibrated_mean.
     psu_col: str | None = None
 
     def __post_init__(self) -> None:

@@ -170,12 +170,162 @@ def _psu_refuses_calibration(design: SurveyDesign, what: str) -> None:
     if design.psu_col and design.is_calibrated:
         raise NotImplementedError(
             f"{what}: calibrated designs with a psu_col are not supported "
-            "— the element-level calibration Gram (Σ d x x') is not a PSU "
-            "aggregate, so the GREG residual projection cannot be formed "
-            "from PSU totals.  Use BRR replicate variance "
-            "(kernels.replicate) for calibrated cluster designs, or "
-            "calibrate at the PSU level."
+            "for this statistic — its linearized variable is not linear "
+            "in PSU-collapsible columns the way the GREG residual is.  "
+            "svymean/svytotal DO support calibrated cluster designs "
+            "(r15: element-level d-Gram for the residual projection B, "
+            "then per-stratum PSU totals of w·e — survey::svyrecvar's "
+            "shape); for anything else use BRR replicate variance "
+            "(kernels.replicate.brr_mean, 2 PSUs/stratum) or the "
+            "delete-a-group jackknife "
+            "(kernels.replicate.jackknife_psu_calibrated_mean, any PSU "
+            "count), or calibrate at the PSU level."
         )
+
+
+def _cal_psu_linearized(
+    design: SurveyDesign,
+    y_col: str,
+    group_cols: list[str],
+    mode: str,
+) -> list[EstimateRow]:
+    """Calibrated CLUSTER designs for svymean/svytotal (r15 — upgrading
+    the r14 refusal): ``survey::svyrecvar``'s two-grain shape in one
+    two-level aggregation.
+
+    The GREG residual projection B needs the ELEMENT-level d-Gram
+    (Σ d x x' is not a PSU aggregate — the r14 refusal's correct
+    half), but the influence z_i = w_i e_i = w_i(y_i − [m] − x_i'B)
+    is LINEAR in (w, wy, wx_j) given the driver scalars (m, B), so its
+    per-PSU totals are linear in the PSU totals t_c = (Σw, Σwy, Σwx_j)
+    — and Σ_c z_c², the first-stage variance core, is a quadratic form
+    in the PSU-TOTAL Gram Q_h = Σ_c t_c t_c'.  Level 1 groups by
+    (group, stratum, PSU) carrying t_c AND the element d-Gram partials
+    (sums of sums = element sums); level 2 collapses to
+    (group, stratum) with Q_h alongside.  O(groups × strata × kx²)
+    driver scalars; domain d.o.f. uses full-design PSU counts; fpc is
+    the PSU-population count per stratum.  ``mode``: 'mean' (estimate
+    m, rhs centered by m, influence /Σw) or 'total'."""
+    strat, fpc, psu = design.strata_col, design.fpc_col, design.psu_col
+    xcols = list(design.calibration_cols)
+    kx = len(xcols)
+    kb = kx + 2  # PSU-total basis (w, wy, wx_1..kx)
+    subset = list(dict.fromkeys(
+        [y_col, design.weight_col, design.base_weight_col, psu]
+        + xcols + ([strat] if strat else []) + ([fpc] if fpc else [])
+    ))
+    df = design.df.na.drop(subset=subset)
+    w = F.col(design.weight_col).cast("double")
+    d = F.col(design.base_weight_col).cast("double")
+    y = F.col(y_col).cast("double")
+    xs = [F.col(c).cast("double") for c in xcols]
+    hcols = [strat] if strat else []
+
+    l1 = [
+        F.sum(w).alias("t_0"),
+        F.sum(w * y).alias("t_1"),
+        *[F.sum(w * xs[j]).alias(f"t_{j + 2}") for j in range(kx)],
+    ]
+    for i in range(kx):
+        for j in range(i, kx):
+            l1.append(F.sum(d * xs[i] * xs[j]).alias(f"g_{i}_{j}"))
+        l1.append(F.sum(d * xs[i] * y).alias(f"gy_{i}"))
+        l1.append(F.sum(d * xs[i]).alias(f"g1_{i}"))
+    if fpc:
+        l1.append(F.max(F.col(fpc).cast("double")).alias("__N__"))
+    lvl1 = df.groupBy(*group_cols, *hcols, psu).agg(*l1)
+
+    l2 = [F.count(F.lit(1)).alias("n_psu")]
+    for u in range(kb):
+        l2.append(F.sum(F.col(f"t_{u}")).alias(f"s_{u}"))
+        for v in range(u, kb):
+            l2.append(
+                F.sum(F.col(f"t_{u}") * F.col(f"t_{v}")).alias(f"q_{u}_{v}")
+            )
+    for i in range(kx):
+        for j in range(i, kx):
+            l2.append(F.sum(F.col(f"g_{i}_{j}")).alias(f"g_{i}_{j}"))
+        l2.append(F.sum(F.col(f"gy_{i}")).alias(f"gy_{i}"))
+        l2.append(F.sum(F.col(f"g1_{i}")).alias(f"g1_{i}"))
+    if fpc:
+        l2.append(F.max("__N__").alias("__N__"))
+    res = _collect_keyed(lvl1, group_cols + hcols, l2)
+
+    full_psu_n = None
+    if group_cols:
+        cnt = df.groupBy(*hcols).agg(
+            F.countDistinct(F.col(psu)).alias("__n__")
+        ).collect()
+        full_psu_n = {
+            (r[strat] if strat else None): int(r["__n__"]) for r in cnt
+        }
+
+    def _f(r, name):
+        v = r[name]
+        return 0.0 if v is None else float(v)
+
+    if strat:
+        grouped: dict[tuple, list] = {}
+        for key, r in res.items():
+            grouped.setdefault(key[:-1], []).append((key[-1], r))
+        items = [(k, rows) for k, rows in grouped.items()]
+    else:
+        items = [(k, [(None, r)]) for k, r in res.items()]
+
+    out: list[EstimateRow] = []
+    for key, rows in items:
+        n = sum(int(r["n_psu"]) for _, r in rows)
+        sw = sum(_f(r, "s_0") for _, r in rows)
+        t = sum(_f(r, "s_1") for _, r in rows)
+        m = t / sw
+        G = np.zeros((kx, kx))
+        rhs = np.zeros(kx)
+        for _, r in rows:
+            for i in range(kx):
+                for j in range(i, kx):
+                    v = _f(r, f"g_{i}_{j}")
+                    G[i, j] += v
+                    if j != i:
+                        G[j, i] += v
+                rhs[i] += _f(r, f"gy_{i}")
+                if mode == "mean":
+                    rhs[i] -= m * _f(r, f"g1_{i}")
+        B = _solve_stacked(
+            G[None, ...], rhs[None, :, None],
+            f"svy{mode} psu residual projection",
+        ).ravel()
+        c = np.concatenate(
+            ([-m, 1.0] if mode == "mean" else [0.0, 1.0], -B)
+        )
+        scale = sw if mode == "mean" else 1.0
+        pieces = []
+        for hval, r in rows:
+            n_h = full_psu_n[hval] if full_psu_n is not None else int(r["n_psu"])
+            s_vec = np.array([_f(r, f"s_{u}") for u in range(kb)])
+            Q = np.zeros((kb, kb))
+            for u in range(kb):
+                for v in range(u, kb):
+                    Q[u, v] = Q[v, u] = _f(r, f"q_{u}_{v}")
+            s1 = float(c @ s_vec) / scale
+            s2 = float(c @ Q @ c) / (scale * scale)
+            pieces.append((
+                n_h, s1, s2,
+                _fpc_factor(n_h, float(r["__N__"]) if fpc else None),
+            ))
+        if strat:
+            v = _strat_var(pieces)
+        else:
+            n_h, s1, s2, f = pieces[0]
+            if f == 0.0:
+                v = 0.0
+            elif n_h < 2:
+                v = float("nan")
+            else:
+                v = f * n_h / (n_h - 1.0) * (s2 - s1 * s1 / n_h)
+        est = m if mode == "mean" else t
+        out.append(EstimateRow(key=key, estimate=float(est),
+                               variance=float(v), n=n))
+    return out
 
 
 def svytotal(
@@ -192,8 +342,9 @@ def svytotal(
     group_cols = list(group_cols or [])
     strat = design.strata_col
     fpc = design.fpc_col
-    _psu_refuses_calibration(design, "svytotal")
     if design.is_calibrated and design.calibration_cols:
+        if design.psu_col:
+            return _cal_psu_linearized(design, y_col, group_cols, "total")
         return _svytotal_calibrated(design, y_col, group_cols)
     df = design.df.na.drop(
         subset=[y_col, design.weight_col] + ([strat] if strat else [])
@@ -389,7 +540,8 @@ def svymean(
     group_cols = list(group_cols or [])
     strat = design.strata_col
     fpc = design.fpc_col
-    _psu_refuses_calibration(design, "svymean")
+    if design.psu_col and design.is_calibrated and design.calibration_cols:
+        return _cal_psu_linearized(design, y_col, group_cols, "mean")
     xcols = list(design.calibration_cols or []) if design.is_calibrated else []
     kx = len(xcols)
     subset = [y_col, design.weight_col] + (
@@ -403,7 +555,7 @@ def svymean(
         # cluster design (r14): pseudo-elements carry the per-PSU
         # w-sums, so the w²-Gram below IS the PSU-total Gram and the
         # element-level linearization applies unchanged (kx = 0 here —
-        # calibrated+psu refused above)
+        # calibrated+psu dispatched to _cal_psu_linearized above)
         df, full_psu_n = _psu_collapse(df, design, y_col, group_cols)
     w = F.col(design.weight_col).cast("double")
     y = F.col(y_col).cast("double")

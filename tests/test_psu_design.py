@@ -15,7 +15,9 @@ first-stage fpc (N_h = population PSUs).  Checks here:
   of the mean approximates the linearization SE;
 - domain estimation uses FULL-design PSU counts (a group that misses
   some PSUs keeps the design d.o.f.);
-- calibrated + psu refuses with an actionable message.
+- calibrated + psu: svymean/svytotal linearize it directly (r15,
+  svyrecvar shape — element d-Gram for B, PSU totals of w*e); the
+  remaining kernels refuse with an actionable message.
 """
 
 from __future__ import annotations
@@ -168,15 +170,79 @@ def test_psu_domain_uses_full_design_psu_counts(spark):
         assert out[gv].variance == pytest.approx(v, rel=1e-9)
 
 
-def test_calibrated_psu_design_refuses(spark):
-    df, *_ = _fixture(spark)
-    des = SurveyDesign(df=df.withColumn("one", F.lit(1.0)), weight_col="w",
-                       strata_col="h", psu_col="psu",
-                       calibration_cols=["one"], base_weight_col="w")
-    with pytest.raises(NotImplementedError, match="BRR"):
-        svymean(des, "y")
-    with pytest.raises(NotImplementedError, match="BRR"):
-        svytotal(des, "y")
+def test_calibrated_psu_mean_total_linearized(spark):
+    """r15 upgrade of the r14 refusal: calibrated cluster designs get
+    the svyrecvar-shaped linearization in svymean/svytotal — element
+    d-Gram for B, per-stratum PSU totals of w·e for the variance.
+    Closed-form numpy replay from the fixture arrays."""
+    df, psu, h, w, y, _ = _fixture(spark)
+    x = 1.0 + (np.arange(len(y)) % 4).astype(float)
+    N = float(np.sum(w)) * 1.03
+    Tx = float(np.sum(w * x)) * 0.97
+    X = np.column_stack([np.ones(len(y)), x])
+    G = (X * w[:, None]).T @ X
+    lam = np.linalg.solve(G, np.array([N, Tx]) - w @ X)
+    wc = w * (1.0 + X @ lam)
+    dfx = (
+        df.withColumn("x", 1.0 + (F.col("id") % 4).cast("double"))
+        .withColumn("one", F.lit(1.0))
+    )
+    lam_b = F.lit(float(lam[0])) + F.lit(float(lam[1])) * F.col("x")
+    dfx = dfx.withColumn("wc", F.col("w") * (1.0 + lam_b))
+    des = SurveyDesign(df=dfx, weight_col="wc", strata_col="h",
+                       psu_col="psu", calibration_cols=["one", "x"],
+                       base_weight_col="w")
+
+    for mode, fn in (("mean", svymean), ("total", svytotal)):
+        est = fn(des, "y")[0]
+        sw = float(np.sum(wc))
+        t = float(np.sum(wc * y))
+        m = t / sw
+        rhs = (w * y) @ X - (m * (w @ X) if mode == "mean" else 0.0)
+        B = np.linalg.solve(G, rhs)
+        e = y - (m if mode == "mean" else 0.0) - X @ B
+        scale = sw if mode == "mean" else 1.0
+        v = 0.0
+        for hv in np.unique(h):
+            us = np.asarray([
+                float(np.sum(wc[psu == c] * e[psu == c])) / scale
+                for c in np.unique(psu[h == hv])
+            ])
+            n_h = len(us)
+            v += n_h / (n_h - 1.0) * (
+                float((us**2).sum()) - float(us.sum()) ** 2 / n_h
+            )
+        want = m if mode == "mean" else t
+        assert est.estimate == pytest.approx(want, rel=1e-12)
+        assert est.variance == pytest.approx(v, rel=1e-9)
+        # clustering widens vs the element-level calibrated design
+        el = fn(
+            SurveyDesign(df=dfx, weight_col="wc", strata_col="h",
+                         calibration_cols=["one", "x"],
+                         base_weight_col="w"),
+            "y",
+        )[0]
+        assert est.variance > el.variance
+
+
+def test_calibrated_psu_singleton_degenerates_to_element(spark):
+    """ids=~1 pin for the calibrated cluster path: one element per PSU
+    reproduces the element-level calibrated linearization."""
+    df, psu, h, w, y, _ = _fixture(spark, n=200)
+    dfx = df.withColumn("one", F.lit(1.0))
+    el = svymean(
+        SurveyDesign(df=dfx, weight_col="w", strata_col="h",
+                     calibration_cols=["one"], base_weight_col="w"),
+        "y",
+    )[0]
+    cl = svymean(
+        SurveyDesign(df=dfx.withColumn("psu1", F.col("id")),
+                     weight_col="w", strata_col="h", psu_col="psu1",
+                     calibration_cols=["one"], base_weight_col="w"),
+        "y",
+    )[0]
+    assert cl.estimate == pytest.approx(el.estimate, rel=1e-12)
+    assert cl.variance == pytest.approx(el.variance, rel=1e-10)
 
 
 def test_svyratio_psu_matches_numpy_oracle(spark):

@@ -179,6 +179,7 @@ HEADLINE = [
     # join immediately)
     "svyquantile_cluster_events",
     "cluster_sample_events",
+    "svymean_cal_cluster_events",
     "svyglm_cluster_events",
     "svycov_cluster_events",
     "jk_psu_calibrated_events",
@@ -330,6 +331,7 @@ STDOUT_DROP = {
     "jk_psu_calibrated_events",  # (jackknife_mean)
     "svyquantile_cluster_events",  # (svyquantile_events)
     "cluster_sample_events",    # (stratified_sample_counts)
+    "svymean_cal_cluster_events",  # (svymean_cluster_events)
 }
 
 

@@ -133,7 +133,8 @@ def test_registry_window_contract():
               "media_dedup_corpus",
               "svyglm_linear", "svyquantile_ci_events", "svycov_events",
               "svychisq_rs_events", "price_quantiles",
-              "cms_token_counts", "cluster_sample_events"):
+              "cms_token_counts", "cluster_sample_events",
+              "svymean_cal_cluster_events"):
         assert n in window, n
     for n, (fn, sql) in REGISTRY.items():
         assert callable(fn), n

@@ -57,10 +57,11 @@ class SurveyDesign:
     # ``options(survey.lonely.psu=)``-free behavior).  PSUs must nest
     # within strata.  With ``fpc_col`` set, N_h is the POPULATION count
     # of PSUs in the stratum (not elements).  Calibrated cluster
-    # designs: svymean/svytotal linearize directly (r15 — the GREG
-    # residual projection B comes from the ELEMENT-level d-Gram, then
-    # the influence w·e collapses to PSU totals: survey::svyrecvar's
-    # shape); the other kernels refuse, pointing at brr_mean /
+    # designs: the four moment kernels (svymean/svytotal/svyratio/
+    # svyvar) linearize directly (r15 — the GREG residual projection B
+    # comes from the ELEMENT-level d-Gram, then the residualized
+    # influence collapses to PSU totals: survey::svyrecvar's shape);
+    # the remaining SE kernels refuse, pointing at brr_mean /
     # jackknife_psu_calibrated_mean.
     psu_col: str | None = None
 

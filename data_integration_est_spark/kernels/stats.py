@@ -172,15 +172,115 @@ def _psu_refuses_calibration(design: SurveyDesign, what: str) -> None:
             f"{what}: calibrated designs with a psu_col are not supported "
             "for this statistic — its linearized variable is not linear "
             "in PSU-collapsible columns the way the GREG residual is.  "
-            "svymean/svytotal DO support calibrated cluster designs "
-            "(r15: element-level d-Gram for the residual projection B, "
-            "then per-stratum PSU totals of w·e — survey::svyrecvar's "
-            "shape); for anything else use BRR replicate variance "
-            "(kernels.replicate.brr_mean, 2 PSUs/stratum) or the "
-            "delete-a-group jackknife "
+            "The four moment kernels (svymean/svytotal/svyratio/svyvar) "
+            "DO support calibrated cluster designs (r15: element-level "
+            "d-Gram for the residual projection B, then per-stratum PSU "
+            "totals of w·e — survey::svyrecvar's shape); for anything "
+            "else use BRR replicate variance (kernels.replicate.brr_mean, "
+            "2 PSUs/stratum) or the delete-a-group jackknife "
             "(kernels.replicate.jackknife_psu_calibrated_mean, any PSU "
             "count), or calibrate at the PSU level."
         )
+
+
+def _cal_psu_core(
+    design: SurveyDesign,
+    value_cols: list[str],
+    basis: list[Column],
+    d_exprs: dict,
+    group_cols: list[str],
+):
+    """Shared two-level scaffold for calibrated CLUSTER linearization
+    (r15): level 1 groups by (group, stratum, PSU) carrying the
+    w-weighted PSU totals t_u = Σ w·b_u of the statistic's ``basis``
+    AND the element-level d-weighted sums in ``d_exprs`` (sums of sums
+    = element sums); level 2 collapses to (group, stratum) with the
+    PSU-total Gram q_{u,v} = Σ_c t_u t_v alongside.  Returns
+    (items, full_psu_n, _f): per-key lists of (stratum, row) with
+    s_u / q_{u,v} / the d aliases / n_psu / __N__, the full-design
+    domain PSU counts, and the null-safe float reader."""
+    strat, fpc, psu = design.strata_col, design.fpc_col, design.psu_col
+    xcols = list(design.calibration_cols)
+    subset = list(dict.fromkeys(
+        value_cols + [design.weight_col, design.base_weight_col, psu]
+        + xcols + ([strat] if strat else []) + ([fpc] if fpc else [])
+    ))
+    df = design.df.na.drop(subset=subset)
+    w = F.col(design.weight_col).cast("double")
+    hcols = [strat] if strat else []
+    kb = len(basis)
+
+    l1 = [F.sum(w * basis[u]).alias(f"t_{u}") for u in range(kb)]
+    l1 += [F.sum(expr_).alias(name) for name, expr_ in d_exprs.items()]
+    if fpc:
+        l1.append(F.max(F.col(fpc).cast("double")).alias("__N__"))
+    lvl1 = df.groupBy(*group_cols, *hcols, psu).agg(*l1)
+
+    l2 = [F.count(F.lit(1)).alias("n_psu")]
+    for u in range(kb):
+        l2.append(F.sum(F.col(f"t_{u}")).alias(f"s_{u}"))
+        for v in range(u, kb):
+            l2.append(
+                F.sum(F.col(f"t_{u}") * F.col(f"t_{v}")).alias(f"q_{u}_{v}")
+            )
+    for name in d_exprs:
+        l2.append(F.sum(F.col(name)).alias(name))
+    if fpc:
+        l2.append(F.max("__N__").alias("__N__"))
+    res = _collect_keyed(lvl1, group_cols + hcols, l2)
+
+    full_psu_n = None
+    if group_cols:
+        cnt = df.groupBy(*hcols).agg(
+            F.countDistinct(F.col(psu)).alias("__n__")
+        ).collect()
+        full_psu_n = {
+            (r[strat] if strat else None): int(r["__n__"]) for r in cnt
+        }
+
+    def _f(r, name):
+        v = r[name]
+        return 0.0 if v is None else float(v)
+
+    if strat:
+        grouped: dict[tuple, list] = {}
+        for key, r in res.items():
+            grouped.setdefault(key[:-1], []).append((key[-1], r))
+        items = [(k, rows) for k, rows in grouped.items()]
+    else:
+        items = [(k, [(None, r)]) for k, r in res.items()]
+    return items, full_psu_n, _f
+
+
+def _cal_psu_pieces(rows, full_psu_n, fpc, c, scale, kb, _f):
+    """Per-stratum (n_h, s1, s2, fpc) pieces for a coefficient vector c
+    over the PSU-total basis: s1 = c·s / scale, s2 = c'Qc / scale²."""
+    pieces = []
+    for hval, r in rows:
+        n_h = full_psu_n[hval] if full_psu_n is not None else int(r["n_psu"])
+        s_vec = np.array([_f(r, f"s_{u}") for u in range(kb)])
+        Q = np.zeros((kb, kb))
+        for u in range(kb):
+            for v in range(u, kb):
+                Q[u, v] = Q[v, u] = _f(r, f"q_{u}_{v}")
+        pieces.append((
+            n_h,
+            float(c @ s_vec) / scale,
+            float(c @ Q @ c) / (scale * scale),
+            _fpc_factor(n_h, float(r["__N__"]) if fpc else None),
+        ))
+    return pieces
+
+
+def _cal_psu_variance(pieces, strat):
+    if strat:
+        return _strat_var(pieces)
+    n_h, s1, s2, f = pieces[0]
+    if f == 0.0:
+        return 0.0
+    if n_h < 2:
+        return float("nan")
+    return f * n_h / (n_h - 1.0) * (s2 - s1 * s1 / n_h)
 
 
 def _cal_psu_linearized(
@@ -206,71 +306,23 @@ def _cal_psu_linearized(
     driver scalars; domain d.o.f. uses full-design PSU counts; fpc is
     the PSU-population count per stratum.  ``mode``: 'mean' (estimate
     m, rhs centered by m, influence /Σw) or 'total'."""
-    strat, fpc, psu = design.strata_col, design.fpc_col, design.psu_col
     xcols = list(design.calibration_cols)
     kx = len(xcols)
     kb = kx + 2  # PSU-total basis (w, wy, wx_1..kx)
-    subset = list(dict.fromkeys(
-        [y_col, design.weight_col, design.base_weight_col, psu]
-        + xcols + ([strat] if strat else []) + ([fpc] if fpc else [])
-    ))
-    df = design.df.na.drop(subset=subset)
-    w = F.col(design.weight_col).cast("double")
-    d = F.col(design.base_weight_col).cast("double")
     y = F.col(y_col).cast("double")
     xs = [F.col(c).cast("double") for c in xcols]
-    hcols = [strat] if strat else []
-
-    l1 = [
-        F.sum(w).alias("t_0"),
-        F.sum(w * y).alias("t_1"),
-        *[F.sum(w * xs[j]).alias(f"t_{j + 2}") for j in range(kx)],
-    ]
+    d = F.col(design.base_weight_col).cast("double")
+    basis = [F.lit(1.0), y] + xs
+    d_exprs: dict = {}
     for i in range(kx):
         for j in range(i, kx):
-            l1.append(F.sum(d * xs[i] * xs[j]).alias(f"g_{i}_{j}"))
-        l1.append(F.sum(d * xs[i] * y).alias(f"gy_{i}"))
-        l1.append(F.sum(d * xs[i]).alias(f"g1_{i}"))
-    if fpc:
-        l1.append(F.max(F.col(fpc).cast("double")).alias("__N__"))
-    lvl1 = df.groupBy(*group_cols, *hcols, psu).agg(*l1)
-
-    l2 = [F.count(F.lit(1)).alias("n_psu")]
-    for u in range(kb):
-        l2.append(F.sum(F.col(f"t_{u}")).alias(f"s_{u}"))
-        for v in range(u, kb):
-            l2.append(
-                F.sum(F.col(f"t_{u}") * F.col(f"t_{v}")).alias(f"q_{u}_{v}")
-            )
-    for i in range(kx):
-        for j in range(i, kx):
-            l2.append(F.sum(F.col(f"g_{i}_{j}")).alias(f"g_{i}_{j}"))
-        l2.append(F.sum(F.col(f"gy_{i}")).alias(f"gy_{i}"))
-        l2.append(F.sum(F.col(f"g1_{i}")).alias(f"g1_{i}"))
-    if fpc:
-        l2.append(F.max("__N__").alias("__N__"))
-    res = _collect_keyed(lvl1, group_cols + hcols, l2)
-
-    full_psu_n = None
-    if group_cols:
-        cnt = df.groupBy(*hcols).agg(
-            F.countDistinct(F.col(psu)).alias("__n__")
-        ).collect()
-        full_psu_n = {
-            (r[strat] if strat else None): int(r["__n__"]) for r in cnt
-        }
-
-    def _f(r, name):
-        v = r[name]
-        return 0.0 if v is None else float(v)
-
-    if strat:
-        grouped: dict[tuple, list] = {}
-        for key, r in res.items():
-            grouped.setdefault(key[:-1], []).append((key[-1], r))
-        items = [(k, rows) for k, rows in grouped.items()]
-    else:
-        items = [(k, [(None, r)]) for k, r in res.items()]
+            d_exprs[f"g_{i}_{j}"] = d * xs[i] * xs[j]
+        d_exprs[f"gy_{i}"] = d * xs[i] * y
+        d_exprs[f"g1_{i}"] = d * xs[i]
+    items, full_psu_n, _f = _cal_psu_core(
+        design, [y_col], basis, d_exprs, group_cols
+    )
+    strat, fpc = design.strata_col, design.fpc_col
 
     out: list[EstimateRow] = []
     for key, rows in items:
@@ -298,32 +350,135 @@ def _cal_psu_linearized(
             ([-m, 1.0] if mode == "mean" else [0.0, 1.0], -B)
         )
         scale = sw if mode == "mean" else 1.0
-        pieces = []
-        for hval, r in rows:
-            n_h = full_psu_n[hval] if full_psu_n is not None else int(r["n_psu"])
-            s_vec = np.array([_f(r, f"s_{u}") for u in range(kb)])
-            Q = np.zeros((kb, kb))
-            for u in range(kb):
-                for v in range(u, kb):
-                    Q[u, v] = Q[v, u] = _f(r, f"q_{u}_{v}")
-            s1 = float(c @ s_vec) / scale
-            s2 = float(c @ Q @ c) / (scale * scale)
-            pieces.append((
-                n_h, s1, s2,
-                _fpc_factor(n_h, float(r["__N__"]) if fpc else None),
-            ))
-        if strat:
-            v = _strat_var(pieces)
-        else:
-            n_h, s1, s2, f = pieces[0]
-            if f == 0.0:
-                v = 0.0
-            elif n_h < 2:
-                v = float("nan")
-            else:
-                v = f * n_h / (n_h - 1.0) * (s2 - s1 * s1 / n_h)
+        pieces = _cal_psu_pieces(rows, full_psu_n, fpc, c, scale, kb, _f)
+        v = _cal_psu_variance(pieces, strat)
         est = m if mode == "mean" else t
         out.append(EstimateRow(key=key, estimate=float(est),
+                               variance=float(v), n=n))
+    return out
+
+
+def _svyratio_calibrated_psu(
+    design: SurveyDesign,
+    num_col: str,
+    den_col: str,
+    group_cols: list[str],
+) -> list[EstimateRow]:
+    """Calibrated cluster svyratio (r15): the GREG-residualized ratio
+    influence z = w(num − R·den − xc'B)/Σw·den is linear in the PSU
+    totals of (num, den, xc), so it rides ``_cal_psu_core`` with basis
+    b = (num, den, xc_1..kx); B solves the element d-Gram against
+    rhs_j = Σd xc_j num − R Σd xc_j den."""
+    xcols = list(design.calibration_cols)
+    kx = len(xcols)
+    kb = kx + 2
+    y = F.col(num_col).cast("double")
+    x = F.col(den_col).cast("double")
+    xs = [F.col(c).cast("double") for c in xcols]
+    d = F.col(design.base_weight_col).cast("double")
+    basis = [y, x] + xs
+    d_exprs: dict = {}
+    for i in range(kx):
+        for j in range(i, kx):
+            d_exprs[f"g_{i}_{j}"] = d * xs[i] * xs[j]
+        d_exprs[f"gy_{i}"] = d * xs[i] * y
+        d_exprs[f"gx_{i}"] = d * xs[i] * x
+    items, full_psu_n, _f = _cal_psu_core(
+        design, [num_col, den_col], basis, d_exprs, group_cols
+    )
+    strat, fpc = design.strata_col, design.fpc_col
+
+    out: list[EstimateRow] = []
+    for key, rows in items:
+        n = sum(int(r["n_psu"]) for _, r in rows)
+        swy = sum(_f(r, "s_0") for _, r in rows)
+        swx = sum(_f(r, "s_1") for _, r in rows)
+        if swx == 0.0:
+            out.append(EstimateRow(key=key, estimate=float("nan"),
+                                   variance=float("nan"), n=n))
+            continue
+        R = swy / swx
+        G = np.zeros((kx, kx))
+        rhs = np.zeros(kx)
+        for _, r in rows:
+            for i in range(kx):
+                for j in range(i, kx):
+                    v = _f(r, f"g_{i}_{j}")
+                    G[i, j] += v
+                    if j != i:
+                        G[j, i] += v
+                rhs[i] += _f(r, f"gy_{i}") - R * _f(r, f"gx_{i}")
+        B = _solve_stacked(
+            G[None, ...], rhs[None, :, None],
+            "svyratio psu residual projection",
+        ).ravel()
+        c = np.concatenate(([1.0, -R], -B))
+        pieces = _cal_psu_pieces(rows, full_psu_n, fpc, c, swx, kb, _f)
+        v = _cal_psu_variance(pieces, strat)
+        out.append(EstimateRow(key=key, estimate=float(R),
+                               variance=float(v), n=n))
+    return out
+
+
+def _svyvar_calibrated_psu(
+    design: SurveyDesign,
+    y_col: str,
+    group_cols: list[str],
+) -> list[EstimateRow]:
+    """Calibrated cluster svyvar (r15): the residualized variance
+    influence z = w((y−m)² − V − xc'B)/Σw expands over the basis
+    b = (1, y, y², xc_1..kx) with coefficients (m²−V, −2m, 1, −B) —
+    y² materialized ELEMENT-level before the PSU totals (the svyvar
+    rule), so ``_cal_psu_core`` applies unchanged; B solves the
+    element d-Gram against rhs_j = Σd xc_j y² − 2m Σd xc_j y +
+    (m²−V) Σd xc_j."""
+    xcols = list(design.calibration_cols)
+    kx = len(xcols)
+    kb = kx + 3
+    y = F.col(y_col).cast("double")
+    xs = [F.col(c).cast("double") for c in xcols]
+    d = F.col(design.base_weight_col).cast("double")
+    basis = [F.lit(1.0), y, y * y] + xs
+    d_exprs: dict = {}
+    for i in range(kx):
+        for j in range(i, kx):
+            d_exprs[f"g_{i}_{j}"] = d * xs[i] * xs[j]
+        d_exprs[f"gy2_{i}"] = d * xs[i] * y * y
+        d_exprs[f"gy_{i}"] = d * xs[i] * y
+        d_exprs[f"g1_{i}"] = d * xs[i]
+    items, full_psu_n, _f = _cal_psu_core(
+        design, [y_col], basis, d_exprs, group_cols
+    )
+    strat, fpc = design.strata_col, design.fpc_col
+
+    out: list[EstimateRow] = []
+    for key, rows in items:
+        n = sum(int(r["n_psu"]) for _, r in rows)
+        sw = sum(_f(r, "s_0") for _, r in rows)
+        m = sum(_f(r, "s_1") for _, r in rows) / sw
+        V = sum(_f(r, "s_2") for _, r in rows) / sw - m * m
+        c0 = m * m - V
+        G = np.zeros((kx, kx))
+        rhs = np.zeros(kx)
+        for _, r in rows:
+            for i in range(kx):
+                for j in range(i, kx):
+                    v = _f(r, f"g_{i}_{j}")
+                    G[i, j] += v
+                    if j != i:
+                        G[j, i] += v
+                rhs[i] += (
+                    _f(r, f"gy2_{i}") - 2.0 * m * _f(r, f"gy_{i}")
+                    + c0 * _f(r, f"g1_{i}")
+                )
+        B = _solve_stacked(
+            G[None, ...], rhs[None, :, None],
+            "svyvar psu residual projection",
+        ).ravel()
+        c = np.concatenate(([c0, -2.0 * m, 1.0], -B))
+        pieces = _cal_psu_pieces(rows, full_psu_n, fpc, c, sw, kb, _f)
+        v = _cal_psu_variance(pieces, strat)
+        out.append(EstimateRow(key=key, estimate=float(V),
                                variance=float(v), n=n))
     return out
 
@@ -693,7 +848,8 @@ def svyratio(
     w²-Gram of (y, x) becomes the PSU-total Gram and the same formulas
     run unchanged on one-row-per-PSU input."""
     group_cols = list(group_cols or [])
-    _psu_refuses_calibration(design, "svyratio")
+    if design.psu_col and design.is_calibrated and design.calibration_cols:
+        return _svyratio_calibrated_psu(design, num_col, den_col, group_cols)
     if design.is_calibrated and design.calibration_cols:
         return _svyratio_calibrated(design, num_col, den_col, group_cols)
     strat = design.strata_col
@@ -1265,8 +1421,9 @@ def svyvar(
     y'² is NOT the PSU mean of y², so y² is materialized
     element-level BEFORE the PSU collapse."""
     group_cols = list(group_cols or [])
-    _psu_refuses_calibration(design, "svyvar")
     if design.is_calibrated and design.calibration_cols:
+        if design.psu_col:
+            return _svyvar_calibrated_psu(design, y_col, group_cols)
         return _svyvar_calibrated(design, y_col, group_cols)
     strat = design.strata_col
     fpc = design.fpc_col

@@ -303,10 +303,82 @@ def test_svyratio_svyvar_psu_degeneracy_and_refusal(spark):
     v1, v2 = svyvar(elem, "y")[0], svyvar(clus, "y")[0]
     assert v2.estimate == pytest.approx(v1.estimate, rel=1e-12)
     assert v2.variance == pytest.approx(v1.variance, rel=1e-10)
+    # calibrated + psu: intercept-only calibration to the exact HT
+    # total leaves weights unchanged (lam = 0), so the calibrated
+    # cluster path must reproduce the uncalibrated psu linearization
+    # (B = residual projection onto the constant) — a degeneracy pin
+    # for _svyratio_calibrated_psu / _svyvar_calibrated_psu
     cal = SurveyDesign(df=dfr.withColumn("one", F.lit(1.0)), weight_col="w",
                        strata_col="h", psu_col="psu",
                        calibration_cols=["one"], base_weight_col="w")
-    with pytest.raises(NotImplementedError, match="BRR"):
-        svyratio(cal, "y", "x")
-    with pytest.raises(NotImplementedError, match="BRR"):
-        svyvar(cal, "y")
+    rc = svyratio(cal, "y", "x")[0]
+    vc = svyvar(cal, "y")[0]
+    assert np.isfinite(rc.variance) and np.isfinite(vc.variance)
+    plain = SurveyDesign(df=dfr, weight_col="w", strata_col="h",
+                         psu_col="psu")
+    rp, vp = svyratio(plain, "y", "x")[0], svyvar(plain, "y")[0]
+    assert rc.estimate == pytest.approx(rp.estimate, rel=1e-12)
+    assert vc.estimate == pytest.approx(vp.estimate, rel=1e-12)
+    # residualizing against the constant shrinks (or keeps) the
+    # influence spread — the calibrated variance is <= the plain one
+    assert rc.variance <= rp.variance * (1 + 1e-9)
+    assert vc.variance <= vp.variance * (1 + 1e-9)
+
+
+def test_calibrated_psu_ratio_var_match_numpy(spark):
+    """r15: calibrated cluster svyratio/svyvar linearized via the
+    shared _cal_psu_core — closed-form numpy replay."""
+    from data_integration_est_spark.kernels.stats import svyratio, svyvar
+
+    df, psu, h, w, y, _ = _fixture(spark)
+    x = 1.0 + (np.arange(len(y)) % 4).astype(float)
+    X = np.column_stack([np.ones(len(y)), x])
+    N = float(np.sum(w)) * 1.03
+    Tx = float(np.sum(w * x)) * 0.97
+    G = (X * w[:, None]).T @ X
+    lam = np.linalg.solve(G, np.array([N, Tx]) - w @ X)
+    wc = w * (1.0 + X @ lam)
+    dfx = (
+        df.withColumn("x", 1.0 + (F.col("id") % 4).cast("double"))
+        .withColumn("one", F.lit(1.0))
+    )
+    lam_b = F.lit(float(lam[0])) + F.lit(float(lam[1])) * F.col("x")
+    dfx = dfx.withColumn("wc", F.col("w") * (1.0 + lam_b))
+    des = SurveyDesign(df=dfx, weight_col="wc", strata_col="h",
+                       psu_col="psu", calibration_cols=["one", "x"],
+                       base_weight_col="w")
+
+    def strat_v(e, scale):
+        v = 0.0
+        for hv in np.unique(h):
+            us = np.asarray([
+                float(np.sum(wc[psu == c] * e[psu == c])) / scale
+                for c in np.unique(psu[h == hv])
+            ])
+            n_h = len(us)
+            v += n_h / (n_h - 1.0) * (
+                float((us**2).sum()) - float(us.sum()) ** 2 / n_h
+            )
+        return v
+
+    # ratio: numerator y, denominator x
+    est = svyratio(des, "y", "x")[0]
+    swx = float(np.sum(wc * x))
+    R = float(np.sum(wc * y)) / swx
+    B = np.linalg.solve(G, (w * y) @ X - R * ((w * x) @ X))
+    e = y - R * x - X @ B
+    assert est.estimate == pytest.approx(R, rel=1e-12)
+    assert est.variance == pytest.approx(strat_v(e, swx), rel=1e-9)
+
+    # variance functional
+    estv = svyvar(des, "y")[0]
+    sw = float(np.sum(wc))
+    m = float(np.sum(wc * y)) / sw
+    V = float(np.sum(wc * y * y)) / sw - m * m
+    c0 = m * m - V
+    Bv = np.linalg.solve(
+        G, (w * y * y) @ X - 2.0 * m * ((w * y) @ X) + c0 * (w @ X)
+    )
+    ev = y * y - 2.0 * m * y + c0 - X @ Bv
+    assert estv.estimate == pytest.approx(V, rel=1e-12)
+    assert estv.variance == pytest.approx(strat_v(ev, sw), rel=1e-9)

@@ -176,10 +176,11 @@ def _psu_refuses_calibration(design: SurveyDesign, what: str) -> None:
             "DO support calibrated cluster designs (r15: element-level "
             "d-Gram for the residual projection B, then per-stratum PSU "
             "totals of w·e — survey::svyrecvar's shape); for anything "
-            "else use BRR replicate variance (kernels.replicate.brr_mean, "
-            "2 PSUs/stratum) or the delete-a-group jackknife "
-            "(kernels.replicate.jackknife_psu_calibrated_mean, any PSU "
-            "count), or calibrate at the PSU level."
+            "else build a replicate-weights design "
+            "(kernels.repweights.replicate_design, r16: stratified "
+            "delete-a-group jackknife or BRR/Fay with per-replicate GREG "
+            "re-calibration) and use svyquantile_rep / svyglm_rep / "
+            "svycov_rep — or calibrate at the PSU level."
         )
 
 

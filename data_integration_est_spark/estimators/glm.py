@@ -66,7 +66,12 @@ def svyglm(
     centered moments with elements as the first-stage units —
     previously strata were silently ignored.  A stratum with a single
     sampled unit yields NULL SEs for that group (the NaN variance
-    convention); calibrated + psu refuses loudly."""
+    convention); calibrated + psu refuses loudly.  ``fpc_col`` (r16 —
+    previously silently ignored here, ADVICE r15 #1): each stratum's M
+    contribution is scaled by the same (1 - n_h/N_h) factor the moment
+    kernels apply (PSU-population counts under ``psu_col``, element
+    counts under ``strata_col`` alone); a census stratum contributes
+    zero variance and is exempt from the lonely-unit NaN rule."""
     f = Formula.parse(formula) if isinstance(formula, str) else formula
     group_cols = list(group_cols or [])
     xs = list(f.predictors)
@@ -143,6 +148,7 @@ def svyglm(
         # previously strata were silently ignored here).  Either way
         # O(groups × strata × k²) driver scalars.
         hcols = [strat] if strat else []
+        fpc = design.fpc_col
         if psu:
             l1 = [F.count(F.lit(1)).alias("n_el")]
             for i in range(k):
@@ -151,6 +157,8 @@ def svyglm(
                     l1.append(
                         F.sum(a_w * xcols[i] * xcols[j]).alias(f"a_{i}_{j}")
                     )
+            if fpc:
+                l1.append(F.max(F.col(fpc).cast("double")).alias("__N__"))
             lvl1 = work.groupBy(*group_cols, *hcols, psu).agg(*l1)
             l2 = [
                 F.count(F.lit(1)).alias("n_psu"),
@@ -164,6 +172,8 @@ def svyglm(
                         F.sum(F.col(f"u_{i}") * F.col(f"u_{j}"))
                         .alias(f"uu_{i}_{j}")
                     )
+            if fpc:
+                l2.append(F.max("__N__").alias("__N__"))
             collected = lvl1.groupBy(*group_cols, *hcols).agg(*l2).collect()
         else:
             le = [F.count(F.lit(1)).alias("n_psu")]
@@ -177,6 +187,8 @@ def svyglm(
                         F.sum(w * w * resid * resid * xcols[i] * xcols[j])
                         .alias(f"uu_{i}_{j}")
                     )
+            if fpc:
+                le.append(F.max(F.col(fpc).cast("double")).alias("__N__"))
             collected = work.groupBy(*group_cols, *hcols).agg(*le).collect()
         # domain estimation: d.o.f. uses the FULL-design unit count per
         # stratum (units with no in-group rows contribute zero scores)
@@ -217,13 +229,23 @@ def svyglm(
         A = np.zeros((k, k))
         M = np.zeros((k, k))
         if psu or strat:
+            from data_integration_est_spark.kernels.stats import _fpc_factor
+
             rows = by_key[key]
             bad = False
             for r in rows:
                 hval = r[strat] if strat else None
                 n_h = (full_psu_n[hval] if full_psu_n is not None
                        else int(r["n_psu"]))
-                if n_h < 2:
+                # fpc (r16, ADVICE r15 #1): same per-stratum SRS-WOR
+                # factor the moment kernels apply — N_h is the PSU
+                # population count under psu_col, the element count
+                # under strata_col alone; a census stratum contributes
+                # zero variance regardless of its d.o.f.
+                f_h = _fpc_factor(
+                    n_h, float(r["__N__"]) if design.fpc_col else None
+                )
+                if n_h < 2 and f_h != 0.0:
                     bad = True
                     break
                 S = np.array([float(r[f"s_{i}"] or 0.0) for i in range(k)])
@@ -233,7 +255,8 @@ def svyglm(
                         UU[i, j] = UU[j, i] = float(r[f"uu_{i}_{j}"] or 0.0)
                         A[i, j] = float(A[i, j]) + float(r[f"a_{i}_{j}"] or 0.0)
                         A[j, i] = A[i, j]
-                M += n_h / (n_h - 1.0) * (UU - np.outer(S, S) / n_h)
+                if f_h != 0.0:
+                    M += f_h * n_h / (n_h - 1.0) * (UU - np.outer(S, S) / n_h)
             if bad:
                 # lonely-PSU stratum: the point fit stands, the
                 # first-stage variance is undefined (NaN convention)

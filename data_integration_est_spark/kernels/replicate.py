@@ -434,8 +434,24 @@ def jackknife_psu_calibrated_mean(
     lam'sum(d x).  Every replicate is then a k x k driver solve on
     (totals - group-g sums) — G+1 solves over O(G k^2) scalars, the
     data never rescanned.  Returns one row (mean, se_jk, n_groups).
+
+    LIMITS (documented r16 — r15 verdict #1): this kernel computes the
+    MEAN only, uses the uniform G/(G-1) upweight (exact only for
+    balanced groups), and ignores strata — the ``psu % G`` grouping
+    cuts across strata, losing the between-stratum variance reduction
+    (conservative: the spread of theta_(g) then includes between-
+    stratum noise a stratified deletion would cancel).  For any other
+    statistic, for stratified deletion with exact per-stratum
+    n_h/(n_h - m_hg) scales, or for BRR, build a
+    ``kernels.repweights.replicate_design`` and use its ``*_rep``
+    estimators.  Guards (ADVICE r15 #4): requires at least ``n_groups``
+    distinct PSUs (empty groups would replicate the full sample and
+    deflate the variance), and singular replicate Grams raise
+    ``CalibrationError`` naming the failing replicate.
     """
     import numpy as np
+
+    from data_integration_est_spark.kernels.linalg import _solve_stacked
 
     if n_groups < 2:
         raise ValueError("jackknife needs at least 2 groups")
@@ -453,6 +469,7 @@ def jackknife_psu_calibrated_mean(
     y = F.col(y_col).cast("double")
     xs = [F.col(c).cast("double") for c in x_cols]
     aggs = [
+        F.countDistinct(F.col(psu_col)).alias("n_psu"),
         F.sum(d).alias("sd"),
         F.sum(d * y).alias("sdy"),
     ]
@@ -474,8 +491,10 @@ def jackknife_psu_calibrated_mean(
     dx = np.zeros((G, k))
     dxy = np.zeros((G, k))
     gram = np.zeros((G, k, k))
+    total_psus = 0
     for r in cells:
         g = int(r["__g__"])
+        total_psus += int(r["n_psu"])
         sd[g] = float(r["sd"] or 0.0)
         sdy[g] = float(r["sdy"] or 0.0)
         for i in range(k):
@@ -483,15 +502,24 @@ def jackknife_psu_calibrated_mean(
             dxy[g, i] = float(r[f"dxy_{i}"] or 0.0)
             for j in range(i, k):
                 gram[g, i, j] = gram[g, j, i] = float(r[f"g_{i}_{j}"] or 0.0)
+    if total_psus < G:
+        raise ValueError(
+            f"jackknife_psu_calibrated_mean: only {total_psus} distinct "
+            f"PSUs for {G} groups — empty groups replicate the full "
+            "sample (theta_g == theta) and DEFLATE the variance; lower "
+            "n_groups"
+        )
 
-    def _greg_mean(sd_, sdy_, dx_, dxy_, gram_):
-        lam = np.linalg.solve(gram_, T - dx_)
+    def _greg_mean(sd_, sdy_, dx_, dxy_, gram_, what):
+        lam = _solve_stacked(
+            gram_[None, ...], (T - dx_)[None, :, None], what
+        ).ravel()
         num = sdy_ + lam @ dxy_
         den = sd_ + lam @ dx_
         return num / den
 
     theta = _greg_mean(sd.sum(), sdy.sum(), dx.sum(0), dxy.sum(0),
-                       gram.sum(0))
+                       gram.sum(0), "jackknife full-sample calibration")
     c = G / (G - 1.0)
     ss = 0.0
     for g in range(G):
@@ -501,6 +529,7 @@ def jackknife_psu_calibrated_mean(
             c * (dx.sum(0) - dx[g]),
             c * (dxy.sum(0) - dxy[g]),
             c * (gram.sum(0) - gram[g]),
+            f"jackknife replicate {g} re-calibration",
         )
         ss += (theta_g - theta) ** 2
     v = (G - 1.0) / G * ss

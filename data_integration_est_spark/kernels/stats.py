@@ -1156,11 +1156,19 @@ def svychisq_rao_scott(
     bootstrap; within-PSU correlation then shows up in V_u and inflates
     the deltas exactly as first-stage resampling should.  The psu
     column must be integral (the same contract ``id_col`` carries).
-    ``strata_col`` is deliberately NOT read: the Poisson bootstrap is
-    an unstratified with-replacement resample, which for a stratified
-    design OVERSTATES V_u (ignoring the between-stratum variance
-    reduction) — the correction errs conservative, never silently
-    anti-conservative like the pre-r15 element-level psu gap.
+
+    ``strata_col`` (r16 — retiring the r15 conservatism note): the
+    bootstrap becomes the per-stratum RATIO-RESCALED Poisson resample —
+    replicate b's cell sums from stratum h are scaled by n_h / M_hb
+    (n_h = first-stage units sampled in h, M_hb = their total replicate
+    multiplicity), which conditions each stratum's resample on its
+    realized size the way fixed-n_h stratified sampling does, removing
+    the between-stratum component the unstratified resample overstated.
+    Cost: the cell pass gains the stratum as a grouping key, plus one
+    distinct-unit aggregation for the (stratum, replicate) multiplicity
+    totals — O(strata x B) driver scalars.  A replicate that empties a
+    stratum (Poisson(n_h) = 0 — only plausible for tiny n_h) is dropped
+    from V_u.  Units (PSUs or elements) must nest within strata.
     """
     from data_integration_est_spark.kernels.replicate import (
         _POIS1_CDF, _POIS1_P, _QH_A1, _QH_A2, _QH_B1, _QH_B2, _QH_C2)
@@ -1168,11 +1176,16 @@ def svychisq_rao_scott(
     if n_replicates < 2:
         raise ValueError("need at least 2 replicates")
     rep_id = design.psu_col or id_col
+    strat = design.strata_col
     df = design.df.na.drop(
         subset=[row_col, col_col, design.weight_col, rep_id]
+        + ([strat] if strat else [])
     )
     w = F.col(design.weight_col).cast("double")
+    hsel = [F.col(strat).alias("__hh__")] if strat else []
+    hcols = ["__hh__"] if strat else []
     base = df.select(
+        *hsel,
         F.col(row_col).alias("__r__"),
         F.col(col_col).alias("__c__"),
         w.alias("__w__"),
@@ -1188,25 +1201,25 @@ def svychisq_rao_scott(
         f"pmod(__id__ * {_QH_A1} + {b * _QH_B1}, {_POIS1_P}) AS __h{b}__"
         for b in range(B)
     ]
-    s1 = base.selectExpr("__r__", "__c__", "__w__", *h1)
+    s1 = base.selectExpr(*hcols, "__r__", "__c__", "__w__", *h1)
     h2 = [
         f"pmod(pmod(__h{b}__ * __h{b}__, {_POIS1_P}) * {_QH_A2} "
         f"+ __h{b}__ * {_QH_B2} + {b * _QH_C2}, {_POIS1_P}) AS __g{b}__"
         for b in range(B)
     ]
-    s2 = s1.selectExpr("__r__", "__c__", "__w__", *h2)
+    s2 = s1.selectExpr(*hcols, "__r__", "__c__", "__w__", *h2)
     ms = [
         "("
         + " + ".join(f"CAST(__g{b}__ >= {t} AS INT)" for t in _POIS1_CDF)
         + f") AS __m{b}__"
         for b in range(B)
     ]
-    s3 = s2.selectExpr("__r__", "__c__", "__w__", *ms)
+    s3 = s2.selectExpr(*hcols, "__r__", "__c__", "__w__", *ms)
     aggs = [F.expr("count(*)").alias("n"), F.expr("sum(__w__)").alias("sw")]
     aggs += [
         F.expr(f"sum(__m{b}__ * __w__)").alias(f"b_{b}") for b in range(B)
     ]
-    cells = s3.groupBy("__r__", "__c__").agg(*aggs).collect()
+    cells = s3.groupBy(*hcols, "__r__", "__c__").agg(*aggs).collect()
     if not cells:
         raise ValueError("svychisq: empty table")
 
@@ -1218,14 +1231,57 @@ def svychisq_rao_scott(
     ri = {v: i for i, v in enumerate(rlabels)}
     ci = {v: i for i, v in enumerate(clabels)}
     sw = np.zeros((R, C))
-    boot = np.zeros((B, R, C))
     n = 0
-    for cell in cells:
-        i, j = ri[cell["__r__"]], ci[cell["__c__"]]
-        sw[i, j] = float(cell["sw"] or 0.0)
-        n += int(cell["n"])
-        for b in range(B):
-            boot[b, i, j] = float(cell[f"b_{b}"] or 0.0)
+    if strat:
+        # per-stratum ratio-rescaled bootstrap (r16): one more small
+        # aggregation over DISTINCT first-stage units yields n_h and the
+        # per-replicate multiplicity totals M_hb; replicate b's stratum-h
+        # cells are then scaled by n_h / M_hb on the driver
+        units = base.select("__hh__", "__id__").distinct()
+        u1 = units.selectExpr("__hh__", *h1)
+        u2 = u1.selectExpr("__hh__", *h2)
+        u3 = u2.selectExpr("__hh__", *ms)
+        uaggs = [F.expr("count(*)").alias("n_h")] + [
+            F.expr(f"sum(__m{b}__)").alias(f"M_{b}") for b in range(B)
+        ]
+        urows = u3.groupBy("__hh__").agg(*uaggs).collect()
+        hvals = sorted({r["__hh__"] for r in urows}, key=str)
+        hidx = {h: i for i, h in enumerate(hvals)}
+        H = len(hvals)
+        n_hs = np.zeros(H)
+        M_hb = np.zeros((H, B))
+        for r in urows:
+            hi = hidx[r["__hh__"]]
+            n_hs[hi] = float(r["n_h"])
+            for b in range(B):
+                M_hb[hi, b] = float(r[f"M_{b}"] or 0.0)
+        raw = np.zeros((H, B, R, C))
+        for cell in cells:
+            hi = hidx[cell["__hh__"]]
+            i, j = ri[cell["__r__"]], ci[cell["__c__"]]
+            sw[i, j] += float(cell["sw"] or 0.0)
+            n += int(cell["n"])
+            for b in range(B):
+                raw[hi, b, i, j] = float(cell[f"b_{b}"] or 0.0)
+        dead = (M_hb <= 0).any(axis=0)  # replicate emptied a stratum
+        scale = np.where(M_hb > 0, n_hs[:, None] / np.where(
+            M_hb > 0, M_hb, 1.0), 0.0)
+        boot = np.einsum("hb,hbrc->brc", scale, raw)
+        boot = boot[~dead]
+        B_eff = boot.shape[0]
+        if B_eff < 2:
+            raise ValueError(
+                "svychisq: stratified bootstrap degenerate (replicates "
+                "emptying a stratum) — more replicates or larger strata"
+            )
+    else:
+        boot = np.zeros((B, R, C))
+        for cell in cells:
+            i, j = ri[cell["__r__"]], ci[cell["__c__"]]
+            sw[i, j] = float(cell["sw"] or 0.0)
+            n += int(cell["n"])
+            for b in range(B):
+                boot[b, i, j] = float(cell[f"b_{b}"] or 0.0)
     W = sw.sum()
     p = sw / W
     e = np.outer(p.sum(1), p.sum(0))
@@ -1233,7 +1289,7 @@ def svychisq_rao_scott(
     d = (R - 1) * (C - 1)
 
     us = []
-    for b in range(B):
+    for b in range(boot.shape[0]):
         Wb = boot[b].sum()
         if Wb <= 0:
             continue

@@ -550,8 +550,11 @@ def media_dedup_corpus(
     small ints), every pair path is banded/inverted-index (never
     all-pairs), and the ``max_pairs`` refusal backstop is inherited by
     the image and video band joins.  Unknown kinds and undecodable
-    blobs survive untouched (they produce no pairs), so the call is
-    safe on mixed corpora."""
+    blobs survive untouched (they produce no pairs) — including
+    NULL-content rows, which are exempted from the md5 collapse (r16,
+    ADVICE r15 #3: ``md5(NULL)`` is NULL for every such row, so the
+    keyed window used to treat all of them as one duplicate class and
+    keep only the minimum id); the call is safe on mixed corpora."""
     from pyspark.sql import Window
 
     from data_integration_est_spark.ops.components import (
@@ -560,8 +563,14 @@ def media_dedup_corpus(
     from data_integration_est_spark.util import bounded_persist
 
     win = Window.partitionBy("__fp__").orderBy(id_col)
+    # NULL content -> NULL md5: coalesce the fingerprint with a per-row
+    # unique key so every contentless row is its own singleton class
+    fp = F.coalesce(
+        F.md5(F.col(content_col)),
+        F.concat(F.lit("__null__"), F.col(id_col).cast("string")),
+    )
     work = (
-        media.withColumn("__fp__", F.md5(F.col(content_col)))
+        media.withColumn("__fp__", fp)
         .withColumn("__rn__", F.row_number().over(win))
         .filter(F.col("__rn__") == 1)
         .drop("__fp__", "__rn__")

@@ -231,6 +231,27 @@ def bernoulli_sample(
     return df.withColumn(out_col, rng.bernoulli([id_col], seed, prob, tag))
 
 
+def _n_psu_limit(stratum_col: str, n_psu: dict) -> F.col:
+    """Per-stratum CASE over the n_psu dict, raising at EXECUTION time on
+    any observed stratum value missing from the dict (r16, ADVICE r15 #2
+    — the NULL default silently selected ZERO PSUs there).  raise_error
+    keeps the validation free: no extra distinct-strata pass."""
+    limit = None
+    for sv, nv in n_psu.items():
+        cond = F.col(stratum_col) == F.lit(sv)
+        limit = (
+            F.when(cond, F.lit(int(nv))) if limit is None
+            else limit.when(cond, F.lit(int(nv)))
+        )
+    err = F.expr(
+        "raise_error(concat('cluster_sample: stratum ', "
+        f"coalesce(cast({stratum_col} as string), '<null>'), "
+        "' missing from the n_psu dict — pass an explicit size "
+        "(0 to skip the stratum)'))"
+    ).cast("int")
+    return limit.otherwise(err)
+
+
 def cluster_sample(
     df: DataFrame,
     psu_col: str,
@@ -243,97 +264,150 @@ def cluster_sample(
     weight_col: str | None = None,
     tag: str = "cluster",
     stream: str = "xxhash64",
+    method: str = "srs",
 ) -> DataFrame:
     """Two-stage cluster sampling (r15 — the S-family generator that
     pairs with the ``SurveyDesign(psu_col=)`` estimators): stage 1
-    draws an exact-size SRS of PSUs (per stratum when ``stratum_col``
-    is given; PSUs must nest within strata), stage 2 optionally draws
-    an exact-size SRS of ``m_per_psu`` elements within each selected
-    PSU (needs ``id_col``).  ``svydesign(ids=~psu)``'s sampling-side
-    counterpart.
+    draws PSUs (per stratum when ``stratum_col`` is given; PSUs must
+    nest within strata), stage 2 optionally draws an exact-size SRS of
+    ``m_per_psu`` elements within each selected PSU (needs ``id_col``).
+    ``svydesign(ids=~psu)``'s sampling-side counterpart.
+
+    ``method`` (r16 — r15 verdict #5):
+
+    - ``"srs"`` — exact-size SRS of ``n_psu`` PSUs; first-stage weight
+      N_psu_h / n_sel_h.
+    - ``"pps"`` — POISSON PPS by PSU size: PSU c enters independently
+      with pi_c = min(1, n_psu * M_c / sum_h M), first-stage weight
+      1 / pi_c — the exact HT inverse-inclusion weight, and the
+      with-replacement-style first stage the ``psu_col`` estimators'
+      linearization actually assumes.  Realized PSU count is random
+      with mean <= n_psu (equality when no pi caps at 1).
 
     Randomness is the ``rng`` keyed-hash discipline: the PSU draw keys
     on the PSU id, the element draw on the element id — deterministic,
     partition-independent, and with ``stream="md5"`` every draw (hence
     the full MEMBERSHIP) replays bit-for-bit in any engine with md5,
-    which is what the gate row hash-checks.
+    which is what the gate rows hash-check.
 
-    Scale shape: stage 1 ranks a PSU-LEVEL aggregate (one
-    map-side-combined groupBy of the data, then a per-stratum window
-    over the small PSU table — or a distributed TakeOrdered when
-    unstratified); stage 2 is one window over the data partitioned by
-    PSU (parallel across PSUs).  Nothing wider than the PSU id ever
-    shuffles; no driver collection.
+    Scale shape: stage 1 ranks (srs) or thresholds (pps) a PSU-LEVEL
+    aggregate — one map-side-combined groupBy of the data, then a
+    per-stratum window over the small PSU table (srs; pps needs only
+    per-stratum totals) or a distributed TakeOrdered / one scalar agg
+    when unstratified.  Stage 2 is one window over the data partitioned
+    by PSU — computed ONLY over rows of selected PSUs (r16, r15 verdict
+    #6: the selected set broadcast-inner-joins first, so stage-2 work
+    is O(sampled data) at any sampling fraction; unselected rows rejoin
+    via a broadcast anti-join with ind=0, no window, no sort).  Nothing
+    wider than the PSU id ever shuffles; no driver collection beyond
+    one scalar in the unstratified branches.
 
-    With ``weight_col`` set, sampled rows carry the design weight
-    (N_psu_h / n_sel_h) * (M_c / m_sel_c) — the exact two-stage
-    inverse-inclusion HT weight under realized sizes (min(n, N) /
-    min(m, M)); unsampled rows get NULL.  Feeding the result into
-    ``SurveyDesign(weight_col=..., strata_col=..., psu_col=...)``
+    Per-stratum ``n_psu`` dicts must cover every observed stratum — a
+    missing stratum raises at execution time (ADVICE r15 #2; pass 0 to
+    deliberately skip a stratum).
+
+    With ``weight_col`` set, sampled rows carry the two-stage design
+    weight w1 * (M_c / m_sel_c) — the exact inverse-inclusion HT weight
+    under realized sizes; unsampled rows get NULL.  Feeding the result
+    into ``SurveyDesign(weight_col=..., strata_col=..., psu_col=...)``
     closes the generate -> estimate loop."""
     if m_per_psu is not None and id_col is None:
         raise ValueError("stage-2 subsampling (m_per_psu) needs id_col")
+    if method not in ("srs", "pps"):
+        raise ValueError(f"method must be 'srs' or 'pps'; got {method!r}")
     skeys = [stratum_col] if stratum_col else []
     psus = df.groupBy(*skeys, psu_col).agg(F.count(F.lit(1)).alias("__M__"))
     key = rng.uniform([psu_col], seed, f"{tag}:psu", stream=stream)
     if stratum_col:
-        wrank = Window.partitionBy(stratum_col).orderBy(
-            key.asc(), F.col(psu_col).asc()
-        )
-        wcnt = Window.partitionBy(stratum_col)
-        ranked = psus.withColumn("__rn__", F.row_number().over(wrank)) \
-                     .withColumn("__Npsu__", F.count(F.lit(1)).over(wcnt))
         if isinstance(n_psu, int):
             limit = F.lit(n_psu)
         else:
-            limit = F.lit(None)
-            for sv, nv in n_psu.items():
-                limit = F.when(
-                    F.col(stratum_col) == F.lit(sv), F.lit(int(nv))
-                ).otherwise(limit)
-        sel = ranked.filter(F.col("__rn__") <= limit).withColumn(
-            "__w1__",
-            F.col("__Npsu__").cast("double")
-            / F.least(limit, F.col("__Npsu__")).cast("double"),
-        )
+            limit = _n_psu_limit(stratum_col, n_psu)
+        if method == "srs":
+            wrank = Window.partitionBy(stratum_col).orderBy(
+                key.asc(), F.col(psu_col).asc()
+            )
+            wcnt = Window.partitionBy(stratum_col)
+            ranked = psus.withColumn("__rn__", F.row_number().over(wrank)) \
+                         .withColumn("__Npsu__", F.count(F.lit(1)).over(wcnt))
+            sel = ranked.filter(F.col("__rn__") <= limit).withColumn(
+                "__w1__",
+                F.col("__Npsu__").cast("double")
+                / F.least(limit, F.col("__Npsu__")).cast("double"),
+            )
+        else:
+            wtot = Window.partitionBy(stratum_col)
+            pi = F.least(
+                F.lit(1.0),
+                limit.cast("double") * F.col("__M__").cast("double")
+                / F.sum("__M__").over(wtot).cast("double"),
+            )
+            sel = (
+                psus.withColumn("__pi__", pi)
+                .filter(key < F.col("__pi__"))
+                .withColumn("__w1__", F.lit(1.0) / F.col("__pi__"))
+                .drop("__pi__")
+            )
     else:
         if not isinstance(n_psu, int):
             raise ValueError("per-stratum n_psu dict needs stratum_col")
-        n_tot = psus.count()
-        sel = (
-            psus.withColumn("__key__", key)
-            .orderBy("__key__", psu_col)
-            .limit(n_psu)
-            .drop("__key__")
-            .withColumn(
-                "__w1__", F.lit(float(n_tot) / float(min(n_psu, n_tot)))
+        if method == "srs":
+            n_tot = psus.count()
+            sel = (
+                psus.withColumn("__key__", key)
+                .orderBy("__key__", psu_col)
+                .limit(n_psu)
+                .drop("__key__")
+                .withColumn(
+                    "__w1__", F.lit(float(n_tot) / float(min(n_psu, n_tot)))
+                )
             )
-        )
+        else:
+            m_tot = psus.agg(F.sum("__M__")).first()[0]
+            pi = F.least(
+                F.lit(1.0),
+                F.lit(float(n_psu)) * F.col("__M__").cast("double")
+                / F.lit(float(m_tot)),
+            )
+            sel = (
+                psus.withColumn("__pi__", pi)
+                .filter(key < F.col("__pi__"))
+                .withColumn("__w1__", F.lit(1.0) / F.col("__pi__"))
+                .drop("__pi__")
+            )
     sel = sel.select(
         F.col(psu_col).alias("__spsu__"), "__M__", "__w1__"
     )
-    out = df.join(
-        sel, on=df[psu_col] == F.col("__spsu__"), how="left"
+    # selected branch: broadcast INNER join, so the stage-2 ranking
+    # window only ever sees rows of sampled PSUs
+    hit = df.join(
+        F.broadcast(sel), on=df[psu_col] == F.col("__spsu__"), how="inner"
     ).drop("__spsu__")
-    picked = F.col("__M__").isNotNull()
     if m_per_psu is None:
-        ind = F.when(picked, 1).otherwise(0)
-        w = F.when(picked, F.col("__w1__"))
+        hit = hit.withColumn(out_col, F.lit(1))
+        w = F.col("__w1__")
     else:
         ekey = rng.uniform([id_col], seed, f"{tag}:el", stream=stream)
         wel = Window.partitionBy(psu_col).orderBy(
             ekey.asc(), F.col(id_col).asc()
         )
-        out = out.withColumn("__ern__", F.row_number().over(wel))
-        ind = F.when(
-            picked & (F.col("__ern__") <= m_per_psu), 1
-        ).otherwise(0)
+        hit = hit.withColumn("__ern__", F.row_number().over(wel))
+        hit = hit.withColumn(
+            out_col, F.when(F.col("__ern__") <= m_per_psu, 1).otherwise(0)
+        )
         w = F.when(
-            ind == 1,
+            F.col(out_col) == 1,
             F.col("__w1__") * F.col("__M__").cast("double")
             / F.least(F.lit(m_per_psu), F.col("__M__")).cast("double"),
         )
-    out = out.withColumn(out_col, ind)
     if weight_col is not None:
-        out = out.withColumn(weight_col, w)
-    return out.drop("__M__", "__w1__", "__ern__")
+        hit = hit.withColumn(weight_col, w)
+    hit = hit.drop("__M__", "__w1__", "__ern__")
+    miss = df.join(
+        F.broadcast(sel.select("__spsu__")),
+        on=df[psu_col] == F.col("__spsu__"),
+        how="left_anti",
+    ).withColumn(out_col, F.lit(0))
+    if weight_col is not None:
+        miss = miss.withColumn(weight_col, F.lit(None).cast("double"))
+    return hit.unionByName(miss)

@@ -184,6 +184,14 @@ HEADLINE = [
     "svycov_cluster_events",
     "jk_psu_calibrated_events",
     "media_dedup_corpus",
+    # round-16: replicate-weights designs (calibrated-cluster quantile,
+    # stratified-DAGJK glm/mean), PPS cluster sampling, stratified
+    # Rao-Scott (new gate rows join immediately)
+    "repweight_cal_quantile_events",
+    "repweight_glm_events",
+    "repweight_strat_mean_events",
+    "pps_cluster_sample_events",
+    "svychisq_rs_strat_events",
     # round-11: the portable-RNG MC slice + portable MinHash/LSH join
     # the headline (new gate rows join immediately).  Late-r11 widened
     # the slice battery 3 -> 5 estimators (Scenario-II tilde members):

@@ -306,6 +306,18 @@ STDOUT_DROP = {
     "semijoin_priority",      # (full_outer_integration)
     "events_hourly",          # (resample_hourly_events, sessionize_events)
     "embedding_norms",        # (knn_cosine, embedding_gram)
+    # r16: keep the two new-family stdout representatives
+    # (repweight_cal_quantile_events, pps_cluster_sample_events); the
+    # other three new rows ride BENCH_FULL.json only
+    "repweight_glm_events",        # (repweight_cal_quantile_events)
+    "repweight_strat_mean_events", # (repweight_cal_quantile_events)
+    "svychisq_rs_strat_events",    # (svychisq_rs_events family)
+    # r16 stdout-width rebalance: three more near-duplicate family
+    # members move to BENCH_FULL-only so the two kept new-row
+    # representatives fit (kept stdout representatives in parens)
+    "resample_hourly_events",   # (sessionize_events)
+    "range_join_events",        # (asof_enrich)
+    "svyvar_events",            # (svymean_events; cal variant dropped r14)
     "simhash_buckets",        # (minhash_lsh_pairs)
     "pack_chunks",            # (chunk_documents)
     "jackknife_mean",         # (brr_mean_events)

@@ -118,23 +118,27 @@ def test_registry_window_contract():
     assert len(names) >= 50
     window = names[:50]
     rows_only = [n for n in window if REGISTRY[n][1] is None]
-    # the r15 window is FULLY oracle-backed: every row hash-certifies
-    # (the seeded studies and engine-hash diagnostics ride the tail on
-    # their r12/r13 records)
-    assert rows_only == [], rows_only
-    # the r15 composition: the whole r11 staleness tranche leads, the
-    # new cluster-SE/DAGJK/media-corpus capability rows and the round's
-    # code-touched rows follow, 10 r12 rows close it (_R15_WINDOW in
+    # r16: the three r11 rows-only rows rotate THROUGH the window (it is
+    # the only place their pass record can refresh before the r18
+    # staleness cliff) — only the sanctioned set may do so (the full
+    # list lives in test_gate_staleness.py)
+    assert set(rows_only) <= {
+        "mc_nmar_study", "minhash_lsh_pairs", "simhash_buckets",
+    }, rows_only
+    # the r16 composition: the 5 new replicate-weights/PPS/stratified-RS
+    # capability rows lead, the round's code-touched rows follow, the
+    # r11 rows-only tranche and 31 r12 rows close it (_R16_WINDOW in
     # entry_queries.py)
-    for n in ("stream_frequency_summary", "pricing_summary",
-              "split_columns", "svyvar_cal_events",
-              "svyquantile_cluster_events", "svyglm_cluster_events",
-              "svycov_cluster_events", "jk_psu_calibrated_events",
-              "media_dedup_corpus",
-              "svyglm_linear", "svyquantile_ci_events", "svycov_events",
-              "svychisq_rs_events", "price_quantiles",
-              "cms_token_counts", "cluster_sample_events",
-              "svymean_cal_cluster_events"):
+    for n in ("repweight_cal_quantile_events", "repweight_glm_events",
+              "repweight_strat_mean_events", "pps_cluster_sample_events",
+              "svychisq_rs_strat_events",
+              "jk_psu_calibrated_events", "cluster_sample_events",
+              "media_dedup_corpus", "svychisq_rs_events",
+              "svyglm_linear", "svyglm_cluster_events",
+              "svyquantile_cluster_events", "svycov_cluster_events",
+              "svymean_cal_cluster_events",
+              "mc_nmar_study", "minhash_lsh_pairs", "simhash_buckets",
+              "mc_nmar_oracle_slice", "event_funnel", "decontam_scan"):
         assert n in window, n
     for n, (fn, sql) in REGISTRY.items():
         assert callable(fn), n

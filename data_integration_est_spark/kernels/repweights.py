@@ -509,6 +509,82 @@ def svycov_rep(rd: ReplicateDesign, y_col: str, x_col: str) -> DataFrame:
     )
 
 
+def svyby_rep(
+    rd: ReplicateDesign,
+    by: str | list[str],
+    y_col: str,
+    stat: str = "mean",
+    den_col: str | None = None,
+) -> DataFrame:
+    """Per-domain statistics under a replicate design — the
+    ``survey::svyby(..., design=svrepdesign)`` analogue, and the one
+    ``*_rep`` estimator that must stay fully DISTRIBUTED: the scalar
+    kernels above read G replicate scalars on the driver, but the
+    domain count is unbounded, so here both the G+1 per-domain
+    estimates and the replicate-spread SE are pure COLUMN EXPRESSIONS
+    over ONE grouped map-side-combined aggregation pass — no collect,
+    no driver loop; millions of domains ride a single shuffle whose
+    payload is O(domains x G) cells.
+
+    ``stat``: ``"mean"`` (weighted mean), ``"total"`` (HT total — a
+    domain fully deleted by replicate g legitimately contributes
+    theta_g = 0), or ``"ratio"`` (pass ``den_col``).  For mean/ratio,
+    a replicate that EMPTIES a domain (replicate-weight sum 0) NULLs
+    that domain's SE — the :func:`_rep_se` contract, expressed as
+    NULL-propagating arithmetic.
+
+    Returns (by..., <stat>, se, n) ordered by the ``by`` columns;
+    estimates rounded to 6 dp like the scalar kernels.
+    """
+    group_cols = [by] if isinstance(by, str) else list(by)
+    if stat not in ("mean", "total", "ratio"):
+        raise ValueError(
+            f"stat must be 'mean', 'total', or 'ratio'; got {stat!r}"
+        )
+    if stat == "ratio" and den_col is None:
+        raise ValueError("stat='ratio' needs den_col")
+    y = F.col(y_col).cast("double")
+    subset = [y_col, rd.weight_col] + ([den_col] if stat == "ratio" else [])
+    src = rd.df.na.drop(subset=subset)
+    cols = [rd.weight_col] + rd.rep_cols
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i, c in enumerate(cols):
+        w = F.col(c).cast("double")
+        if stat == "total":
+            aggs.append(F.sum(w * y).alias(f"a_{i}"))
+        elif stat == "mean":
+            aggs.append(F.sum(w * y).alias(f"a_{i}"))
+            aggs.append(F.sum(w).alias(f"b_{i}"))
+        else:
+            den = F.col(den_col).cast("double")
+            aggs.append(F.sum(w * y).alias(f"a_{i}"))
+            aggs.append(F.sum(w * den).alias(f"b_{i}"))
+    g = src.groupBy(*group_cols).agg(*aggs)
+
+    def theta(i: int) -> Column:
+        if stat == "total":
+            return F.coalesce(F.col(f"a_{i}"), F.lit(0.0))
+        # NULL when the replicate empties the domain (b == 0 or NULL)
+        return F.when(
+            F.col(f"b_{i}").isNotNull() & (F.col(f"b_{i}") != 0.0),
+            F.coalesce(F.col(f"a_{i}"), F.lit(0.0)) / F.col(f"b_{i}"),
+        )
+
+    ss: Column = F.lit(0.0)
+    for i in range(1, len(cols)):
+        ss = ss + F.pow(theta(i) - theta(0), F.lit(2.0))
+    out_name = {"mean": "mean", "total": "total", "ratio": "ratio"}[stat]
+    return (
+        g.select(
+            *group_cols,
+            F.round(theta(0), 6).alias(out_name),
+            F.round(F.sqrt(F.lit(float(rd.mult)) * ss), 6).alias("se"),
+            F.col("n"),
+        )
+        .orderBy(*group_cols)
+    )
+
+
 def _solve_quantiles_arr(
     spark,
     base: DataFrame,

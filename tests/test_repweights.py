@@ -368,3 +368,133 @@ def test_element_design_dagjk_via_unit_col(spark):
     theta, se, _ = _np_dagjk(arr2, 10, strata=False)
     assert got["mean"] == pytest.approx(theta, abs=1e-6)
     assert got["se"] == pytest.approx(se, abs=1e-6)
+
+
+# --- svyby_rep: distributed domain estimation (late-r16) ---
+
+
+def test_svyby_rep_single_domain_matches_scalar_kernels(spark):
+    """A constant domain column must reproduce the scalar kernels
+    exactly (same rounding, same SE)."""
+    from pyspark.sql import functions as F
+
+    from data_integration_est_spark.kernels.repweights import svyby_rep
+
+    df, _ = _fixture(spark)
+    des = SurveyDesign(df=df, weight_col="w", strata_col="h", psu_col="psu")
+    rd = replicate_design(des, n_groups=8)
+    rd_one = ReplicateDesign(
+        df=rd.df.withColumn("dom", F.lit("all")),
+        weight_col=rd.weight_col, rep_cols=rd.rep_cols, mult=rd.mult,
+        method=rd.method, strata_col=rd.strata_col, psu_col=rd.psu_col,
+    )
+    by_mean = svyby_rep(rd_one, "dom", "y").first()
+    sc_mean = svymean_rep(rd, "y").first()
+    assert by_mean["mean"] == sc_mean["mean"]
+    assert by_mean["se"] == sc_mean["se"]
+    by_tot = svyby_rep(rd_one, "dom", "y", stat="total").first()
+    sc_tot = svytotal_rep(rd, "y").first()
+    assert by_tot["total"] == sc_tot["total"]
+    assert by_tot["se"] == sc_tot["se"]
+    by_rat = svyby_rep(rd_one, "dom", "y", stat="ratio", den_col="w").first()
+    sc_rat = svyratio_rep(rd, "y", "w").first()
+    assert by_rat["ratio"] == sc_rat["ratio"]
+    assert by_rat["se"] == sc_rat["se"]
+
+
+def test_svyby_rep_domain_means_match_numpy(spark):
+    """Per-domain (id % 3) means + SEs against the numpy DAGJK replica
+    restricted to each domain."""
+    from pyspark.sql import functions as F
+
+    from data_integration_est_spark.kernels.repweights import svyby_rep
+
+    df, arr = _fixture(spark)
+    des = SurveyDesign(
+        df=df.withColumn("dom", F.col("id") % 3),
+        weight_col="w", strata_col="h", psu_col="psu",
+    )
+    rd = replicate_design(des, n_groups=8)
+    got = {r["dom"]: r for r in svyby_rep(rd, "dom", "y").collect()}
+    assert set(got) == {0, 1, 2}
+    ids, y = arr[:, 0].astype(int), arr[:, 5]
+    for dom in (0, 1, 2):
+        mask = (ids % 3) == dom
+        theta, se, _ = _np_dagjk(
+            arr, 8, strata=True,
+            stat=lambda wt: np.sum(wt[mask] * y[mask]) / np.sum(wt[mask]),
+        )
+        assert got[dom]["mean"] == pytest.approx(theta, abs=1e-6), dom
+        assert got[dom]["se"] == pytest.approx(se, abs=1e-6), dom
+        assert got[dom]["n"] == int(mask.sum())
+
+
+def test_svyby_rep_domain_totals_and_ratios_match_numpy(spark):
+    from pyspark.sql import functions as F
+
+    from data_integration_est_spark.kernels.repweights import svyby_rep
+
+    df, arr = _fixture(spark)
+    des = SurveyDesign(
+        df=df.withColumn("dom", F.col("id") % 2),
+        weight_col="w", strata_col="h", psu_col="psu",
+    )
+    rd = replicate_design(des, n_groups=8)
+    tot = {r["dom"]: r for r in
+           svyby_rep(rd, "dom", "y", stat="total").collect()}
+    rat = {r["dom"]: r for r in
+           svyby_rep(rd, "dom", "y", stat="ratio", den_col="x").collect()}
+    ids, x, y = arr[:, 0].astype(int), arr[:, 4], arr[:, 5]
+    for dom in (0, 1):
+        mask = (ids % 2) == dom
+        t_theta, t_se, _ = _np_dagjk(
+            arr, 8, strata=True,
+            stat=lambda wt: np.sum(wt[mask] * y[mask]),
+        )
+        assert tot[dom]["total"] == pytest.approx(t_theta, abs=1e-5), dom
+        assert tot[dom]["se"] == pytest.approx(t_se, abs=1e-5), dom
+        r_theta, r_se, _ = _np_dagjk(
+            arr, 8, strata=True,
+            stat=lambda wt: np.sum(wt[mask] * y[mask]) / np.sum(wt[mask] * x[mask]),
+        )
+        assert rat[dom]["ratio"] == pytest.approx(r_theta, abs=1e-6), dom
+        assert rat[dom]["se"] == pytest.approx(r_se, abs=1e-6), dom
+
+
+def test_svyby_rep_emptied_domain_nulls_se(spark):
+    """A domain living entirely inside one replicate group: deleting
+    that group empties the domain -> mean SE is NULL (the _rep_se
+    contract), while the total's SE stays finite (theta_g = 0 is a
+    legitimate replicate total)."""
+    from pyspark.sql import functions as F
+
+    from data_integration_est_spark.kernels.repweights import svyby_rep
+
+    df, _ = _fixture(spark)
+    des = SurveyDesign(
+        df=df.withColumn(
+            "dom",
+            F.when(F.col("psu") % 4 == 0, F.lit("rare")).otherwise("common"),
+        ),
+        weight_col="w", strata_col="h", psu_col="psu",
+    )
+    rd = replicate_design(des, n_groups=4)  # group 0 holds ALL of "rare"
+    rows = {r["dom"]: r for r in svyby_rep(rd, "dom", "y").collect()}
+    assert rows["rare"]["se"] is None
+    assert rows["rare"]["mean"] is not None
+    assert rows["common"]["se"] is not None
+    tots = {r["dom"]: r for r in
+            svyby_rep(rd, "dom", "y", stat="total").collect()}
+    assert tots["rare"]["se"] is not None
+
+
+def test_svyby_rep_validation(spark):
+    from data_integration_est_spark.kernels.repweights import svyby_rep
+
+    df, _ = _fixture(spark)
+    des = SurveyDesign(df=df, weight_col="w", strata_col="h", psu_col="psu")
+    rd = replicate_design(des, n_groups=8)
+    with pytest.raises(ValueError, match="stat must be"):
+        svyby_rep(rd, "h", "y", stat="median")
+    with pytest.raises(ValueError, match="needs den_col"):
+        svyby_rep(rd, "h", "y", stat="ratio")

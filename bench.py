@@ -192,6 +192,7 @@ HEADLINE = [
     "repweight_strat_mean_events",
     "svyby_rep_domain_events",
     "repweight_brr_fay_events",
+    "repweight_corr_events",
     "pps_cluster_sample_events",
     "svychisq_rs_strat_events",
     # round-11: the portable-RNG MC slice + portable MinHash/LSH join
@@ -284,7 +285,7 @@ STDOUT_DROP = {
     "calibrate_raking_summary", "calibrate_logit_summary",
     "svyquantile_ci_events", "svychisq_rs_events", "svymean_fpc_events",
     "svyby_mean_ratio_events", "svyby_rep_domain_events",
-    "repweight_brr_fay_events",
+    "repweight_brr_fay_events", "repweight_corr_events",
     "svyciprop_events", "svyglm_by",
     "svyglm_poisson", "jackknife_ratio_events", "brr_mean_by_events",
     # r10: keep the stdout line under 1950 chars with the five new

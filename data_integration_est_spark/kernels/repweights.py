@@ -509,6 +509,99 @@ def svycov_rep(rd: ReplicateDesign, y_col: str, x_col: str) -> DataFrame:
     )
 
 
+def with_replicates(
+    rd: ReplicateDesign,
+    exprs: dict[str, Column | str],
+    combine,
+    name: str = "est",
+    dropna: list[str] | None = None,
+) -> DataFrame:
+    """Generic replicate-variance estimation — the
+    ``survey::withReplicates`` analogue, restricted (deliberately) to
+    statistics expressible as a smooth function of WEIGHTED SUMS:
+    ``theta = combine({k: sum(w * expr_k)})``.  That restriction is what
+    keeps it Spark-first: instead of re-running an arbitrary estimator
+    G+1 times (G+1 jobs, G+1 scans), ALL replicates' sums for ALL
+    expressions ride ONE map-side-combined aggregation pass —
+    O((G+1) x len(exprs)) cells on the driver, then G+1 cheap Python
+    ``combine`` calls.  Covers means, totals, ratios, correlations,
+    regression-through-moments, CVs, index numbers — anything
+    moment-expressible; for statistics that genuinely need per-replicate
+    re-estimation (quantiles, GLMs), use the dedicated one-pass kernels
+    (:func:`svyquantile_rep`, :func:`svyglm_rep`).
+
+    ``exprs`` maps names to Columns (or column-name strings); each is
+    multiplied by the replicate weight and summed.  ``combine`` takes
+    the {name: sum} dict and returns the statistic (float), or
+    None/NaN for a degenerate replicate — which NULLs the SE per the
+    :func:`_rep_se` contract.  ``dropna`` rows with NULLs in the listed
+    columns are dropped first (the weight column is always included).
+
+    Returns one row: (<name>, se, n_reps).
+    """
+    src = rd.df.na.drop(
+        subset=list(dict.fromkeys([rd.weight_col] + (dropna or [])))
+    )
+    keys = list(exprs)
+    cols = [rd.weight_col] + rd.rep_cols
+    aggs = []
+    for i, c in enumerate(cols):
+        w = F.col(c).cast("double")
+        for k in keys:
+            e = exprs[k]
+            e = F.col(e) if isinstance(e, str) else e
+            aggs.append(F.sum(w * e.cast("double")).alias(f"s_{i}_{k}"))
+    r = src.agg(*aggs).first()
+
+    def sums(i: int) -> dict:
+        return {k: float(r[f"s_{i}_{k}"] or 0.0) for k in keys}
+
+    t0 = combine(sums(0))
+    if t0 is None or not np.isfinite(float(t0)):
+        raise ValueError(
+            "with_replicates: combine() returned a degenerate value for "
+            "the FULL-sample sums; the point estimate is undefined"
+        )
+    theta = float(t0)
+    thetas = []
+    for i in range(1, len(cols)):
+        t = combine(sums(i))
+        thetas.append(None if t is None else float(t))
+    se = _rep_se(theta, thetas, rd.mult)
+    return _one_row(
+        src.sparkSession,
+        [(name, DoubleType()), ("se", DoubleType()),
+         ("n_reps", LongType())],
+        (_round6(theta), _round6(se), rd.n_reps),
+    )
+
+
+def svycorr_rep(rd: ReplicateDesign, y_col: str, x_col: str) -> DataFrame:
+    """Weighted Pearson correlation with replicate SE — a
+    :func:`with_replicates` client: corr = C_xy / sqrt(C_xx C_yy) over
+    weighted central moments, all G+1 replicates from the one sums
+    pass.  One row: (corr, se, n_reps)."""
+    y, x = F.col(y_col), F.col(x_col)
+
+    def _corr(s: dict) -> float | None:
+        n, sx, sy, sxx, syy, sxy = (
+            s["n"], s["x"], s["y"], s["xx"], s["yy"], s["xy"])
+        if n <= 0:
+            return None
+        cxy = sxy / n - (sx / n) * (sy / n)
+        cxx = sxx / n - (sx / n) ** 2
+        cyy = syy / n - (sy / n) ** 2
+        den = cxx * cyy
+        return None if den <= 0 else cxy / float(np.sqrt(den))
+
+    return with_replicates(
+        rd,
+        {"n": F.lit(1.0), "x": x, "y": y,
+         "xx": x * x, "yy": y * y, "xy": x * y},
+        _corr, name="corr", dropna=[y_col, x_col],
+    )
+
+
 def svyby_rep(
     rd: ReplicateDesign,
     by: str | list[str],

@@ -498,3 +498,108 @@ def test_svyby_rep_validation(spark):
         svyby_rep(rd, "h", "y", stat="median")
     with pytest.raises(ValueError, match="needs den_col"):
         svyby_rep(rd, "h", "y", stat="ratio")
+
+
+def test_with_replicates_reproduces_svymean_rep(spark):
+    from pyspark.sql import functions as F
+    from data_integration_est_spark.kernels.repweights import (
+        with_replicates,
+    )
+
+    df, _ = _fixture(spark)
+    des = SurveyDesign(df=df, weight_col="w", strata_col="h", psu_col="psu")
+    rd = replicate_design(des, n_groups=8)
+    ref = svymean_rep(rd, "y").first()
+    got = with_replicates(
+        rd, {"wy": F.col("y"), "w1": F.lit(1.0)},
+        lambda s: s["wy"] / s["w1"], name="mean", dropna=["y"],
+    ).first()
+    assert got["mean"] == pytest.approx(ref["mean"], abs=1e-6)
+    assert got["se"] == pytest.approx(ref["se"], abs=1e-6)
+    assert got["n_reps"] == 8
+
+
+def test_svycorr_rep_matches_numpy(spark):
+    from data_integration_est_spark.kernels.repweights import svycorr_rep
+
+    df, arr = _fixture(spark)
+    des = SurveyDesign(df=df, weight_col="w", strata_col="h", psu_col="psu")
+    rd = replicate_design(des, n_groups=8)
+    got = svycorr_rep(rd, "y", "x").first()
+
+    def _corr(wt):
+        x, y = arr[:, 4], arr[:, 5]
+        W = wt.sum()
+        mx, my = (wt * x).sum() / W, (wt * y).sum() / W
+        cxy = (wt * x * y).sum() / W - mx * my
+        cxx = (wt * x * x).sum() / W - mx * mx
+        cyy = (wt * y * y).sum() / W - my * my
+        return cxy / np.sqrt(cxx * cyy)
+
+    theta, se, _ = _np_dagjk(arr, 8, strata=True, stat=_corr)
+    assert got["corr"] == pytest.approx(theta, abs=1e-6)
+    assert got["se"] == pytest.approx(se, abs=1e-6)
+    # correlation is scale/location invariant; bounded
+    assert -1.0 <= got["corr"] <= 1.0
+
+
+def test_svycorr_rep_calibrated_design(spark):
+    """with_replicates consumes calibrated replicate weights unchanged:
+    the per-replicate GREG re-solve lives in replicate_design, so the
+    generic kernel needs no calibration awareness.  Totals equal the
+    base-weight sums, so the full calibrated weights coincide with the
+    base weights (lambda = 0) while every REPLICATE still re-solves a
+    nontrivial lambda -- the numpy oracle replays exactly that."""
+    from data_integration_est_spark.kernels.linalg import calibrate
+    from data_integration_est_spark.kernels.repweights import svycorr_rep
+    import pyspark.sql.functions as F
+
+    df, arr = _fixture(spark)
+    df = df.withColumn("one", df.w * 0 + 1.0)
+    w, x = arr[:, 3], arr[:, 4]
+    T0, T1 = float(w.sum()), float((w * x).sum())
+    res = calibrate(df, ["one", "x"], {"one": T0, "x": T1},
+                    d_col="w", out_col="wc")
+    des = SurveyDesign(df=res.df, weight_col="wc", strata_col="h",
+                       psu_col="psu", calibration_cols=["one", "x"],
+                       base_weight_col="w")
+    rd = replicate_design(des, n_groups=8)
+    got = svycorr_rep(rd, "y", "x").first()
+
+    def _corr(wt):
+        xx, y = arr[:, 4], arr[:, 5]
+        W = wt.sum()
+        mx, my = (wt * xx).sum() / W, (wt * y).sum() / W
+        cxy = (wt * xx * y).sum() / W - mx * my
+        cxx = (wt * xx * xx).sum() / W - mx * mx
+        cyy = (wt * y * y).sum() / W - my * my
+        return cxy / np.sqrt(cxx * cyy)
+
+    theta, se, _ = _np_dagjk(
+        arr, 8, strata=True, x_cols=("one", "x"), stat=_corr)
+    assert got["corr"] == pytest.approx(theta, abs=1e-6)
+    assert got["se"] == pytest.approx(se, abs=1e-6)
+
+
+def test_with_replicates_degenerate_replicate_nulls_se(spark):
+    from pyspark.sql import functions as F
+    from data_integration_est_spark.kernels.repweights import (
+        with_replicates,
+    )
+
+    df, _ = _fixture(spark)
+    des = SurveyDesign(df=df, weight_col="w", strata_col="h", psu_col="psu")
+    rd = replicate_design(des, n_groups=8)
+    calls = []
+
+    def _flaky(s):
+        calls.append(1)
+        return None if len(calls) == 3 else s["wy"]
+
+    got = with_replicates(
+        rd, {"wy": F.col("y")}, _flaky, name="est",
+    ).first()
+    assert got["est"] is not None and got["se"] is None
+    # and a degenerate FULL sample refuses loudly
+    with pytest.raises(ValueError, match="FULL-sample"):
+        with_replicates(rd, {"wy": F.col("y")}, lambda s: None)

@@ -193,6 +193,7 @@ HEADLINE = [
     "svyby_rep_domain_events",
     "repweight_brr_fay_events",
     "repweight_corr_events",
+    "trim_redistribute_events",
     "pps_cluster_sample_events",
     "svychisq_rs_strat_events",
     # round-11: the portable-RNG MC slice + portable MinHash/LSH join
@@ -286,6 +287,7 @@ STDOUT_DROP = {
     "svyquantile_ci_events", "svychisq_rs_events", "svymean_fpc_events",
     "svyby_mean_ratio_events", "svyby_rep_domain_events",
     "repweight_brr_fay_events", "repweight_corr_events",
+    "trim_redistribute_events",
     "svyciprop_events", "svyglm_by",
     "svyglm_poisson", "jackknife_ratio_events", "brr_mean_by_events",
     # r10: keep the stdout line under 1950 chars with the five new

@@ -143,3 +143,126 @@ def poststratify(
     return df.withColumn(
         out_col, _weight_expr(d_col, {strata_col: factors})
     )
+
+
+def trim_weights_redistribute(
+    df: DataFrame,
+    d_col: str,
+    lower: float | None = None,
+    upper: float | None = None,
+    by: str | None = None,
+    out_col: str = "w_tr",
+    max_iter: int = 1,
+    strict: bool = False,
+) -> DataFrame:
+    """Weight trimming by redistribution — ``survey::trimWeights``
+    parity in its literal redistribute-to-the-untrimmed form: clip
+    weights to
+    ``[lower, upper]`` and redistribute the clipped excess among the
+    UNTRIMMED units in proportion to their weights, preserving the
+    weight total exactly (per ``by`` group when given — the usual
+    per-stratum discipline).  Extreme weights inflate design variance;
+    trimming trades a small bias for a large variance reduction — the
+    standard last step after calibration/raking produces outlier
+    weights.  Sibling: ``kernels.quantile.trim_weights`` caps at a
+    weight QUANTILE and rescales multiplicatively (no per-unit
+    redistribution, no strict iteration) — use this one when the bounds
+    are known constants and per-stratum totals must survive exactly.
+
+    One iteration = ONE flat groupBy over the current weights
+    (O(groups) rows collected) + a map-literal projection — the same
+    scale shape as :func:`rake`/:func:`poststratify`: no join, no
+    window over data, ``by`` must have broadcastable cardinality.
+    Redistribution can push previously-interior weights past the
+    bounds; ``strict=True`` iterates until clean (up to ``max_iter``,
+    then raises), matching ``survey::trimWeights(strict=TRUE)``.
+    ``max_iter`` passes scan the data ``max_iter`` times; the default
+    single pass is the survey default (``strict=FALSE``).
+
+    Raises :class:`RakingError` when a group is ALL-trimmed (no
+    interior mass to absorb the excess) — redistribution is undefined
+    there; loosen the bounds or trim within finer groups.
+    """
+    if lower is None and upper is None:
+        raise RakingError("trim_weights_redistribute: give at least one bound")
+    lo = float("-inf") if lower is None else float(lower)
+    hi = float("inf") if upper is None else float(upper)
+    if lo >= hi:
+        raise RakingError(
+            f"trim_weights_redistribute: lower {lo} >= upper {hi}")
+    if max_iter < 1:
+        raise RakingError(
+            "trim_weights_redistribute: max_iter must be >= 1")
+
+    gcol = by if by is not None else None
+    cur = F.col(d_col).cast("double")
+    work = df
+    tmp = "__wtr_cur__"
+    work = work.withColumn(tmp, cur)
+
+    for it in range(max_iter):
+        clip = F.least(F.greatest(F.col(tmp), F.lit(lo)), F.lit(hi))
+        interior = (F.col(tmp) > lo) & (F.col(tmp) < hi)
+        aggs = [
+            F.sum(F.col(tmp) - clip).alias("__ex__"),
+            F.sum(F.when(interior, clip).otherwise(F.lit(0.0)))
+             .alias("__mass__"),
+            F.sum(F.when(~interior, F.lit(1)).otherwise(F.lit(0)))
+             .alias("__ntrim__"),
+            F.count(F.col(tmp)).alias("__n__"),
+            F.sum(F.col(tmp)).alias("__sw__"),
+        ]
+        cells = (work.groupBy(gcol).agg(*aggs) if gcol
+                 else work.groupBy().agg(*aggs)).collect()
+        fac: dict = {}
+        dirty = False
+        for r in cells:
+            ex = float(r["__ex__"] or 0.0)
+            mass = float(r["__mass__"] or 0.0)
+            key = r[gcol] if gcol else None
+            if it == 0:
+                n, sw = int(r["__n__"] or 0), float(r["__sw__"] or 0.0)
+                if sw > n * hi or sw < n * lo:
+                    raise RakingError(
+                        "trim_weights_redistribute: bounds are "
+                        f"INFEASIBLE for group {key!r}: total weight "
+                        f"{sw:.6g} lies outside [n*lower, n*upper] = "
+                        f"[{n * lo:.6g}, {n * hi:.6g}] — no trimmed "
+                        "weighting can both respect the bounds and "
+                        "preserve the total; widen the bounds"
+                    )
+            if ex != 0.0 and mass <= 0.0:
+                raise RakingError(
+                    "trim_weights_redistribute: group "
+                    f"{key!r} is entirely at the bounds with excess "
+                    f"{ex:.6g} and no interior mass to absorb it"
+                )
+            if int(r["__ntrim__"] or 0) > 0 and ex != 0.0:
+                dirty = True
+            fac[key] = 1.0 + (ex / mass if mass > 0.0 else 0.0)
+        if gcol:
+            mapping = F.create_map(*[
+                x for k, v in fac.items()
+                for x in (F.lit(k), F.lit(v))
+            ])
+            scale = mapping[F.col(gcol)]
+        else:
+            scale = F.lit(fac[None])
+        nxt = F.when(
+            (F.col(tmp) > lo) & (F.col(tmp) < hi), clip * scale
+        ).otherwise(clip)
+        work = work.withColumn(tmp, nxt)
+        if not dirty:
+            break
+
+    if strict:
+        viol = work.filter(
+            (F.col(tmp) < F.lit(lo) - F.lit(1e-9))
+            | (F.col(tmp) > F.lit(hi) + F.lit(1e-9))
+        ).count()
+        if viol:
+            raise RakingError(
+                f"trim_weights_redistribute: {viol} weights still outside "
+                f"[{lo}, {hi}] after {max_iter} strict iterations"
+            )
+    return work.withColumn(out_col, F.col(tmp)).drop(tmp)

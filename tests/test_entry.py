@@ -125,14 +125,14 @@ def test_registry_window_contract():
     assert set(rows_only) <= {
         "mc_nmar_study", "minhash_lsh_pairs", "simhash_buckets",
     }, rows_only
-    # the r16 composition: the 8 new replicate-weights/PPS/stratified-RS
+    # the r16 composition: the 9 new replicate-weights/PPS/stratified-RS
     # capability rows lead, the round's code-touched rows follow, the
-    # r11 rows-only tranche and 28 r12 rows close it (_R16_WINDOW in
+    # r11 rows-only tranche and 27 r12 rows close it (_R16_WINDOW in
     # entry_queries.py)
     for n in ("repweight_cal_quantile_events", "repweight_glm_events",
               "repweight_strat_mean_events", "svyby_rep_domain_events",
               "repweight_brr_fay_events", "repweight_corr_events",
-              "pps_cluster_sample_events",
+              "trim_redistribute_events", "pps_cluster_sample_events",
               "svychisq_rs_strat_events",
               "jk_psu_calibrated_events", "cluster_sample_events",
               "media_dedup_corpus", "svychisq_rs_events",

@@ -114,3 +114,112 @@ def test_poststratify_validates(spark):
         poststratify(df, "g", {}, d_col="d")
     with pytest.raises(RakingError, match="no population count"):
         poststratify(df, "g", {"zzz": 10.0}, d_col="d")
+
+
+def _np_trim(w, lo, hi, groups=None, iters=1):
+    """Numpy replica of one-or-more trim-and-redistribute passes."""
+    w = w.astype(float).copy()
+    g = np.zeros(len(w), dtype=int) if groups is None else groups
+    for _ in range(iters):
+        clip = np.clip(w, lo, hi)
+        interior = (w > lo) & (w < hi)
+        out = clip.copy()
+        dirty = False
+        for gv in np.unique(g):
+            m = g == gv
+            ex = float((w[m] - clip[m]).sum())
+            mass = float(clip[m & interior].sum())
+            if ex != 0.0:
+                dirty = True
+                out[m & interior] = clip[m & interior] * (1.0 + ex / mass)
+        w = out
+        if not dirty:
+            break
+    return w
+
+
+def test_trim_redistribute_matches_numpy_and_preserves_totals(spark):
+    from data_integration_est_spark.kernels.rake import (
+        trim_weights_redistribute as trim_weights,
+    )
+
+    rows = [(i, i % 3, 0.5 + (i * 13 % 29) / 2.0) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, h long, d double")
+    w = np.array([r[2] for r in rows])
+    g = np.array([r[1] for r in rows])
+
+    out = trim_weights(df, "d", lower=2.0, upper=9.0, by="h").orderBy("id")
+    got = np.array([r["w_tr"] for r in out.collect()])
+    want = _np_trim(w, 2.0, 9.0, groups=g)
+    assert np.allclose(got, want, atol=1e-9)
+    # per-group totals preserved exactly
+    for gv in (0, 1, 2):
+        assert got[g == gv].sum() == pytest.approx(w[g == gv].sum(), rel=1e-12)
+    # trimmed rows sit AT the bounds, interior rows inside-or-redistributed
+    assert got.min() >= 2.0 - 1e-9
+
+
+def test_trim_redistribute_global_and_one_sided(spark):
+    from data_integration_est_spark.kernels.rake import (
+        trim_weights_redistribute as trim_weights,
+    )
+
+    rows = [(i, 1.0 + (i * 7 % 23)) for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, d double")
+    w = np.array([r[1] for r in rows])
+    got = np.array([
+        r["w_tr"] for r in
+        trim_weights(df, "d", upper=15.0).orderBy("id").collect()
+    ])
+    want = _np_trim(w, -np.inf, 15.0)
+    assert np.allclose(got, want, atol=1e-9)
+    assert got.sum() == pytest.approx(w.sum(), rel=1e-12)
+    assert got.max() > 15.0 - 1e-9  # redistribution pushed someone up
+
+
+def test_trim_redistribute_strict_iterates_until_clean(spark):
+    from data_integration_est_spark.kernels.rake import (
+        trim_weights_redistribute as trim_weights,
+    )
+
+    # heavy mass at the cap: one pass overflows interior rows
+    rows = [(i, 20.0 if i < 30 else 9.0 if i < 60 else 1.0)
+            for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, d double")
+    w = np.array([r[1] for r in rows])
+    got = np.array([
+        r["w_tr"] for r in
+        trim_weights(df, "d", upper=10.0, strict=True, max_iter=10)
+        .orderBy("id").collect()
+    ])
+    assert got.max() <= 10.0 + 1e-9
+    assert got.sum() == pytest.approx(w.sum(), rel=1e-12)
+    want = _np_trim(w, -np.inf, 10.0, iters=10)
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_trim_redistribute_validation(spark):
+    from data_integration_est_spark.kernels.rake import (
+        trim_weights_redistribute as trim_weights,
+    )
+
+    df = spark.createDataFrame([(0, 5.0), (1, 7.0)], "id long, d double")
+    with pytest.raises(RakingError, match="at least one bound"):
+        trim_weights(df, "d")
+    with pytest.raises(RakingError, match="lower"):
+        trim_weights(df, "d", lower=9.0, upper=3.0)
+    # all rows above the cap -> infeasible, refused upfront
+    with pytest.raises(RakingError, match="INFEASIBLE"):
+        trim_weights(df, "d", upper=1.0)
+
+
+def test_trim_redistribute_infeasible_bounds_refuse_upfront(spark):
+    from data_integration_est_spark.kernels.rake import (
+        trim_weights_redistribute as trim_weights,
+    )
+
+    # mean weight 25 > cap 20: total cannot survive under the bounds
+    df = spark.createDataFrame(
+        [(i, 25.0 + (i % 3)) for i in range(30)], "id long, d double")
+    with pytest.raises(RakingError, match="INFEASIBLE"):
+        trim_weights(df, "d", upper=20.0)

@@ -50,6 +50,11 @@ columns — ~8G bytes/row, no shuffle, no materialization until an
 estimator consumes them; every ``*_rep`` estimator below is a single
 map-side-combined aggregation pass (or, for the quantile, the shared
 histogram-bisection passes) carrying all replicates side by side.
+Beyond the fixed kernels, :func:`with_replicates` runs ANY
+moment-expressible statistic (a function of weighted sums) for all
+replicates in the same one-pass shape — :func:`svycorr_rep` is its
+first client — and :func:`svyby_rep` extends the pass to unbounded
+DOMAIN counts with the estimates and SEs as pure column expressions.
 
 No reference-file citation: the reference constructs only ``ids=~1``
 linearization designs (``RegDI2.R:181-193``); this module is the

@@ -24,6 +24,7 @@ from pyspark.sql.types import (
 )
 
 from data_integration_est_spark.estimators import vectorized as V
+from data_integration_est_spark.util import local_df
 
 
 def _domain_sizes(
@@ -60,7 +61,7 @@ def _to_df(spark, domain_col: str, domain_type, est, sizes, round_to: int | None
         StructField("n_a", LongType(), True),
         StructField("n_b", LongType(), True),
     ])
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def regdi_by(

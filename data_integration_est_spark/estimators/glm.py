@@ -32,6 +32,7 @@ from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 from data_integration_est_spark.design import SurveyDesign
 from data_integration_est_spark.formula import Formula
 from data_integration_est_spark.kernels.linalg import fit_logistic, fit_ols, fit_poisson
+from data_integration_est_spark.util import local_df
 
 
 def _sandwich(A: np.ndarray, M: np.ndarray, factor: float = 1.0) -> np.ndarray:
@@ -285,5 +286,5 @@ def svyglm(
             StructField("se", DoubleType(), True),
         ]
     )
-    return spark.createDataFrame(sorted(out_rows, key=lambda t: tuple(
+    return local_df(spark, sorted(out_rows, key=lambda t: tuple(
         map(str, t[:len(group_cols)]))), schema)

@@ -29,6 +29,7 @@ from data_integration_est_spark.design import SurveyDesign
 from data_integration_est_spark.formula import Formula
 from data_integration_est_spark.kernels.linalg import calibrate, fit_logistic, fit_ols
 from data_integration_est_spark.kernels.stats import svymean
+from data_integration_est_spark.util import local_df
 
 
 def _fit_grouped(sample: DataFrame, formula: Formula, model_type: str, group_cols):
@@ -67,7 +68,7 @@ def _broadcast_scalars(
     schema = StructType(
         list(key_schema.fields) + [StructField(n, DoubleType(), False) for n in names]
     )
-    sdf = spark.createDataFrame(rows, schema)
+    sdf = local_df(spark, rows, schema)
     return df.join(F.broadcast(sdf), on=group_cols, how="inner")
 
 

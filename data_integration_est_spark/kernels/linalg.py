@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_integration_est_spark.kernels.gram import GramResult, dot_expr, gram_aggregate
+from data_integration_est_spark.util import local_df
 
 
 class CalibrationError(RuntimeError):
@@ -179,7 +180,7 @@ def _apply_grouped_linear_weights(
     schema = StructType(
         list(key_schema.fields) + [StructField(c, DoubleType(), False) for c in lam_cols]
     )
-    lam_df = spark.createDataFrame(rows, schema)
+    lam_df = local_df(spark, rows, schema)
     joined = df.join(F.broadcast(lam_df), on=group_cols, how="left")
     dot: Column = F.lit(0.0)
     for j, c in enumerate(x_cols):
@@ -238,7 +239,7 @@ class FitResult:
         schema = StructType(
             list(key_schema.fields) + [StructField(c, DoubleType(), False) for c in bcols]
         )
-        bdf = spark.createDataFrame(rows, schema)
+        bdf = local_df(spark, rows, schema)
         joined = df.join(F.broadcast(bdf), on=self.group_cols, how="left")
         xs = self.x_cols
         eta: Column = F.col(bcols[0]) if self.intercept else F.lit(0.0)
@@ -713,7 +714,7 @@ def _calibrate_bounded_grouped(
             + [StructField(cn, DoubleType(), False) for cn in lam_cols]
         )
         work = work.join(
-            F.broadcast(spark.createDataFrame(lam_rows, lam_schema)),
+            F.broadcast(local_df(spark, lam_rows, lam_schema)),
             on=group_cols, how="left",
         )
         joined_lam_cols += lam_cols
@@ -841,7 +842,7 @@ def calibrate_raking(
                 + [StructField(cn, DoubleType(), False) for cn in lam_cols]
             )
             return df.join(
-                F.broadcast(spark.createDataFrame(lam_rows, schema)),
+                F.broadcast(local_df(spark, lam_rows, schema)),
                 on=group_cols, how="left",
             )
 
@@ -1023,7 +1024,7 @@ def calibrate_logit(
                 + [StructField(cn, DoubleType(), False) for cn in lam_cols]
             )
             return df.join(
-                F.broadcast(spark.createDataFrame(lam_rows, schema)),
+                F.broadcast(local_df(spark, lam_rows, schema)),
                 on=group_cols, how="left",
             )
 

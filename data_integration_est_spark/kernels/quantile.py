@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from data_integration_est_spark.design import SurveyDesign
+from data_integration_est_spark.util import local_df
 
 
 def _solve_exact(
@@ -74,7 +75,7 @@ def _solve_exact(
 
     def _bounds_df(entries: dict) -> DataFrame:
         rows = [k[:-1] + (k[-1], s["lo"], s["hi"]) for k, s in entries.items()]
-        return spark.createDataFrame(rows, bounds_schema)
+        return local_df(spark, rows, bounds_schema)
 
     join_on = group_cols if group_cols else None
 
@@ -263,7 +264,7 @@ def svyquantile(
                     StructField("quantile", DoubleType(), True),
                 ]
             )
-            return spark.createDataFrame(sorted(out_rows), out_schema)
+            return local_df(spark, sorted(out_rows), out_schema)
 
         # --- Woodruff CI -------------------------------------------------
         # one pass for the indicator moments at each point quantile:
@@ -278,7 +279,7 @@ def svyquantile(
             ]
         )
         q_rows = [k[:-1] + (k[-1], point[k]) for k in state]
-        qdf = spark.createDataFrame(q_rows, q_schema)
+        qdf = local_df(spark, q_rows, q_schema)
         join_on = group_cols if group_cols else None
         joined = (
             base.join(F.broadcast(qdf), on=join_on, how="inner")
@@ -463,7 +464,7 @@ def svyquantile(
                 StructField("ci_u", DoubleType(), True),
             ]
         )
-        return spark.createDataFrame(sorted(out_rows), out_schema)
+        return local_df(spark, sorted(out_rows), out_schema)
     finally:
         base.unpersist()
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from data_integration_est_spark.util import local_df
 
 # Poisson(1) inverse CDF over an integer uniform mod the prime P:
 # thresholds are round(P(X<=k) * P) — exact integer comparisons, so any
@@ -398,7 +399,7 @@ def brr_mean(
         StructField("n_replicates", LongType(), False),
         StructField("n_strata", LongType(), False),
     ])
-    return df.sparkSession.createDataFrame(out_rows, schema)
+    return local_df(df.sparkSession, out_rows, schema)
 
 
 def jackknife_psu_calibrated_mean(
@@ -543,6 +544,6 @@ def jackknife_psu_calibrated_mean(
         StructField("se_jk", DoubleType(), True),
         StructField("n_groups", LongType(), False),
     ])
-    return df.sparkSession.createDataFrame(
+    return local_df(df.sparkSession, 
         [(round(float(theta), 6), round(float(v) ** 0.5, 6), G)], schema
     )

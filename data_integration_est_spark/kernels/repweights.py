@@ -72,6 +72,7 @@ from pyspark.sql.types import DoubleType, LongType, StringType, StructField, Str
 
 from data_integration_est_spark.design import SurveyDesign
 from data_integration_est_spark.kernels.linalg import _solve_stacked
+from data_integration_est_spark.util import local_df
 
 
 @dataclass
@@ -248,7 +249,7 @@ def _dagjk_design(
             (h,) + tuple(float(scale[hidx[h], g]) for g in range(G))
             for h in strata
         ]
-        sdf = spark.createDataFrame(rows, schema)
+        sdf = local_df(spark, rows, schema)
         out = df.join(F.broadcast(sdf), on=strat, how="left")
         sc_of = [F.col(f"__sc_{g}__") for g in range(G)]
     else:
@@ -359,7 +360,7 @@ def _brr_design(
     schema = StructType(list(key_schema) + [
         StructField("__hcolmask__", LongType(), False)
     ])
-    hdf = spark.createDataFrame([(h, col_of[h]) for h in strata], schema)
+    hdf = local_df(spark, [(h, col_of[h]) for h in strata], schema)
     out = df.join(F.broadcast(hdf), on=strat, how="left")
     p01 = F.lit(1.0) - F.lit(2.0) * F.col(psu).cast("double")
     rep_cols = [f"{prefix}{r}__" for r in range(R)]
@@ -388,7 +389,7 @@ def _one_row(spark, fields: list[tuple], values: tuple) -> DataFrame:
     schema = StructType([
         StructField(n, t, True) for n, t in fields
     ])
-    return spark.createDataFrame([values], schema)
+    return local_df(spark, [values], schema)
 
 
 def _round6(v):
@@ -707,7 +708,7 @@ def _solve_quantiles_arr(
 
     def _joined(entries: dict) -> DataFrame:
         rows = [(si, s["rep"], s["lo"], s["hi"]) for si, s in entries.items()]
-        b = spark.createDataFrame(rows, bounds_schema)
+        b = local_df(spark, rows, bounds_schema)
         return base.crossJoin(F.broadcast(b))
 
     wsel = F.element_at(F.col("__wa__"), (F.col("__rep__") + 1).cast("int"))
@@ -848,7 +849,7 @@ def svyquantile_rep(
             StructField("se", DoubleType(), True),
             StructField("n_reps", LongType(), False),
         ])
-        return spark.createDataFrame(sorted(out_rows), schema)
+        return local_df(spark, sorted(out_rows), schema)
     finally:
         base.unpersist()
 
@@ -916,4 +917,4 @@ def svyglm_rep(
         StructField("coef", DoubleType(), True),
         StructField("se", DoubleType(), True),
     ])
-    return src.sparkSession.createDataFrame(rows, schema)
+    return local_df(src.sparkSession, rows, schema)

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from data_integration_est_spark.design import SurveyDesign
 from data_integration_est_spark.kernels.linalg import _solve_stacked
+from data_integration_est_spark.util import local_df
 
 
 @dataclass
@@ -1377,7 +1378,7 @@ def svyciprop(
         ]
     )
     spark = design.df.sparkSession
-    return spark.createDataFrame(sorted(out, key=lambda t: tuple(map(str, t[:len(group_cols)]))), schema)
+    return local_df(spark, sorted(out, key=lambda t: tuple(map(str, t[:len(group_cols)]))), schema)
 
 
 def svyby(
@@ -1441,7 +1442,7 @@ def svyby(
         for r in rows
     ]
     spark = design.df.sparkSession
-    return spark.createDataFrame(
+    return local_df(spark, 
         sorted(out, key=lambda t: tuple(map(str, t[: len(group_cols)]))),
         schema,
     )
@@ -1757,7 +1758,7 @@ def pairwise_corr(
             StructField("n", LongType(), False),
         ]
     )
-    return df.sparkSession.createDataFrame(
+    return local_df(df.sparkSession, 
         sorted(rows, key=lambda t: tuple(map(str, t))), schema
     )
 

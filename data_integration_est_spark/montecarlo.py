@@ -31,6 +31,7 @@ from pyspark.sql.types import (
 
 from data_integration_est_spark import rng, sampling
 from data_integration_est_spark.estimators import vectorized as V
+from data_integration_est_spark.util import local_df
 
 Y_TRUE = 3.0  # the S1/S3 population mean (``nb[4]:9``)
 
@@ -101,7 +102,7 @@ def nmar_grid_population(
         out_col="muestra_A", tag="A", stream=stream,
     )
 
-    gamma_df = spark.createDataFrame(
+    gamma_df = local_df(spark, 
         [(float(g),) for g in gammas],
         StructType([StructField("gamma", DoubleType(), False)]),
     )
@@ -326,7 +327,7 @@ def stratified_grid_population(
             (int(r["sim_id"]), int(r["stratum"]), n_Ah,
              float(r["N_h"]) / max(n_Ah, 1))
         )
-    alloc = spark.createDataFrame(
+    alloc = local_df(spark, 
         alloc_rows,
         StructType([
             StructField("sim_id", LongType(), False),
@@ -358,7 +359,7 @@ def stratified_grid_population(
     scale_rows = [
         (int(s), float(n_B_total) / max(nb, 1)) for s, nb in got.items()
     ]
-    scale_df = spark.createDataFrame(
+    scale_df = local_df(spark, 
         scale_rows,
         StructType([StructField("sim_id", LongType(), False),
                     StructField("__scale__", DoubleType(), False)]),
@@ -516,7 +517,7 @@ def nmar_v2_grid_population(
         base, key_cols=keys, group_cols=["sim_id"], n=size_a, seed=seed,
         out_col="muestra_A", tag="A", stream=stream,
     )
-    gamma_df = spark.createDataFrame(
+    gamma_df = local_df(spark, 
         [(float(g),) for g in gammas],
         StructType([StructField("gamma", DoubleType(), False)]),
     )
@@ -635,7 +636,7 @@ def run_nmar_v2_study(
         (sim_id, gamma, *[vals.get(c) for c in value_cols + r2_cols])
         for (sim_id, gamma), vals in sorted(cells.items())
     ]
-    wide = spark.createDataFrame(rows, schema)
+    wide = local_df(spark, rows, schema)
 
     # nb[40]: bias_<col> = <col> - 3 for every mean_ column
     wide = mutate_across(
@@ -726,7 +727,7 @@ def _summarize(
         for name, cells in results.items()
         for key, (est, se) in cells.items()
     ]
-    estimates = spark.createDataFrame(rows, est_schema)
+    estimates = local_df(spark, rows, est_schema)
 
     # O3: bias = mean(est - y_true), SE = sd(est), RMSE = sqrt(bias^2 + se^2)
     # (``nb[4]:198-228``, ``nb[23]:113-127``)
@@ -916,11 +917,11 @@ def run_deterministic_study(
         F.when(price > 250000, 1.0).otherwise(0.0).alias("x2_i"),
     )
     y_true = float(base.agg(F.avg("y_i")).collect()[0][0])
-    sims = spark.createDataFrame(
+    sims = local_df(spark, 
         [(s,) for s in range(1, n_sim + 1)],
         StructType([StructField("sim_id", LongType(), False)]),
     )
-    gamma_df = spark.createDataFrame(
+    gamma_df = local_df(spark, 
         [(float(g),) for g in gammas],
         StructType([StructField("gamma", DoubleType(), False)]),
     )

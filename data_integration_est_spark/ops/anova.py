@@ -25,6 +25,7 @@ from pyspark.sql.types import (
 )
 
 from data_integration_est_spark.kernels.gram import gram_aggregate
+from data_integration_est_spark.util import local_df
 
 
 def _betacf(a: float, b: float, x: float, max_iter: int = 200, eps: float = 3e-12) -> float:
@@ -200,4 +201,4 @@ def anova_type1(
         StructField("f_value", DoubleType(), True),
         StructField("p_value", DoubleType(), True),
     ])
-    return df.sparkSession.createDataFrame(out, schema)
+    return local_df(df.sparkSession, out, schema)

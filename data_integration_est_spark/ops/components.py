@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from data_integration_est_spark.util import local_df
 
 
 def _driver_union_find(rows, vertex_type):
@@ -116,7 +117,7 @@ def connected_components(
             StructField("vertex", vtype, False),
             StructField("component", vtype, False),
         ])
-        return edges.sparkSession.createDataFrame(sorted(labels_rows), schema)
+        return local_df(edges.sparkSession, sorted(labels_rows), schema)
     default_parts = sym.rdd.getNumPartitions()
     parts = max(1, min(default_parts, n_edges // edges_per_partition + 1))
     if parts < default_parts:

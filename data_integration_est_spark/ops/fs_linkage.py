@@ -37,6 +37,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from data_integration_est_spark.util import local_df
 
 
 @dataclass(frozen=True)
@@ -66,7 +67,7 @@ class FSModel:
             for pat in self.patterns
         ]
         cols = list(self.agree_cols) + ["n_pairs", "posterior", "log2_weight"]
-        return spark.createDataFrame(rows, cols)
+        return local_df(spark, rows, cols)
 
 
 def _em_on_counts(

@@ -29,6 +29,8 @@ from pyspark.sql.types import (
     StructField, StructType, TimestampType,
 )
 
+from data_integration_est_spark.util import local_df
+
 
 def _kind(dtype) -> str:
     if isinstance(dtype, NumericType):
@@ -139,4 +141,4 @@ def profile(
         StructField("top_value", StringType()),
         StructField("top_count", LongType()),
     ])
-    return df.sparkSession.createDataFrame(out_rows, schema)
+    return local_df(df.sparkSession, out_rows, schema)

@@ -30,6 +30,8 @@ from pyspark.sql.types import (
     ArrayType, DoubleType, LongType, StringType, StructField, StructType,
 )
 
+from data_integration_est_spark.util import local_df
+
 
 def _out_schema(qs: tuple) -> StructType:
     return StructType(
@@ -154,4 +156,4 @@ def quantile_monitor_batch(
     for k in sorted(by_key):
         n, ests = _read_off(by_key[k], lo, width, bins, tuple(qs))
         rows.append((k, n, *ests))
-    return df.sparkSession.createDataFrame(rows, _out_schema(tuple(qs)))
+    return local_df(df.sparkSession, rows, _out_schema(tuple(qs)))

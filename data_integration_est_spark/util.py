@@ -143,6 +143,47 @@ def check_probe_params(sketch, column: str, expect: dict, op: str) -> None:
         )
 
 
+def local_df(spark: SparkSession, rows, schema):
+    """Driver-literal DataFrame WITHOUT the Python-RDD scan.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the rows into a
+    PYTHON RDD with ``defaultParallelism`` slices: every evaluation of
+    the frame — each broadcast-join pass of an iterative kernel, each
+    ``collect()`` of a literal result row — launches that many Python
+    worker tasks (measured ~0.6 s per broadcast pass at local[32], and
+    ~15 s for a CartesianProduct of two such 1-row frames: 32 x 32
+    Python tasks).  Routing the same rows through ONE Arrow batch
+    instead yields a single-partition JVM-backed frame whose evaluation
+    never touches a Python worker — identical values, identical schema
+    (field nullability copied from ``schema``).
+
+    Falls back to ``createDataFrame(rows, schema)`` for types the Arrow
+    writer cannot take (or on any conversion error) — correctness never
+    depends on the fast path.
+    """
+    rows = list(rows)
+    try:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(schema)
+        cols = [
+            pa.array([r[i] for r in rows], type=f.type)
+            for i, f in enumerate(arrow_schema)
+        ]
+        table = pa.Table.from_arrays(cols, schema=pa.schema(
+            [pa.field(f.name, f.type, nullable=schema[i].nullable)
+             for i, f in enumerate(arrow_schema)]
+        ))
+        out = spark.createDataFrame(table)
+        # the session slices even a tiny table into defaultParallelism
+        # JVM partitions; one partition keeps every re-evaluation (each
+        # broadcast pass of an iterative kernel) a single cheap task
+        return out.coalesce(1) if len(rows) <= 4096 else out
+    except Exception:  # noqa: BLE001 — exotic types / Arrow refusals
+        return spark.createDataFrame(rows, schema)
+
+
 # Frames persisted by builders that return LAZY results cannot be
 # unpersisted at return time — pre-r12 each call leaked one cache block
 # for the life of the session, and a long multi-query session (the

@@ -616,7 +616,11 @@ def clw_grouped(
         d = "__dA__"
     # n_iter + 3 passes re-read this small (A ∪ B) frame: cache it so
     # each Newton step scans ~|A|+|B| rows, not the full population
-    base = base.persist()
+    # (data-proportional partition count: the Newton passes pay a fixed
+    # per-task floor on near-empty partitions otherwise)
+    from data_integration_est_spark.util import adaptive_coalesce
+
+    base = adaptive_coalesce(base).persist()
     # the cached (A ∪ B) frame must be released even when a solve
     # or collect raises mid-battery (else repeated failing MC runs
     # accumulate leaked executor cache blocks)

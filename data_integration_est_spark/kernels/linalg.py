@@ -372,6 +372,54 @@ def _fit_irls(
     needed = list(dict.fromkeys(xs + [y_col] + ([weight_col] if weight_col else [])))
     work = work.na.drop(subset=needed)
 
+    # IRLS re-scans its input once per Newton pass (plus the key-freeze
+    # Gram below) — up to max_iter + 1 evaluations of the full lineage.
+    # When that lineage is NOT already cache-fed (a parquet scan with
+    # derived columns, a fold explosion), persist the narrow projection
+    # the passes actually read (guide: cache iterative inputs); when the
+    # input already reads from an InMemoryRelation (the MC grid pop, a
+    # caller's persisted frame) a second cache would only add build cost.
+    narrow = list(dict.fromkeys(group_cols + needed))
+    persisted = None
+    if max_iter > 1 and not _plan_uses_cache(df):
+        from data_integration_est_spark.util import adaptive_coalesce
+
+        work = adaptive_coalesce(work.select(*narrow)).persist()
+        persisted = work
+
+    try:
+        return _fit_irls_passes(
+            work, y_col, x_cols, xs, weight_col, intercept, group_cols,
+            max_iter, tol, family,
+        )
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
+
+
+def _plan_uses_cache(df: DataFrame) -> bool:
+    """True when any subtree of ``df``'s plan is served by a cached
+    (InMemoryRelation) entry — a driver-side plan inspection only."""
+    try:
+        return "InMemoryRelation" in (
+            df._jdf.queryExecution().withCachedData().toString()
+        )
+    except Exception:  # noqa: BLE001 — inspection is best-effort
+        return False
+
+
+def _fit_irls_passes(
+    work: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    xs: list[str],
+    weight_col: str | None,
+    intercept: bool,
+    group_cols: list[str],
+    max_iter: int,
+    tol: float,
+    family: str,
+) -> FitResult:
     # freeze group keys/order from a first unweighted Gram pass
     g0 = gram_aggregate(work, xs, weight_col=weight_col, group_cols=group_cols)
     keys, ng, k = g0.keys, len(g0.keys), len(xs)

@@ -226,7 +226,9 @@ def svyquantile(
         *([F.col(carry_fpc).cast("double").alias("__fpc__")]
           if carry_fpc else []),
     )
-    base = base.persist()
+    from data_integration_est_spark.util import adaptive_coalesce
+
+    base = adaptive_coalesce(base).persist()
     try:
         stats = (
             base.groupBy(*group_cols)

@@ -1238,14 +1238,24 @@ def svychisq_rao_scott(
         # aggregation over DISTINCT first-stage units yields n_h and the
         # per-replicate multiplicity totals M_hb; replicate b's stratum-h
         # cells are then scaled by n_h / M_hb on the driver
-        units = base.select("__hh__", "__id__").distinct()
-        u1 = units.selectExpr("__hh__", *h1)
-        u2 = u1.selectExpr("__hh__", *h2)
-        u3 = u2.selectExpr("__hh__", *ms)
-        uaggs = [F.expr("count(*)").alias("n_h")] + [
-            F.expr(f"sum(__m{b}__)").alias(f"M_{b}") for b in range(B)
-        ]
-        urows = u3.groupBy("__hh__").agg(*uaggs).collect()
+        # persist-split (r16 optimization round): fusing the distinct's
+        # final HashAggregate, the 3-layer multiplicity chain (B x ~12
+        # pmod/CAST expressions), and the partial aggregation into one
+        # stage made that stage fall off the fast codegen path (measured
+        # 5.0 s for 100k units at B=32); materializing the tiny distinct
+        # unit table first puts the chain in its own scan-shaped stage
+        # (1.2 s warm, same values)
+        units = base.select("__hh__", "__id__").distinct().persist()
+        try:
+            u1 = units.selectExpr("__hh__", *h1)
+            u2 = u1.selectExpr("__hh__", *h2)
+            u3 = u2.selectExpr("__hh__", *ms)
+            uaggs = [F.expr("count(*)").alias("n_h")] + [
+                F.expr(f"sum(__m{b}__)").alias(f"M_{b}") for b in range(B)
+            ]
+            urows = u3.groupBy("__hh__").agg(*uaggs).collect()
+        finally:
+            units.unpersist()
         hvals = sorted({r["__hh__"] for r in urows}, key=str)
         hidx = {h: i for i, h in enumerate(hvals)}
         H = len(hvals)

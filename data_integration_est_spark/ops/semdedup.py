@@ -60,11 +60,11 @@ def assign_clusters(
     quantizer k — the r10 probe's k=256 x dim=64 overflowed janino's
     compiler stack) assignment switches to the Arrow matmul path."""
     from data_integration_est_spark.ops.similarity import (
-        _CODEGEN_CENTROID_TERMS, assign_nearest_arrow,
+        _use_arrow_assign, assign_nearest_arrow,
     )
 
     k = len(centroids)
-    if k * len(centroids[0]) > _CODEGEN_CENTROID_TERMS:
+    if _use_arrow_assign(df, k * len(centroids[0])):
         out = assign_nearest_arrow(df, centroids, vec_col, out_dot="__m__")
         return (
             out.withColumn("cluster", F.col("__c__").cast("int"))

@@ -279,6 +279,34 @@ def _centroid_sims_sql(vec_name: str, centroids: list[list[float]]) -> str:
 # hundreds-to-thousands).
 _CODEGEN_CENTROID_TERMS = 4096
 
+# Below this optimizer-estimated input size the Arrow twin wins even
+# when the expression WOULD compile: every kmeans/assignment pass pays
+# a fresh ~1-3 s of driver analysis + compile for a new k x dim literal
+# tree (new centroid literals each iteration — the codegen cache never
+# hits), while pushing half a GB through the Arrow boundary costs well
+# under a second at local[32].  Above it, whole-stage codegen amortizes
+# its compile over the scan — the 100 TB regime keeps the JVM path.
+# (r16 optimization round; the ivf/pq recall rows measured 9-25 s of
+# pure per-pass compile on a 2,000-row corpus before this gate.)
+_ARROW_SMALL_PLAN_BYTES = 512 * 1024 * 1024
+
+
+def _use_arrow_assign(df: DataFrame, n_terms: int) -> bool:
+    """Route a nearest-centroid/scoring pass to the Arrow twin when the
+    literal expression would not compile (``n_terms`` past the janino
+    limit) OR the input is small enough that per-pass compile dominates
+    (optimizer size estimate — a driver-side plan inspection only).
+    Both paths are bit-exact twins (left-to-right IEEE accumulation,
+    first-max ties; pinned by tests/test_similarity.py)."""
+    if n_terms > _CODEGEN_CENTROID_TERMS:
+        return True
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — stats unavailable: keep codegen
+        return False
+    return size < _ARROW_SMALL_PLAN_BYTES
+
 
 def assign_nearest_arrow(
     df: DataFrame,
@@ -353,7 +381,7 @@ def _with_cluster(
     """Attach the nearest-centroid index as column ``out`` — codegen
     expression below ``_CODEGEN_CENTROID_TERMS`` literal terms, Arrow
     matmul above (the large-k IVF/coarse-quantizer regime)."""
-    if len(centroids) * len(centroids[0]) > _CODEGEN_CENTROID_TERMS:
+    if _use_arrow_assign(df, len(centroids) * len(centroids[0])):
         return assign_nearest_arrow(df, centroids, vec_col, out_c=out)
     return df.withColumn(out, _nearest_centroid(vec_col, centroids))
 
@@ -422,7 +450,7 @@ def kmeans_parallel_init(
     )
     row_norm = F.greatest(F.expr(f"sqrt({sq})"), F.lit(1e-12))
     for r in range(rounds):
-        if len(centers) * dim > _CODEGEN_CENTROID_TERMS:
+        if _use_arrow_assign(src, len(centers) * dim):
             d = assign_nearest_arrow(
                 src, centers, vec_col, out_dot="__m__"
             ).withColumn(
@@ -455,7 +483,7 @@ def kmeans_parallel_init(
 
     # weight candidates by attraction counts (one pass), then reduce to k
     # with a weighted Lloyd on the driver
-    if len(centers) * dim > _CODEGEN_CENTROID_TERMS:
+    if _use_arrow_assign(src, len(centers) * dim):
         assign = assign_nearest_arrow(src, centers, vec_col).select("__c__")
     else:
         assign = src.select(_nearest_centroid(vec_col, centers).alias("__c__"))
@@ -537,7 +565,7 @@ def kmeans_centroids(
 
     for _ in range(n_iter):
         base = spread(corpus)
-        if len(centroids) * dim > _CODEGEN_CENTROID_TERMS:
+        if _use_arrow_assign(base, len(centroids) * dim):
             assigned = assign_nearest_arrow(
                 base.select(F.col(vec_col)), centroids, vec_col
             ).select("__c__", F.col(vec_col).alias("__v__"))
@@ -665,7 +693,7 @@ def _query_probes(
     HIGHER cluster id first — reverse(array_sort) on (s, c) pairs; the
     large-k Arrow path replicates it with a per-row lexsort."""
     k = len(centroids)
-    if k * len(centroids[0]) > _CODEGEN_CENTROID_TERMS:
+    if _use_arrow_assign(queries, k * len(centroids[0])):
         import pandas as pd  # noqa: F401
         from pyspark.sql.types import IntegerType, StructField, StructType
 

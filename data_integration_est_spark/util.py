@@ -143,6 +143,35 @@ def check_probe_params(sketch, column: str, expect: dict, op: str) -> None:
         )
 
 
+def adaptive_coalesce(df, bytes_per_partition: int = 32 * 1024 * 1024):
+    """Coalesce a frame that is about to be persisted and re-scanned by
+    an iterative kernel to a DATA-PROPORTIONAL partition count.
+
+    Every post-shuffle/persisted frame carries defaultParallelism
+    partitions regardless of size, and every pass over it then pays a
+    ~0.2 s fixed cost at local[32] just scheduling near-empty tasks
+    (measured: the same tiny groupBy-agg runs 0.26 s on 32 partitions,
+    0.07 s on 1).  Targeting ~32 MB per partition (capped at
+    defaultParallelism, floored at 1) removes that floor for small
+    inputs while leaving genuinely large inputs at full parallelism —
+    the estimate comes from the optimizer's plan statistics, so at
+    cluster scale this is a NO-OP (driver-side inspection only, no
+    shuffle: coalesce only narrows).
+    """
+    import math
+
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+        cap = df.sparkSession.sparkContext.defaultParallelism
+        target = max(1, min(cap, math.ceil(size / bytes_per_partition)))
+        if df.rdd.getNumPartitions() > target * 2:
+            return df.coalesce(target)
+    except Exception:  # noqa: BLE001 — inspection is best-effort
+        pass
+    return df
+
+
 def local_df(spark: SparkSession, rows, schema):
     """Driver-literal DataFrame WITHOUT the Python-RDD scan.
 

@@ -31,7 +31,7 @@ from pyspark.sql.types import (
 
 from data_integration_est_spark import rng, sampling
 from data_integration_est_spark.estimators import vectorized as V
-from data_integration_est_spark.util import local_df
+from data_integration_est_spark.util import adaptive_coalesce, local_df
 
 Y_TRUE = 3.0  # the S1/S3 population mean (``nb[4]:9``)
 
@@ -167,8 +167,10 @@ def run_nmar_study(
     pop = nmar_grid_population(
         spark, N=N, n_sim=n_sim, gammas=gammas, size_a=size_a, size_b=size_b,
         seed=seed,
-    ).persist()
-    pop.count()  # materialize once before the concurrent battery
+    )
+    pop_cache = pop.persist()
+    pop_cache.count()
+    pop = adaptive_coalesce(pop_cache)  # materialize once before the concurrent battery
     g = ["gamma", "sim_id"]
     diags: dict[str, dict] = {"PC_DR": {}, "RegDI_DR": {}, "CLW": {}}
     try:
@@ -193,7 +195,7 @@ def run_nmar_study(
             ),
         })
     finally:
-        pop.unpersist()
+        pop_cache.unpersist()
     clw = results.pop("_CLW")
     results["CLW_IPW"] = {k: (v[0], v[1]) for k, v in clw.items()}
     results["CLW_DR"] = {k: (v[2], v[3]) for k, v in clw.items()}
@@ -229,8 +231,10 @@ def run_contaminated_study(
     pop = nmar_grid_population(
         spark, N=N, n_sim=n_sim, gammas=gammas, size_a=size_a, size_b=size_b,
         seed=seed,
-    ).persist()
-    pop.count()  # materialize once before the concurrent battery
+    )
+    pop_cache = pop.persist()
+    pop_cache.count()
+    pop = adaptive_coalesce(pop_cache)  # materialize once before the concurrent battery
     g = ["gamma", "sim_id"]
     diags: dict[str, dict] = {"RegDI_C2": {}, "PC_S2": {}}
     try:
@@ -249,7 +253,7 @@ def run_contaminated_study(
             ),
         })
     finally:
-        pop.unpersist()
+        pop_cache.unpersist()
     tilde_true = 2.0 + 0.9 * (y_true - 3.0)
     return _summarize(
         spark, results, y_true, y_true_by_est={"RegDI_C2": tilde_true},
@@ -412,8 +416,10 @@ def run_stratified_study(
     pop = stratified_grid_population(
         spark, N=N, n_sim=n_sim, n_A_total=n_A_total, n_B_total=n_B_total,
         seed=seed,
-    ).persist()
-    pop.count()  # materialize once before the concurrent battery
+    )
+    pop_cache = pop.persist()
+    pop_cache.count()
+    pop = adaptive_coalesce(pop_cache)  # materialize once before the concurrent battery
     g = ["sim_id"]
     try:
         results: dict[str, dict[tuple, tuple]] = _run_battery({
@@ -444,7 +450,7 @@ def run_stratified_study(
             ),
         })
     finally:
-        pop.unpersist()
+        pop_cache.unpersist()
     # gamma is not a dimension here; reuse the (gamma, sim) summary shape
     # with a constant 0.0 gamma slot
     keyed = {
@@ -582,9 +588,10 @@ def run_nmar_v2_study(
             ).cast("double"),
         )
         .drop("__ycol__")
-        .persist()
     )
-    long.count()  # materialize once before the concurrent battery
+    long_cache = long.persist()
+    long_cache.count()
+    long = adaptive_coalesce(long_cache)  # materialize once before the concurrent battery
     g = ["gamma", "sd", "sim_id"]
     A, B = "muestra_A", "muestra_B"
     try:
@@ -607,7 +614,7 @@ def run_nmar_v2_study(
             ),
         })
     finally:
-        long.unpersist()
+        long_cache.unpersist()
 
     # the reference's wide CSV shape: one row per (sim, gamma), one
     # mean_<est>_sd_<tag> column per estimator x sigma, plus R2_... for
@@ -775,8 +782,10 @@ def run_nmar_oracle_slice(
     pop = nmar_grid_population(
         spark, N=N, n_sim=n_sim, gammas=gammas, size_a=size_a,
         size_b=size_b, seed=seed, stream="md5",
-    ).persist()
-    pop.count()
+    )
+    pop_cache = pop.persist()
+    pop_cache.count()
+    pop = adaptive_coalesce(pop_cache)
     g = ["gamma", "sim_id"]
     try:
         results: dict[str, dict[tuple, tuple]] = _run_battery({
@@ -800,7 +809,7 @@ def run_nmar_oracle_slice(
             ),
         })
     finally:
-        pop.unpersist()
+        pop_cache.unpersist()
     return _summarize(
         spark, results, y_true,
         y_true_by_est={"Mean_S_B_tilde": 2.0},
@@ -836,8 +845,10 @@ def run_stratified_oracle_slice(
     pop = stratified_grid_population(
         spark, N=N, n_sim=n_sim, n_A_total=n_A_total, n_B_total=n_B_total,
         seed=seed, stream="md5",
-    ).persist()
-    pop.count()  # materialize once before the concurrent battery
+    )
+    pop_cache = pop.persist()
+    pop_cache.count()
+    pop = adaptive_coalesce(pop_cache)  # materialize once before the concurrent battery
     g = ["sim_id"]
     try:
         results: dict[str, dict[tuple, tuple]] = _run_battery({
@@ -868,7 +879,7 @@ def run_stratified_oracle_slice(
             ),
         })
     finally:
-        pop.unpersist()
+        pop_cache.unpersist()
     # gamma is not a dimension here; reuse the (gamma, sim) summary shape
     keyed = {
         name: {(0.0, key[0]): val for key, val in cells.items()}
@@ -943,9 +954,10 @@ def run_deterministic_study(
                 u < F.lit(0.15) + F.lit(0.25) * F.col("gamma") * F.col("x2_i"), 1
             ).otherwise(0),
         )
-        .persist()
     )
-    grid.count()
+    grid_cache = grid.persist()
+    grid_cache.count()
+    grid = adaptive_coalesce(grid_cache)
     g = ["gamma", "sim_id"]
     try:
         results: dict[str, dict[tuple, tuple]] = _run_battery({
@@ -971,5 +983,5 @@ def run_deterministic_study(
             ),
         })
     finally:
-        grid.unpersist()
+        grid_cache.unpersist()
     return _summarize(spark, results, y_true)

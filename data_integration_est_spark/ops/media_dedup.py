@@ -477,14 +477,15 @@ def synth_wav_variant(
     ``synth_ppm_variant``)."""
     import struct
 
-    data = b"".join(
-        struct.pack(
-            "<h",
-            ((group * 7 + i * 13) % 2001) - 1000
-            + (50 * variant if i % 37 == 0 else 0),
-        )
-        for i in range(n)
+    # vectorized (r16 optimization round): bit-identical to the original
+    # per-sample struct.pack loop — little-endian int16 samples, values
+    # in [-1000, 2350] so no overflow; the Python loop was the dominant
+    # cost of the media synthesis stage at bench scale (guide §4.2)
+    i = np.arange(n, dtype=np.int64)
+    samples = ((group * 7 + i * 13) % 2001) - 1000 + np.where(
+        i % 37 == 0, 50 * variant, 0
     )
+    data = samples.astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
     chunks = (
         b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -505,10 +506,13 @@ def synth_ppm_variant(
     recompute the hash exactly."""
     header = f"P6\n{w} {h}\n255\n".encode()
     n = w * h * 3
-    return header + bytes(
-        ((group * 37 + j) % 199 + (24 * variant if j % 97 == 0 else 0)) % 256
-        for j in range(n)
-    )
+    # vectorized (r16 optimization round): bit-identical to the original
+    # per-byte generator — all intermediates are non-negative so numpy
+    # and Python % agree (guide §4.2)
+    j = np.arange(n, dtype=np.int64)
+    vals = ((group * 37 + j) % 199
+            + np.where(j % 97 == 0, 24 * variant, 0)) % 256
+    return header + vals.astype(np.uint8).tobytes()
 
 
 def media_dedup_corpus(
@@ -575,7 +579,15 @@ def media_dedup_corpus(
         .filter(F.col("__rn__") == 1)
         .drop("__fp__", "__rn__")
     )
-    work = bounded_persist(work)
+    # the survivors are re-scanned by one decode pass per modality plus
+    # the final keep-rep join; give the persisted frame a
+    # data-proportional partition count so small survivor sets (exact
+    # collapse can shrink the corpus by orders of magnitude) don't pay
+    # a near-empty-task floor per pass (r16 optimization round, guide
+    # §2/§6 — no-op for genuinely large survivor sets)
+    from data_integration_est_spark.util import adaptive_coalesce
+
+    work = bounded_persist(adaptive_coalesce(work))
 
     kinds = F.col(kind_col)
     img_pairs = hamming_neardup_pairs(

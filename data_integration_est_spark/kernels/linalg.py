@@ -382,9 +382,27 @@ def _fit_irls(
     narrow = list(dict.fromkeys(group_cols + needed))
     persisted = None
     if max_iter > 1 and not _plan_uses_cache(df):
-        from data_integration_est_spark.util import adaptive_coalesce
+        # Size the cached frame's partition count from an ACTUAL row
+        # count, not the optimizer estimate (which under-reports
+        # fold-exploded lineages by 10x+ and would serialize every
+        # Newton pass onto one core — a small parquet file reads as ONE
+        # partition, and 25 Gram passes over 450k single-partition rows
+        # measured 2x the whole query's budget).  One extra evaluation
+        # of the narrow lineage for the count, amortized over the
+        # max_iter+1 passes it right-sizes; ~16k rows per task keeps
+        # passes compute-parallel without near-empty-task floors.
+        import math
 
-        work = adaptive_coalesce(work.select(*narrow)).persist()
+        work = work.select(*narrow)
+        n_rows = work.count()
+        sc = work.sparkSession.sparkContext
+        target = max(1, min(sc.defaultParallelism, math.ceil(n_rows / 16384)))
+        cur = work.rdd.getNumPartitions()
+        if cur > 2 * target:
+            work = work.coalesce(target)
+        elif cur < target:
+            work = work.repartition(target)
+        work = work.persist()
         persisted = work
 
     try:

@@ -602,6 +602,13 @@ def dedup_corpus(
         threshold=threshold, candidates=cand,
     )
     if assert_full_recall:
+        # two consumers read the verified pairs in this branch (the
+        # recall anti-join below and the component resolution at the
+        # end); persist the small pair list so the signature -> banded
+        # candidates -> Jaccard-verify chain runs once, not twice
+        from data_integration_est_spark.util import bounded_persist
+
+        pairs = bounded_persist(pairs.select("id_a", "id_b"))
         # count-based ground truth straight off the inverted index:
         # shared-gram counts ARE the intersection sizes (grams distinct
         # per doc), so jaccard = c / (|A| + |B| - c) with no pair-level

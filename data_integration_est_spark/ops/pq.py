@@ -302,6 +302,13 @@ def _encode_arrow(
         ArrayType, IntegerType, StructField, StructType,
     )
 
+    from data_integration_est_spark.util import adaptive_coalesce
+
+    # per-row encode: partition-count invariant, so narrow small inputs
+    # to a data-proportional partition count instead of paying one
+    # Python-worker task per near-empty partition (no-op at real scale)
+    work = adaptive_coalesce(work)
+
     m = len(codebooks)
     out_schema = StructType(
         list(work.schema.fields)
@@ -408,6 +415,15 @@ def pq_knn(
     # per query row, not per (query, corpus) pair
     q, score = pq_score_expr("__qv__", "pq_code", codebooks, q)
     q = q.drop("__qv__")
+    # materialize the LUT projection: left lazy, Catalyst inlines the
+    # m*k*d_sub unrolled dot-product tree into every downstream stage,
+    # whose generated method then exceeds janino's 64 KB limit and the
+    # whole pipeline silently falls back to interpreted evaluation
+    # (measured: 4.1 s -> 1.5 s for the composed IVFxPQ scoring stage).
+    # The persisted frame is |Q| rows of m*k doubles — query-side small.
+    from data_integration_est_spark.util import bounded_persist
+
+    q = bounded_persist(q)
     if candidates is not None:
         pairs = candidates.join(q, "query_id").join(enc, "neighbor_id")
     else:

@@ -336,6 +336,15 @@ def assign_nearest_arrow(
         DoubleType, IntegerType, StructField, StructType,
     )
 
+    # NOTE (r16): deliberately NO partition narrowing here even when the
+    # input is small.  This pass feeds the Lloyd/k-means|| SUM
+    # aggregations, and k-means is chaotically order-sensitive: changing
+    # the partition count reorders the float accumulation, a boundary
+    # vector flips cluster, and the drift AMPLIFIES per iteration until
+    # pinned recall booleans move (observed at sf0.1 — the gate hash
+    # flipped).  Per-row-consumer Arrow passes (_query_probes,
+    # _encode_arrow) narrow safely; this one must preserve the input
+    # partitioning bit-for-bit.
     C = np.asarray(centroids, dtype=np.float64)
     nrm = np.linalg.norm(C, axis=1, keepdims=True)
     nrm[nrm == 0] = 1.0
@@ -469,16 +478,23 @@ def kmeans_parallel_init(
                     F.lit(1.0) - F.expr(f"array_max({sims})") / row_norm,
                 ),
             )
-        total = d.agg(F.sum("__d__")).collect()[0][0] or 0.0
-        if total <= 0:
-            break  # every row coincides with a center already
-        u = _rng.uniform([id_col], seed, f"kmpar_{r}")
-        picked = (
-            d.withColumn("__p__", F.least(F.lit(1.0), F.lit(float(l)) * F.col("__d__") / F.lit(float(total))))
-            .filter(u < F.col("__p__"))
-            .select(vec_col)
-            .collect()
-        )
+        # two consumers (the total and the inclusion draw) read the
+        # scored frame; persist it so the assignment pass runs once per
+        # round, not twice (same values — the draw reads the cache)
+        d = d.persist()
+        try:
+            total = d.agg(F.sum("__d__")).collect()[0][0] or 0.0
+            if total <= 0:
+                break  # every row coincides with a center already
+            u = _rng.uniform([id_col], seed, f"kmpar_{r}")
+            picked = (
+                d.withColumn("__p__", F.least(F.lit(1.0), F.lit(float(l)) * F.col("__d__") / F.lit(float(total))))
+                .filter(u < F.col("__p__"))
+                .select(vec_col)
+                .collect()
+            )
+        finally:
+            d.unpersist()
         centers.extend([[float(v) for v in row[vec_col]] for row in picked])
 
     # weight candidates by attraction counts (one pass), then reduce to k
@@ -701,9 +717,13 @@ def _query_probes(
         nrm = np.linalg.norm(C, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
         Cn = C / nrm
-        src = queries.select(
+        from data_integration_est_spark.util import adaptive_coalesce
+
+        # same near-empty-task argument as assign_nearest_arrow: the
+        # Arrow probe pass runs on a small query frame
+        src = adaptive_coalesce(queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-        )
+        ))
         schema = StructType(
             list(src.schema.fields)
             + [StructField("__c__", IntegerType(), False)]

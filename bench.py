@@ -243,8 +243,16 @@ REPS_OVERRIDE = {"mc_grid_full": 1}
 # box was quiet; start/end disagreement means load arrived mid-run.
 SENTINEL_ROW = "deff_events"
 # quiet-box warm median at sf0.1, measured solo this session
-# (load avg 1.2 on 32 cores; see BASELINE.md "r14 sentinel protocol")
-SENTINEL_REF_SEC = 0.95
+# (load avg 1.2 on 32 cores; see BASELINE.md "r14 sentinel protocol").
+# r16 RE-PIN (old value 0.95): the r16 local_df optimization removed the
+# 32-Python-task collect from the sentinel row itself (its literal result
+# frame now materializes as one Arrow batch), so the row's intrinsic cost
+# dropped — quiet-box session-start median 0.75 s, drained end-of-suite
+# 0.37-0.45 s; the shift formula averages start and end, so the new
+# reference is their quiet-box midpoint.  Shifts in BENCH files from
+# BEFORE this commit compare against 0.95 (documented in
+# OPTIMIZATION_r16.md; the r16 before-baseline's 1.24 is on the old scale).
+SENTINEL_REF_SEC = 0.58
 
 
 def _sentinel_median(spark, fn, sf_dir: str, reps: int = 3) -> float:

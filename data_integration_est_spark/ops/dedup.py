@@ -477,15 +477,21 @@ def line_dedup(
     removed from EVERY document; remaining lines are reassembled in their
     original order.  Returns (id_col, out_col, n_lines, n_kept).
 
-    Physical shape (3 shuffles, all O(lines); 2 corpus explodes):
-    posexplode lines -> groupBy line-key with countDistinct(doc)
-    [map-side partial, projects only (key, doc)] -> LEFT join the flag
-    back on the line-key -> ONE groupBy doc that reassembles kept lines
-    (``collect_list`` skips the null-flagged boilerplate structs;
-    sort_array over (pos, line) — no window) and counts total/kept in
-    the same pass, so all-boilerplate docs stay present with empty
-    text.  Blank lines are kept verbatim (they carry formatting, and
-    counting them as boilerplate would strip every paragraph break).
+    Physical shape (all O(lines); line TEXT never crosses a shuffle —
+    r16, previously the kept text rode a flag join plus a
+    sort_array(collect_list) reassembly groupBy, i.e. the corpus
+    shuffled twice): explode (doc, line-key) pairs [narrow: the key is
+    a 64-bit hash under ``hash_lines``] -> groupBy line-key with
+    countDistinct(doc) -> join the boilerplate keys back to the narrow
+    key stream and collect the per-doc BAD-key set (small: only docs
+    containing boilerplate, only their boilerplate keys) -> LEFT join
+    that set to the original rows by doc id alone and cut the split
+    array with a codegen ``filter`` (removal is by line VALUE, so
+    membership of each line's key in the doc's bad set is exactly the
+    old flag; array order is the original line order).  Docs whose
+    every line is boilerplate stay present with empty text.  Blank
+    lines are kept verbatim (they carry formatting, and counting them
+    as boilerplate would strip every paragraph break).
 
     ``hash_lines=True`` (the 100 TB default) keys the count and join by
     ``xxhash64(line)`` so shuffle rows stay narrow (16 bytes vs the full
@@ -495,34 +501,53 @@ def line_dedup(
     oracle can replay it; equality of the two paths is pinned in
     ``tests/test_llm_pipeline_ops.py``.
     """
-    lines = df.select(
+    def lkey_of(line):
+        return F.xxhash64(line) if hash_lines else line
+
+    keys = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), line_sep, -1)).alias("pos", "line"),
-    )
-    key = F.xxhash64("line") if hash_lines else F.col("line")
-    lines = lines.withColumn("lkey", key)
+        F.explode(F.split(F.col(text_col), line_sep, -1)).alias("line"),
+    ).select(F.col(id_col), F.trim(F.col("line")).alias("__tl__"),
+             lkey_of(F.col("line")).alias("lkey"))
     boiler = (
-        lines.filter(F.trim(F.col("line")) != "")
+        keys.filter(F.col("__tl__") != "")
         .groupBy("lkey")
         .agg(F.count_distinct(F.col(id_col)).alias("df_"))
         .filter(F.col("df_") > max_doc_freq)
-        .select("lkey", F.lit(True).alias("__boiler__"))
+        .select("lkey")
     )
-    flagged = lines.join(boiler, "lkey", "left")
-    kept_struct = F.when(
-        F.col("__boiler__").isNull(), F.struct("pos", "line")
+    bad_per_doc = (
+        keys.join(boiler, "lkey")
+        .groupBy(id_col)
+        .agg(F.collect_set("lkey").alias("__bad__"))
     )
-    return flagged.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                # collect_list drops the NULLs the boilerplate rows map to
-                F.sort_array(F.collect_list(kept_struct)),
-                lambda s: s["line"],
-            ),
-            line_sep,
-        ).alias(out_col),
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.when(F.col("__boiler__").isNull(), 1).otherwise(0)).alias("n_kept"),
+    # a NULL text explodes to zero rows, so such docs were absent from
+    # the old groupBy output — keep that contract.  Staged selects keep
+    # the split / filter arrays single-evaluation (CollapseProject does
+    # not inline non-cheap aliases referenced more than once).
+    with_arr = (
+        df.filter(F.col(text_col).isNotNull())
+        .join(bad_per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__bad__"),
+            F.split(F.col(text_col), line_sep, -1).alias("__arr__"),
+        )
+    )
+    kept = F.when(F.col("__bad__").isNull(), F.col("__arr__")).otherwise(
+        F.filter(
+            "__arr__",
+            lambda ln: ~F.array_contains("__bad__", lkey_of(ln)),
+        )
+    )
+    with_kept = with_arr.select(
+        F.col(id_col), F.col("__arr__"), kept.alias("__kept__")
+    )
+    return with_kept.select(
+        F.col(id_col),
+        F.array_join("__kept__", line_sep).alias(out_col),
+        F.size("__arr__").cast("long").alias("n_lines"),
+        F.size("__kept__").cast("long").alias("n_kept"),
     )
 
 
@@ -688,11 +713,16 @@ def duplicated_span_dedup(
        only corpus-wide shuffle; map-side partial counts),
     3. duplicated starts -> maximal spans per doc via the classic
        gaps-and-islands window (running max of span ends),
-    4. tokens LEFT-join spans (doc-equi + pos-range; spans per doc are
-       disjoint, so each token matches at most once) -> reassemble
-       kept tokens per doc in one groupBy, counting total/removed in
-       the same pass.  Docs with nothing removed — and docs removed
-       ENTIRELY — stay present.
+    4. spans collect into ONE small (doc, [lo, hi)...]) array row per
+       affected doc and LEFT-join the tokenized corpus on doc id alone;
+       the cut is a codegen array ``filter`` by position (spans per doc
+       are disjoint and in-bounds by construction, so removed-token
+       count = sum of span lengths).  Token text never explodes into
+       rows and never crosses a shuffle — only doc ids and span bounds
+       do (r16: previously every token row range-joined the spans and
+       was reassembled via sort_array(collect_list), i.e. the whole
+       corpus shuffled twice).  Docs with nothing removed — and docs
+       removed ENTIRELY — stay present.
 
     ``hash_grams=True`` (the 100 TB default) keys step 2 by
     ``xxhash64`` of the window text (16-byte shuffle rows; a 64-bit
@@ -721,14 +751,18 @@ def duplicated_span_dedup(
             )
         ).alias("s", "__k__"),
     )
-    dup = (
-        grams.groupBy("__k__")
-        .agg(F.count(F.lit(1)).alias("__c__"))
-        .filter(F.col("__c__") > 1)
-        .select("__k__")
-    )
-    starts = grams.join(dup, "__k__").select(id_col, "s")
     from pyspark.sql import Window
+
+    # duplicated starts via ONE window count over the gram stream —
+    # the groupBy(key)->join-back form shuffled the (mostly-unique-key,
+    # so barely map-side-combinable) gram stream twice (r16; guide
+    # §2.4: two operations keyed the same way share one exchange)
+    wk = Window.partitionBy("__k__")
+    starts = (
+        grams.withColumn("__c__", F.count(F.lit(1)).over(wk))
+        .filter(F.col("__c__") > 1)
+        .select(id_col, "s")
+    )
 
     wprev = (
         Window.partitionBy(id_col)
@@ -749,27 +783,28 @@ def duplicated_span_dedup(
         .agg(F.min("s").alias("lo"), (F.max("s") + L).alias("hi"))
         .drop("__isl__")
     )
-    toks = toked.select(
-        F.col(id_col),
-        F.posexplode("__t__").alias("pos", "tok"),
+    spans_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("lo", "hi")).alias("__sp__")
     )
-    sp = spans.withColumnRenamed(id_col, "__sid__")
-    flagged = toks.join(
-        sp,
-        (F.col(id_col) == F.col("__sid__"))
-        & (F.col("pos") >= F.col("lo"))
-        & (F.col("pos") < F.col("hi")),
-        "left",
-    )
-    kept_struct = F.when(F.col("lo").isNull(), F.struct("pos", "tok"))
-    return flagged.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(kept_struct)),
-                lambda st: st["tok"],
+    joined = toked.join(spans_doc, id_col, "left")
+    kept = F.when(F.col("__sp__").isNull(), F.col("__t__")).otherwise(
+        F.filter(
+            "__t__",
+            lambda tok, i: ~F.exists(
+                "__sp__", lambda s: (i >= s["lo"]) & (i < s["hi"])
             ),
-            " ",
-        ).alias(out_col),
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum(F.when(F.col("lo").isNull(), 0).otherwise(1)).alias("n_removed"),
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias(out_col),
+        F.size("__t__").cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.aggregate(
+                "__sp__",
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + s["hi"] - s["lo"],
+            ),
+            F.lit(0).cast("long"),
+        ).alias("n_removed"),
     )

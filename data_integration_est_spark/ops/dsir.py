@@ -94,6 +94,8 @@ def dsir_bucket_logratio(
     via coalesce (a raw document's buckets always exist in the raw
     marginals, so the default only matters when scoring external
     text)."""
+    from pyspark.sql import Window
+
     t = target_counts.groupBy("bucket").agg(F.sum("c").alias("ct"))
     r = raw_counts.groupBy("bucket").agg(F.sum("c").alias("cr"))
     both = t.join(r, "bucket", "full_outer").select(
@@ -101,20 +103,26 @@ def dsir_bucket_logratio(
         F.coalesce("ct", F.lit(0)).alias("ct"),
         F.coalesce("cr", F.lit(0)).alias("cr"),
     )
-    tots = both.agg(
-        F.sum("ct").cast("double").alias("Tt"),
-        F.sum("cr").cast("double").alias("Tr"),
-    )
+    # corpus totals via a whole-frame window over the <= B-row bucket
+    # table, NOT a crossJoin(broadcast(agg)) — the broadcast form
+    # evaluated the ``both`` lineage (and therefore BOTH corpus
+    # featurization passes feeding it) twice, once for the totals and
+    # once for the main side (r16; exact: the sums are integer).  A
+    # single-partition window over <= 2^20 rows is trivial.
+    wall = Window.partitionBy()
     ab = float(alpha) * n_buckets
-    return (
-        both.crossJoin(F.broadcast(tots))
-        .select(
-            "bucket",
-            (
-                F.log((F.col("ct") + alpha) / (F.col("Tt") + ab))
-                - F.log((F.col("cr") + alpha) / (F.col("Tr") + ab))
-            ).alias("log_ratio"),
-        )
+    return both.select(
+        "bucket",
+        (
+            F.log(
+                (F.col("ct") + alpha)
+                / (F.sum("ct").over(wall).cast("double") + ab)
+            )
+            - F.log(
+                (F.col("cr") + alpha)
+                / (F.sum("cr").over(wall).cast("double") + ab)
+            )
+        ).alias("log_ratio"),
     )
 
 
@@ -129,10 +137,13 @@ def dsir_importance_weights(
     """Per-raw-document DSIR log importance weight:
     (id_col, n_feats, log_w) with log_w = sum_b c_b * log_ratio_b.
     Raw documents with zero features (empty text) are absent, like any
-    n-gram scorer.  The ratio table is broadcast; the raw corpus is
-    scanned once for features and once more here only through the
-    (doc, bucket, c) aggregate — at 100 TB, persist the feature table
-    if the pipeline also needs it elsewhere."""
+    n-gram scorer.  The ratio table is broadcast; the per-doc feature
+    table is consumed TWICE (raw marginals feeding the ratio build,
+    then the scoring join), so it is ``bounded_persist``-ed here — the
+    cached (doc, bucket, c) aggregate is orders of magnitude smaller
+    than the corpus, while recomputing it would re-tokenize and
+    re-md5-hash every unigram+bigram of the raw corpus a second time
+    (r16; guide §5 persist-on-reuse)."""
     # loud check, engine convention: a featureless target makes every
     # log ratio the same smoothing constant and the "selection" a
     # uniform Gumbel shuffle — never what the caller meant.  Checked on
@@ -147,7 +158,11 @@ def dsir_importance_weights(
             "dsir_importance_weights: target corpus has no features "
             "(empty or all-empty text) — weights would be constant"
         )
-    doc_feats = hashed_ngram_features(raw_df, text_col, id_col, n_buckets)
+    from data_integration_est_spark.util import bounded_persist
+
+    doc_feats = bounded_persist(
+        hashed_ngram_features(raw_df, text_col, id_col, n_buckets)
+    )
     raw_marg = doc_feats.groupBy("bucket").agg(F.sum("c").alias("c"))
     tgt_marg = hashed_ngram_features(target_df, text_col, None, n_buckets)
     ratio = dsir_bucket_logratio(raw_marg, tgt_marg, n_buckets, alpha)

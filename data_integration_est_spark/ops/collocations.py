@@ -48,8 +48,14 @@ def pmi_collocations(
         (F.size("__t__") >= 1) & (F.element_at("__t__", 1) != "")
     )
 
+    from data_integration_est_spark.util import bounded_persist
+
     toks = base.select(F.explode("__t__").alias("v"))
-    uni = toks.groupBy("v").agg(F.count(F.lit(1)).alias("n_tok"))
+    # vocabulary-sized, read THREE times (n_tokens total + the n_v and
+    # n_w joins) — persist so the corpus explode+count runs once (r16)
+    uni = bounded_persist(
+        toks.groupBy("v").agg(F.count(F.lit(1)).alias("n_tok"))
+    )
     n_tokens = uni.agg(F.sum("n_tok").cast("double").alias("__T__"))
 
     zipped = F.arrays_zip(
@@ -63,7 +69,10 @@ def pmi_collocations(
             F.col("__p__")["0"].alias("v"), F.col("__p__")["1"].alias("w")
         )
     )
-    pc = pairs.groupBy("v", "w").agg(F.count(F.lit(1)).alias("n_pair"))
+    # pair-vocabulary-sized, read twice (n_pairs total + the main side)
+    pc = bounded_persist(
+        pairs.groupBy("v", "w").agg(F.count(F.lit(1)).alias("n_pair"))
+    )
     n_pairs = pc.agg(F.sum("n_pair").cast("double").alias("__P__"))
 
     out = (

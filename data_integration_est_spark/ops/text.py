@@ -198,11 +198,18 @@ def unigram_logprob_scores(
     exists in the corpus by construction, so the self-scored LM needs no
     smoothing; score EXTERNAL corpora against these counts with an
     explicit smoothing join instead."""
+    from data_integration_est_spark.util import bounded_persist
+
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # vocabulary-sized, read by the total AND the scoring join — persist
+    # so the corpus explode+count runs once (r16; the ops/text bg
+    # discipline applied to the unigram table)
+    counts = bounded_persist(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    )
     total = counts.agg(F.sum("c").alias("T"))
     scored = (
         toks.join(counts, "tok")

@@ -37,7 +37,15 @@ def source_mixture(
     (a small source cannot be sampled above its full size; the cap is the
     standard practical compromise — rates are NOT renormalized after
     capping, matching the simple one-pass recipe)."""
-    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_s"))
+    from data_integration_est_spark.util import bounded_persist
+
+    # O(sources) rows, read by the totals AND the main side (and by
+    # every caller composing mixture + sample over the same corpus —
+    # the semanticHash-keyed registry shares one cache entry): without
+    # the persist each evaluation re-ran the corpus groupBy (r16)
+    counts = bounded_persist(
+        docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_s"))
+    )
     tot = counts.agg(
         F.sum("n_s").alias("N"),
         F.sum(F.pow(F.col("n_s"), F.lit(alpha))).alias("Z"),
@@ -302,10 +310,13 @@ def token_budget_mixture(
     cap bites.  ``budget_tokens=None`` defaults to the corpus total
     (pure re-mixing).  One aggregation over the corpus; everything else
     is arithmetic on the O(sources) table."""
-    counts = docs.groupBy(source_col).agg(
+    from data_integration_est_spark.util import bounded_persist
+
+    # O(sources) rows, read by the totals AND the main side (r16)
+    counts = bounded_persist(docs.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col(token_col).cast("double")).alias("tokens"),
-    )
+    ))
     tot = counts.agg(
         F.sum("tokens").alias("T"),
         F.sum(F.pow(F.col("tokens"), F.lit(alpha))).alias("Z"),

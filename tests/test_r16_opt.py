@@ -167,3 +167,61 @@ def test_dedup_corpus_assert_is_observational(spark):
     )
     assert kept_plain == kept_assert
     assert 0 in kept_plain and 1 not in kept_plain
+
+
+def test_line_dedup_array_cut_contracts(spark):
+    """r16 continuation: line_dedup's reassembly moved from a
+    sort_array(collect_list) groupBy to an in-place array filter — pin
+    the contracts the old explode shape gave for free: NULL-text docs
+    are ABSENT, all-boilerplate docs survive with empty text, and both
+    key paths agree after the rewrite."""
+    from data_integration_est_spark.ops.dedup import line_dedup
+
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{boiler}\nunique alpha\n\nkeep me"),
+            (1, f"intro line\n{boiler}"),
+            (2, boiler),          # all-boilerplate -> empty, present
+            (3, None),            # NULL text -> absent
+            (4, ""),              # empty text -> one empty line, kept
+        ],
+        "doc_id long, text string",
+    )
+    for hash_lines in (True, False):
+        out = {
+            r["doc_id"]: (r["text_dedup"], r["n_lines"], r["n_kept"])
+            for r in line_dedup(docs, hash_lines=hash_lines).collect()
+        }
+        assert set(out) == {0, 1, 2, 4}, out
+        assert out[0] == ("unique alpha\n\nkeep me", 4, 3)
+        assert out[1] == ("intro line", 2, 1)
+        assert out[2] == ("", 1, 0)
+        assert out[4] == ("", 1, 1)
+
+
+def test_span_dedup_array_cut_n_removed_is_span_mass(spark):
+    """r16 continuation: duplicated_span_dedup counts removals as the
+    per-doc span-length sum instead of per-token join flags — pin that
+    the count still equals len(text) - len(kept) in tokens on a doc
+    with two disjoint merged spans."""
+    from data_integration_est_spark.ops.dedup import duplicated_span_dedup
+
+    dup1 = "a b c d"
+    dup2 = "w x y z"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{dup1} mid1 mid2 {dup2}"),
+            (1, f"{dup1} other tokens here {dup2}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_span_dedup(docs, min_len=4, hash_grams=False)
+        .collect()
+    }
+    assert out[0]["text_dedup"] == "mid1 mid2"
+    assert out[0]["n_tokens"] == 10 and out[0]["n_removed"] == 8
+    assert out[1]["text_dedup"] == "other tokens here"
+    assert out[1]["n_tokens"] == 11 and out[1]["n_removed"] == 8

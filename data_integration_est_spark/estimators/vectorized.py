@@ -243,15 +243,18 @@ def pc_s2_grouped(
     model_type: str = "normal",
     weights_A: str | None = None,
     diag: dict | None = None,
+    calb: tuple | None = None,
 ) -> dict[tuple, tuple]:
     """PC scenario 2 (y unobserved in B) for every group
     (``PC.R:255-297`` vectorized):
     Yhat = (sum_B w_cal_B*yhat + sum_A d_A*(y_A - yhat)) / N.
     ``model_type='logistic'`` runs the grouped IRLS GLM (``PC.R:274``);
-    ``weights_A`` uses the design-weight column for d_A and HT totals."""
+    ``weights_A`` uses the design-weight column for d_A and HT totals.
+    ``calb``: precomputed ``_calibrated_b`` result (see
+    ``pc_s1_grouped``)."""
     indA = F.col(ind_var_A) == 1
     indB = F.col(ind_var_B) == 1
-    b_df, _, sizes = _calibrated_b(
+    b_df, _, sizes = calb if calb is not None else _calibrated_b(
         df, ind_var_B, aux_vars, group_cols, weights_A=weights_A, ind_var_A=ind_var_A
     )
 
@@ -357,10 +360,18 @@ def pc_s1_grouped(
     group_cols: list[str],
     weights_A: str | None = None,
     ind_var_A: str | None = None,
+    calb: tuple | None = None,
 ) -> dict[tuple, tuple]:
     """PC scenario 1 for every group at once (``PC.R:240-253`` vectorized);
-    ``weights_A`` switches to HT-estimated aux totals (``PC.R:188-193``)."""
-    b_df, x_cols, _ = _calibrated_b(
+    ``weights_A`` switches to HT-estimated aux totals (``PC.R:188-193``).
+
+    ``calb`` (r17, guide §1.2 don't-compute-twice): a precomputed
+    ``_calibrated_b(df, ind_var_B, aux_vars, group_cols, ...)`` result —
+    several PC battery members calibrate the SAME B sample to the SAME
+    aux totals, so the MC harness computes the triple once and hands it
+    to each member; the values are the ones this function would compute
+    itself (caller's responsibility to pass a same-arguments result)."""
+    b_df, x_cols, _ = calb if calb is not None else _calibrated_b(
         df, ind_var_B, aux_vars, group_cols, weights_A=weights_A, ind_var_A=ind_var_A
     )
     design = SurveyDesign(
@@ -381,6 +392,9 @@ def pc_dr1_grouped(
     model_type: str = "normal",
     eval_model_performance: bool = False,
     diag: dict | None = None,
+    fit=None,
+    calb: tuple | None = None,
+    u_stats: dict | None = None,
 ) -> dict[tuple, tuple]:
     """PC scenario-3 DR1 for every group (``PC.R:299-328`` vectorized):
     Yhat = (sum_B w_cal_B*(y_B - yhat) + sum_U yhat) / N.
@@ -389,30 +403,45 @@ def pc_dr1_grouped(
     With ``eval_model_performance`` each value tuple gains the
     per-group A-sample R² of the outcome model (``PC.R:330-340``,
     recorded by the nb[37] study) — the residual stats ride the same
-    U-side pass as masked sums, no extra job."""
+    U-side pass as masked sums, no extra job.
+
+    Share hooks (r17, guide §1.2 don't-compute-twice): ``fit`` injects
+    a precomputed outcome model (several MC battery members fit the
+    IDENTICAL formula on the identical A sample), ``calb`` a
+    precomputed ``_calibrated_b`` result, and ``u_stats`` the
+    full-population prediction moments from
+    :func:`u_pred_stats_grouped` under the SAME fit (ignored when
+    ``eval_model_performance`` needs the A-masked residual stats that
+    ride the U pass)."""
     indA = F.col(ind_var_A) == 1
-    b_df, _, sizes = _calibrated_b(df, ind_var_B, aux_vars, group_cols)
+    b_df, _, sizes = calb if calb is not None else _calibrated_b(
+        df, ind_var_B, aux_vars, group_cols
+    )
 
     formula = Formula.parse(outcome_model).resolve(df.columns)
-    fit = _fit_grouped(df.filter(indA), formula, model_type, group_cols)
+    if fit is None:
+        fit = _fit_grouped(df.filter(indA), formula, model_type, group_cols)
     _note_fit(diag, fit)
 
-    u_join, u_pred = fit.predict_expr_grouped(df)
-    ya = F.col(y_A_col).cast("double")
-    u_aggs = [F.sum(F.col("__yhat__")).alias("sum_pred")]
-    if eval_model_performance:
-        res2 = F.when(indA, F.pow(ya - F.col("__yhat__"), 2))
-        u_aggs += [
-            F.sum(res2).alias("ssr_A"),
-            F.var_samp(F.when(indA, ya)).alias("var_yA"),
-            F.sum(F.when(indA, 1).otherwise(0)).alias("n_A"),
-        ]
-    u_rows = (
-        u_join.withColumn("__yhat__", u_pred)
-        .groupBy(*group_cols).agg(*u_aggs)
-        .collect()
-    )
-    u_by = {tuple(r[c] for c in group_cols): r for r in u_rows}
+    if u_stats is not None and not eval_model_performance:
+        u_by = u_stats
+    else:
+        u_join, u_pred = fit.predict_expr_grouped(df)
+        ya = F.col(y_A_col).cast("double")
+        u_aggs = [F.sum(F.col("__yhat__")).alias("sum_pred")]
+        if eval_model_performance:
+            res2 = F.when(indA, F.pow(ya - F.col("__yhat__"), 2))
+            u_aggs += [
+                F.sum(res2).alias("ssr_A"),
+                F.var_samp(F.when(indA, ya)).alias("var_yA"),
+                F.sum(F.when(indA, 1).otherwise(0)).alias("n_A"),
+            ]
+        u_rows = (
+            u_join.withColumn("__yhat__", u_pred)
+            .groupBy(*group_cols).agg(*u_aggs)
+            .collect()
+        )
+        u_by = {tuple(r[c] for c in group_cols): r for r in u_rows}
 
     b_join, b_pred = fit.predict_expr_grouped(b_df)
     t1_rows = (
@@ -439,6 +468,58 @@ def pc_dr1_grouped(
     return out
 
 
+def fit_outcome_grouped(
+    df: DataFrame,
+    ind_var_A: str,
+    outcome_model: str,
+    group_cols: list[str],
+    model_type: str = "normal",
+):
+    """The outcome-model fit the DR estimators run internally
+    (A-sample, grouped) as a standalone call — EXACTLY the statement
+    ``pc_dr1_grouped``/``regdi_dr_grouped`` issue, so a battery whose
+    members share (sample, formula) can compute it once and inject it
+    via their ``fit=`` hooks (r17)."""
+    formula = Formula.parse(outcome_model).resolve(df.columns)
+    return _fit_grouped(
+        df.filter(F.col(ind_var_A) == 1), formula, model_type, group_cols
+    )
+
+
+def calibrated_b_grouped(
+    df: DataFrame,
+    ind_var_B: str,
+    aux_vars: list[str],
+    group_cols: list[str],
+    weights_A: str | None = None,
+    ind_var_A: str | None = None,
+) -> tuple:
+    """Public alias of the shared PC calibration step — computed once
+    per (B sample, aux set) and injected into the PC members'
+    ``calb=`` hooks (r17)."""
+    return _calibrated_b(
+        df, ind_var_B, aux_vars, group_cols,
+        weights_A=weights_A, ind_var_A=ind_var_A,
+    )
+
+
+def u_pred_stats_grouped(df: DataFrame, fit, group_cols: list[str]) -> dict:
+    """Full-population prediction moments under ``fit``: key ->
+    Row(sum_pred, var_pred) — the U-side pass that RegDI-DR has always
+    run (identical statement shape, so identical floats), now callable
+    once and shared with every DR battery member that uses the SAME
+    fit (r17, guide §1.2 don't-compute-twice / §2.4 share the pass)."""
+    u_join, u_pred = fit.predict_expr_grouped(df)
+    u_rows = (
+        u_join.select(*group_cols, u_pred.alias("__yhat__"))
+        .groupBy(*group_cols)
+        .agg(F.sum("__yhat__").alias("sum_pred"),
+             F.var_samp("__yhat__").alias("var_pred"))
+        .collect()
+    )
+    return {tuple(r[c] for c in group_cols): r for r in u_rows}
+
+
 def regdi_dr_grouped(
     df: DataFrame,
     y_A_col: str,
@@ -449,11 +530,17 @@ def regdi_dr_grouped(
     group_cols: list[str],
     aux_vars: list[str] | None = None,
     diag: dict | None = None,
+    fit=None,
+    u_stats: dict | None = None,
 ) -> dict[tuple, tuple]:
     """RegDI correction-3 (doubly robust) for every group
     (``RegDI2.R:196-241`` vectorized):
     T = (sum_A w_cal*(y - yhat) + sum_U yhat)/N,
-    V = var(w*(y - yhat))/n_A + var_U(yhat)/N."""
+    V = var(w*(y - yhat))/n_A + var_U(yhat)/N.
+
+    ``fit``/``u_stats`` (r17): share hooks for a precomputed outcome
+    model and its full-population prediction moments
+    (:func:`u_pred_stats_grouped`) — see ``pc_dr1_grouped``."""
     indA = F.col(ind_var_A) == 1
     indB = F.col(ind_var_B) == 1
     aux = list(aux_vars or [])
@@ -500,10 +587,12 @@ def regdi_dr_grouped(
     )
 
     formula = Formula.parse(outcome_model).resolve(df.columns)
-    fit = fit_ols(
-        df.filter(indA), y_col=formula.response, x_cols=list(formula.predictors),
-        intercept=formula.intercept, group_cols=group_cols,
-    )
+    if fit is None:
+        fit = fit_ols(
+            df.filter(indA), y_col=formula.response,
+            x_cols=list(formula.predictors),
+            intercept=formula.intercept, group_cols=group_cols,
+        )
     _note_fit(diag, fit)
 
     a_join, a_pred = fit.predict_expr_grouped(cal.df)
@@ -520,14 +609,10 @@ def regdi_dr_grouped(
         )
         .collect()
     )
-    u_join, u_pred = fit.predict_expr_grouped(df)
-    u_rows = (
-        u_join.select(*group_cols, u_pred.alias("__yhat__"))
-        .groupBy(*group_cols)
-        .agg(F.sum("__yhat__").alias("sum_pred"), F.var_samp("__yhat__").alias("var_pred"))
-        .collect()
-    )
-    u_by = {tuple(r[c] for c in group_cols): r for r in u_rows}
+    if u_stats is not None:
+        u_by = u_stats
+    else:
+        u_by = u_pred_stats_grouped(df, fit, group_cols)
 
     out: dict[tuple, tuple] = {}
     for r in a_rows:

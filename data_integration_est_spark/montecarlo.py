@@ -173,6 +173,24 @@ def run_nmar_study(
     pop = adaptive_coalesce(pop_cache)  # materialize once before the concurrent battery
     g = ["gamma", "sim_id"]
     diags: dict[str, dict] = {"PC_DR": {}, "RegDI_DR": {}, "CLW": {}}
+    # shared battery prep (r17, guide §1.2/§2.4): PC_X1_X2 and PC_DR
+    # calibrate the SAME B sample to the SAME aux totals; PC_DR and
+    # RegDI_DR fit the IDENTICAL outcome model on the identical A
+    # sample and both need its full-population prediction moments.
+    # Compute each ONCE on prep futures so the battery still overlaps
+    # (futures start immediately; battery thunks block on .result()).
+    from concurrent.futures import ThreadPoolExecutor
+
+    prep = ThreadPoolExecutor(max_workers=3)
+    f_calb = prep.submit(
+        V.calibrated_b_grouped, pop, "muestra_B", ["x1_i", "x2_i"], g
+    )
+    f_fit = prep.submit(
+        V.fit_outcome_grouped, pop, "muestra_A", "y_i ~ x_i", g
+    )
+    f_ust = prep.submit(
+        lambda: V.u_pred_stats_grouped(pop, f_fit.result(), g)
+    )
     try:
         results: dict[str, dict[tuple, tuple]] = _run_battery({
             "Mean_S_A": lambda: V.naive_mean_grouped(pop, "y_i", "muestra_A", g),
@@ -180,14 +198,19 @@ def run_nmar_study(
             "RegDI_X1": lambda: V.regdi_c0_grouped(
                 pop, "y_i", "y_i", "muestra_A", "muestra_B", g, aux_vars=["x1_i"]
             ),
-            "PC_X1_X2": lambda: V.pc_s1_grouped(pop, "y_i", "muestra_B", ["x1_i", "x2_i"], g),
+            "PC_X1_X2": lambda: V.pc_s1_grouped(
+                pop, "y_i", "muestra_B", ["x1_i", "x2_i"], g,
+                calb=f_calb.result(),
+            ),
             "PC_DR": lambda: V.pc_dr1_grouped(
                 pop, "y_i", "y_i", "muestra_A", "muestra_B", ["x1_i", "x2_i"],
-                "y_i ~ x_i", g, diag=diags["PC_DR"],
+                "y_i ~ x_i", g, diag=diags["PC_DR"], fit=f_fit.result(),
+                calb=f_calb.result(), u_stats=f_ust.result(),
             ),
             "RegDI_DR": lambda: V.regdi_dr_grouped(
                 pop, "y_i", "y_i", "muestra_A", "muestra_B", "y_i ~ x_i", g,
                 aux_vars=["x1_i"], diag=diags["RegDI_DR"],
+                fit=f_fit.result(), u_stats=f_ust.result(),
             ),
             "_CLW": lambda: V.clw_grouped(
                 pop, "y_i", ["x_i"], "muestra_A", "muestra_B", g,
@@ -195,6 +218,7 @@ def run_nmar_study(
             ),
         })
     finally:
+        prep.shutdown(wait=False)
         pop_cache.unpersist()
     clw = results.pop("_CLW")
     results["CLW_IPW"] = {k: (v[0], v[1]) for k, v in clw.items()}
@@ -421,6 +445,16 @@ def run_stratified_study(
     pop_cache.count()
     pop = adaptive_coalesce(pop_cache)  # materialize once before the concurrent battery
     g = ["sim_id"]
+    # shared battery prep (r17; see run_nmar_study): PC_X1 and PC_X1_II
+    # calibrate the SAME B sample to the SAME HT-estimated stratum
+    # totals from the weighted A sample — compute the triple once.
+    from concurrent.futures import ThreadPoolExecutor
+
+    prep = ThreadPoolExecutor(max_workers=1)
+    f_calb = prep.submit(
+        V.calibrated_b_grouped, pop, "ind_B", ["stratum"], g,
+        weights_A="d_i_A", ind_var_A="ind_A",
+    )
     try:
         results: dict[str, dict[tuple, tuple]] = _run_battery({
             "Mean_S_A": lambda: V.weighted_mean_grouped(pop, "y_i", "ind_A", "d_i_A", g),
@@ -434,7 +468,7 @@ def run_stratified_study(
             ),
             "PC_X1": lambda: V.pc_s1_grouped(
                 pop, "y_i", "ind_B", ["stratum"], g,
-                weights_A="d_i_A", ind_var_A="ind_A",
+                weights_A="d_i_A", ind_var_A="ind_A", calb=f_calb.result(),
             ),
             "Mean_S_B_II": lambda: V.naive_mean_grouped(pop, "tilde_y_i", "ind_B", g),
             "RegDI_II": lambda: V.regdi_c0_grouped(
@@ -447,9 +481,11 @@ def run_stratified_study(
             "PC_X1_II": lambda: V.pc_s2_grouped(
                 pop, "y_i", "tilde_y_i", "ind_A", "ind_B", ["stratum"],
                 "y_i ~ tilde_y_i", g, weights_A="d_i_A",
+                calb=f_calb.result(),
             ),
         })
     finally:
+        prep.shutdown(wait=False)
         pop_cache.unpersist()
     # gamma is not a dimension here; reuse the (gamma, sim) summary shape
     # with a constant 0.0 gamma slot
@@ -959,6 +995,22 @@ def run_deterministic_study(
     grid_cache.count()
     grid = adaptive_coalesce(grid_cache)
     g = ["gamma", "sim_id"]
+    # shared battery prep (r17; see run_nmar_study): PC_S1/S2/S3
+    # calibrate the SAME B sample to the SAME aux totals; PC_S3 and
+    # RegDI_DR fit the IDENTICAL "y_i ~ x_i" on the identical A sample
+    # and share its full-population prediction moments.
+    from concurrent.futures import ThreadPoolExecutor
+
+    prep = ThreadPoolExecutor(max_workers=3)
+    f_calb = prep.submit(
+        V.calibrated_b_grouped, grid, "muestra_B", ["x1_i", "x2_i"], g
+    )
+    f_fit = prep.submit(
+        V.fit_outcome_grouped, grid, "muestra_A", "y_i ~ x_i", g
+    )
+    f_ust = prep.submit(
+        lambda: V.u_pred_stats_grouped(grid, f_fit.result(), g)
+    )
     try:
         results: dict[str, dict[tuple, tuple]] = _run_battery({
             "Mean_S_A": lambda: V.naive_mean_grouped(grid, "y_i", "muestra_A", g),
@@ -968,20 +1020,23 @@ def run_deterministic_study(
             ),
             "RegDI_DR": lambda: V.regdi_dr_grouped(
                 grid, "y_i", "y_i", "muestra_A", "muestra_B", "y_i ~ x_i", g,
-                aux_vars=["x_i"],
+                aux_vars=["x_i"], fit=f_fit.result(), u_stats=f_ust.result(),
             ),
             "PC_S1": lambda: V.pc_s1_grouped(
-                grid, "y_i", "muestra_B", ["x1_i", "x2_i"], g
+                grid, "y_i", "muestra_B", ["x1_i", "x2_i"], g,
+                calb=f_calb.result(),
             ),
             "PC_S2": lambda: V.pc_s2_grouped(
                 grid, "y_i", "yb_i", "muestra_A", "muestra_B",
-                ["x1_i", "x2_i"], "y_i ~ yb_i", g,
+                ["x1_i", "x2_i"], "y_i ~ yb_i", g, calb=f_calb.result(),
             ),
             "PC_S3": lambda: V.pc_dr1_grouped(
                 grid, "y_i", "y_i", "muestra_A", "muestra_B",
-                ["x1_i", "x2_i"], "y_i ~ x_i", g,
+                ["x1_i", "x2_i"], "y_i ~ x_i", g, fit=f_fit.result(),
+                calb=f_calb.result(), u_stats=f_ust.result(),
             ),
         })
     finally:
+        prep.shutdown(wait=False)
         grid_cache.unpersist()
     return _summarize(spark, results, y_true)

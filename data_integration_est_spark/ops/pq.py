@@ -199,14 +199,22 @@ def pq_train(
                 .collect()
             )
             by_sc = {(r["__s__"], r["__c__"]): r for r in agg_rows}
-            for s in range(m):
-                books[s] = [
+            new_books = [
+                [
                     [float(by_sc[(s, c)][f"__s_{j}__"]) / by_sc[(s, c)]["__n__"]
                      for j in range(d_sub)]
                     if (s, c) in by_sc and by_sc[(s, c)]["__n__"]
                     else books[s][c]
                     for c in range(len(books[s]))
                 ]
+                for s in range(m)
+            ]
+            # exact convergence early-exit (r17, same argument as
+            # kmeans_centroids): bit-identical codebooks reproduce the
+            # same assignment and sums — remaining passes are fixed points
+            if new_books == books:
+                break
+            books = new_books
         return books
     finally:
         sub.unpersist()
@@ -345,6 +353,68 @@ def _encode_arrow(
     return work.mapInPandas(run, out_schema)
 
 
+def _luts_arrow(
+    work: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec_col: str,
+    d_sub: int,
+) -> DataFrame:
+    """Arrow twin of the LUT projection in ``pq_score_expr``: one
+    ``mapInPandas`` batch computes every ``__pqlut{s}__`` array.
+    BIT-EXACT per entry — the dot accumulates LEFT-TO-RIGHT per
+    coordinate, the same IEEE-754 operation sequence as the SQL
+    ``c0*x0 + c1*x1 + ...`` chain (the ``_l2_argmax_np`` argument);
+    a NULL query vector yields all-NULL entries exactly like
+    ``element_at`` on NULL.  Exists because the expression form at
+    m=16/k=16/d_sub=4 generates a ~17k-line processNext() that blows
+    janino's 64 KB method limit: the compile FAILS on every action
+    (an ERROR + ~0.5-1 s of wasted driver compile per evaluation) and
+    the stage silently runs interpreted (r17; the r16 LUT persist
+    stopped downstream INLINING but not the build stage itself)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    m = len(codebooks)
+    Cs = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    out_schema = StructType(
+        list(work.schema.fields)
+        + [StructField(f"__pqlut{s}__", ArrayType(DoubleType()), True)
+           for s in range(m)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = b.copy()
+            n = len(b)
+            if not n:
+                for s in range(m):
+                    out[f"__pqlut{s}__"] = []
+                yield out
+                continue
+            vals = list(b[query_vec_col])
+            ok = [i for i, v in enumerate(vals) if v is not None]
+            X = (
+                np.stack([np.asarray(vals[i], dtype=np.float64) for i in ok])
+                if ok else np.empty((0, m * d_sub))
+            )
+            for s in range(m):
+                C = Cs[s]
+                col: list = [None] * n
+                if ok:
+                    # left-to-right accumulation == the SQL chain's order
+                    S = X[:, s * d_sub][:, None] * C[:, 0][None, :]
+                    for j in range(1, d_sub):
+                        S = S + X[:, s * d_sub + j][:, None] * C[:, j][None, :]
+                    for row_i, i in enumerate(ok):
+                        col[i] = [float(v) for v in S[row_i]]
+                out[f"__pqlut{s}__"] = col
+            yield out
+
+    return work.mapInPandas(run, out_schema)
+
+
 def pq_score_expr(
     query_vec_col: str,
     code_col: str,
@@ -353,34 +423,42 @@ def pq_score_expr(
 ) -> tuple[DataFrame, Column]:
     """ADC score: augment ``work`` (must carry the query vector column)
     with per-subspace lookup arrays, return (df, score column) where
-    score approximates dot(query, corpus_vec) from codes alone."""
+    score approximates dot(query, corpus_vec) from codes alone.  The
+    LUT construction routes to the bit-exact Arrow twin above
+    ``_ARROW_MIN_CELLS`` total centroids (same gate as
+    ``pq_encode``/``pq_train``); the probe/score column is always the
+    JVM ``element_at`` chain (m probes — tiny, codegen-friendly)."""
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
-    lut_cols = []
-    for s in range(m):
-        # dot-only array (no -||c||^2/2 offset): ADC approximates the dot;
-        # element_at indexes the full query vector at the subspace offset
-        # (identical values to the old slice column, ONE projection total)
-        C = np.asarray(codebooks[s], dtype=float)
-        dots = [
-            " + ".join(
-                f"{float(cv)!r}D * CAST(element_at(`{query_vec_col}`, "
-                f"{s * d_sub + j + 1}) AS DOUBLE)"
-                for j, cv in enumerate(c)
-            )
-            for c in C.tolist()
-        ]
-        lut_cols.append(
-            F.expr("array(" + ", ".join(f"({d})" for d in dots) + ")")
-            .alias(f"__pqlut{s}__")
-        )
     # r14 (ADVICE): same duplicate-column hazard as pq_encode if a frame
     # already carrying __pqlut*__ (a second pq_score_expr pass) comes in
     stale = [c for c in work.columns
              if c.startswith("__pqlut") and c.endswith("__")]
     if stale:
         work = work.drop(*stale)
-    work = work.select("*", *lut_cols)
+    if m * max(len(b) for b in codebooks) >= _ARROW_MIN_CELLS:
+        work = _luts_arrow(work, codebooks, query_vec_col, d_sub)
+    else:
+        lut_cols = []
+        for s in range(m):
+            # dot-only array (no -||c||^2/2 offset): ADC approximates the
+            # dot; element_at indexes the full query vector at the subspace
+            # offset (identical values to the old slice column, ONE
+            # projection total)
+            C = np.asarray(codebooks[s], dtype=float)
+            dots = [
+                " + ".join(
+                    f"{float(cv)!r}D * CAST(element_at(`{query_vec_col}`, "
+                    f"{s * d_sub + j + 1}) AS DOUBLE)"
+                    for j, cv in enumerate(c)
+                )
+                for c in C.tolist()
+            ]
+            lut_cols.append(
+                F.expr("array(" + ", ".join(f"({d})" for d in dots) + ")")
+                .alias(f"__pqlut{s}__")
+            )
+        work = work.select("*", *lut_cols)
     score: Column = F.lit(0.0)
     for s in range(m):
         score = score + F.element_at(

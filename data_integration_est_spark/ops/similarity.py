@@ -603,12 +603,19 @@ def kmeans_centroids(
             .collect()
         )
         by_c = {r["__c__"]: r for r in rows}
-        centroids = [
+        new_centroids = [
             [float(by_c[c][f"__s_{j}__"]) / by_c[c]["__n__"] for j in range(dim)]
             if c in by_c and by_c[c]["__n__"]
             else centroids[c]
             for c in range(len(centroids))
         ]
+        # exact convergence early-exit (r17): bit-identical centroids
+        # reproduce the SAME assignment and the SAME sums next pass, so
+        # every remaining iteration is a fixed point — skipping them
+        # cannot change the result (float equality, not a tolerance).
+        if new_centroids == centroids:
+            break
+        centroids = new_centroids
     return centroids
 
 

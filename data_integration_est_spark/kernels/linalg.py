@@ -415,6 +415,21 @@ def _fit_irls(
             persisted.unpersist()
 
 
+def _iter_input(df: DataFrame, cols: list[str], n_passes: int):
+    """(iteration frame, persisted handle or None): persist the narrow
+    projection an iterative calfun re-aggregates once per Newton /
+    truncation pass (guide §5: cache iterated inputs) — the same class
+    as ``_fit_irls``'s r16 cache, WITHOUT any repartition/coalesce so
+    the partition layout (and therefore every per-group float
+    accumulation order) is bit-identical to scanning the original
+    lineage.  Skipped when the plan is already cache-fed or the loop
+    runs a single pass.  The caller owns the unpersist."""
+    if n_passes <= 1 or _plan_uses_cache(df):
+        return df, None
+    w = df.select(*cols).persist()
+    return w, w
+
+
 def _plan_uses_cache(df: DataFrame) -> bool:
     """True when any subtree of ``df``'s plan is served by a cached
     (InMemoryRelation) entry — a driver-side plan inspection only."""
@@ -613,6 +628,18 @@ def calibrate_bounded(
     # expressions: the sticky CASE references the previous state twice,
     # so raw composition doubles the expression tree per wave — 2^waves
     # codegen blowup (measured ~12 s at 6 waves; ~2 s bound).
+    #
+    # r17: the wave aggregations read only (x_cols, d_col) plus the
+    # state expressions — run them over a persisted narrow projection
+    # (layout-preserving, see _iter_input) while MIRRORING the state
+    # columns onto the original df, which alone feeds the final full-
+    # column weights projection.  The mirrored expressions are the same
+    # Column trees bound to the same converged lambdas, so the final
+    # weights are bit-identical.
+    it_src, _it_handle = _iter_input(
+        df, list(dict.fromkeys(x_cols + [d_col])), max_iter
+    )
+    work_iter = it_src
     work = df
     state = F.lit(0)
     helper_cols: list[str] = []
@@ -631,7 +658,7 @@ def calibrate_bounded(
             aggs.append(F.sum(F.when(free, d * xs[i]).otherwise(0.0)).alias(f"h_{i}"))
             aggs.append(F.sum(F.when(~free, w_clip * xs[i]).otherwise(0.0)).alias(f"c_{i}"))
         aggs.append(F.sum(F.when(~free, F.lit(1)).otherwise(0)).alias("n_clipped"))
-        r = work.agg(*aggs).collect()[0]
+        r = work_iter.agg(*aggs).collect()[0]
         n_clipped = int(r["n_clipped"] or 0)
         G = np.zeros((k, k))
         for i in range(k):
@@ -656,6 +683,7 @@ def calibrate_bounded(
             .otherwise(0)
         )
         st_col = f"__cbst{it}__"
+        work_iter = work_iter.withColumn(st_col, new_state)
         work = work.withColumn(st_col, new_state)
         helper_cols.append(st_col)
         state = F.col(st_col)
@@ -668,6 +696,8 @@ def calibrate_bounded(
             "iterations"
         )
 
+    if _it_handle is not None:
+        _it_handle.unpersist()
     w = (
         F.when(state == 1, U * d)
         .when(state == -1, L * d)
@@ -716,6 +746,13 @@ def _calibrate_bounded_grouped(
             e = e + xc * F.col(lc)
         return e
 
+    # r17: wave aggregations over a persisted narrow projection, state
+    # chain mirrored onto the original df for the final projection —
+    # see the ungrouped path's comment (layout-preserving, bit-equal)
+    it_src, _it_handle = _iter_input(
+        df, list(dict.fromkeys(group_cols + x_cols + [d_col])), max_iter
+    )
+    work_iter = it_src
     work = df
     state = F.lit(0)
     keys: list[tuple] | None = None
@@ -737,7 +774,7 @@ def _calibrate_bounded_grouped(
             aggs.append(F.sum(F.when(free, d * xs[i]).otherwise(0.0)).alias(f"h_{i}"))
             aggs.append(F.sum(F.when(~free, w_clip * xs[i]).otherwise(0.0)).alias(f"c_{i}"))
         aggs.append(F.sum(F.when(~free, F.lit(1)).otherwise(0)).alias("n_clipped"))
-        rows = work.groupBy(*group_cols).agg(*aggs).collect()
+        rows = work_iter.groupBy(*group_cols).agg(*aggs).collect()
         by_key = {tuple(r[c] for c in group_cols): r for r in rows}
         if keys is None:
             keys = sorted(by_key)
@@ -769,7 +806,8 @@ def _calibrate_bounded_grouped(
                 f"at iteration {it} — totals infeasible in bounds for some "
                 "group?"
             ) from e
-        # broadcast-join this wave's per-group lambdas
+        # broadcast-join this wave's per-group lambdas (the SAME tiny
+        # frame joins both the iteration projection and the original df)
         lam_cols = [f"__cbw{it}_{j}__" for j in range(k)]
         lam_rows = [
             tuple(key) + tuple(float(v) for v in lam[gi])
@@ -779,9 +817,12 @@ def _calibrate_bounded_grouped(
             list(key_schema.fields)
             + [StructField(cn, DoubleType(), False) for cn in lam_cols]
         )
+        lam_df = local_df(spark, lam_rows, lam_schema)
+        work_iter = work_iter.join(
+            F.broadcast(lam_df), on=group_cols, how="left",
+        )
         work = work.join(
-            F.broadcast(local_df(spark, lam_rows, lam_schema)),
-            on=group_cols, how="left",
+            F.broadcast(lam_df), on=group_cols, how="left",
         )
         joined_lam_cols += lam_cols
         last_lam_cols = lam_cols
@@ -798,6 +839,7 @@ def _calibrate_bounded_grouped(
             .otherwise(0)
         )
         st_col = f"__cbwst{it}__"
+        work_iter = work_iter.withColumn(st_col, new_state)
         work = work.withColumn(st_col, new_state)
         joined_lam_cols.append(st_col)
         state = F.col(st_col)
@@ -810,6 +852,8 @@ def _calibrate_bounded_grouped(
             "iterations in at least one group"
         )
 
+    if _it_handle is not None:
+        _it_handle.unpersist()
     w = (
         F.when(state == 1, U * d)
         .when(state == -1, L * d)
@@ -887,14 +931,20 @@ def calibrate_raking(
     keys: list[tuple] | None = None
     T = None
     lam = None
-    work = df
+    # Newton passes re-aggregate only (group_cols, x_cols, d_col):
+    # persist that narrow projection (r17; layout-preserving, see
+    # _iter_input) instead of re-scanning the full lineage n_iter times
+    it_src, _it_handle = _iter_input(
+        df, list(dict.fromkeys(group_cols + x_cols + [d_col])), n_iter
+    )
+    work = it_src
     lam_cols = [f"__crk{j}__" for j in range(k)]
     if group_cols:
         from pyspark.sql.types import DoubleType, StructField, StructType
 
         key_schema = df.select(*group_cols).schema
 
-        def bind_lambdas(lam_mat: np.ndarray) -> DataFrame:
+        def bind_lambdas(lam_mat: np.ndarray, src: DataFrame = df) -> DataFrame:
             # rebind from the ORIGINAL df each iteration (fixed column
             # names) so the plan holds exactly ONE broadcast join
             # regardless of n_iter — the r6 verdict's accumulating-join
@@ -907,7 +957,7 @@ def calibrate_raking(
                 list(key_schema.fields)
                 + [StructField(cn, DoubleType(), False) for cn in lam_cols]
             )
-            return df.join(
+            return src.join(
                 F.broadcast(local_df(spark, lam_rows, schema)),
                 on=group_cols, how="left",
             )
@@ -949,7 +999,7 @@ def calibrate_raking(
             step = _solve_stacked(J, r[..., None], "calibrate_raking").squeeze(-1)
             step = step.reshape(ng, k)
             lam = lam + step
-            work = bind_lambdas(lam)
+            work = bind_lambdas(lam, it_src)
         else:
             row = work.agg(*aggs).collect()[0]
             if lam is None:
@@ -977,7 +1027,12 @@ def calibrate_raking(
                 RuntimeWarning, stacklevel=2,
             )
 
+    if _it_handle is not None:
+        _it_handle.unpersist()
     if group_cols:
+        # final weights must carry the caller's FULL columns: rebind the
+        # converged lambdas from the original df
+        work = bind_lambdas(lam)
         out = work.withColumn(out_col, tilt_expr_cols(lam_cols))
         out = out.drop(*lam_cols)
     else:
@@ -1073,14 +1128,20 @@ def calibrate_logit(
     keys: list[tuple] | None = None
     T = None
     lam = None
-    work = df
+    # the Newton passes re-aggregate ONLY (group_cols, x_cols, d_col):
+    # persist that narrow projection instead of re-scanning the full
+    # lineage n_iter times (r17; layout-preserving, see _iter_input)
+    it_src, _it_handle = _iter_input(
+        df, list(dict.fromkeys(group_cols + x_cols + [d_col])), n_iter
+    )
+    work = it_src
     lam_cols = [f"__clg{j}__" for j in range(k)]
     if group_cols:
         from pyspark.sql.types import DoubleType, StructField, StructType
 
         key_schema = df.select(*group_cols).schema
 
-        def bind_lambdas(lam_mat: np.ndarray) -> DataFrame:
+        def bind_lambdas(lam_mat: np.ndarray, src: DataFrame = df) -> DataFrame:
             lam_rows = [
                 tuple(key) + tuple(float(v) for v in lam_mat[gi])
                 for gi, key in enumerate(keys)
@@ -1089,7 +1150,7 @@ def calibrate_logit(
                 list(key_schema.fields)
                 + [StructField(cn, DoubleType(), False) for cn in lam_cols]
             )
-            return df.join(
+            return src.join(
                 F.broadcast(local_df(spark, lam_rows, schema)),
                 on=group_cols, how="left",
             )
@@ -1137,9 +1198,9 @@ def calibrate_logit(
                 ) from e
             step = step.reshape(ng, k)
             lam = lam + step
-            work = bind_lambdas(lam)
+            work = bind_lambdas(lam, it_src)
         else:
-            row = df.agg(*aggs).collect()[0]
+            row = it_src.agg(*aggs).collect()[0]
             if lam is None:
                 keys = [()]
                 T = T_shared.reshape(1, k)
@@ -1161,7 +1222,12 @@ def calibrate_logit(
             lam = lam + step
         if tol is not None and float(np.max(np.abs(step))) < tol:
             break
+    if _it_handle is not None:
+        _it_handle.unpersist()
     if group_cols:
+        # the final weights projection must carry the caller's FULL
+        # columns: rebind the converged lambdas from the original df
+        work = bind_lambdas(lam)
         g, _ = g_exprs_cols(lam_cols)
         out = work.withColumn(out_col, d * g).drop(*lam_cols)
     else:

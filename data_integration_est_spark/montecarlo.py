@@ -168,7 +168,17 @@ def run_nmar_study(
         spark, N=N, n_sim=n_sim, gammas=gammas, size_a=size_a, size_b=size_b,
         seed=seed,
     )
-    pop_cache = pop.persist()
+    # persist ONLY the columns the battery reads (guide §5/§2.3: project
+    # before you materialize).  uid and tilde_y_i are unused by this
+    # study's battery; pruning them lets Catalyst drop the tilde_y_i
+    # Box-Muller stream (one of four per-row normals) from the cache
+    # build entirely and narrows every battery scan.  The kept columns'
+    # values are untouched — each RNG stream is an independent function
+    # of (sim_id, uid, seed, tag).
+    pop_cache = pop.select(
+        "gamma", "sim_id", "y_i", "x_i", "x1_i", "x2_i",
+        "muestra_A", "muestra_B",
+    ).persist()
     pop_cache.count()
     pop = adaptive_coalesce(pop_cache)  # materialize once before the concurrent battery
     g = ["gamma", "sim_id"]
@@ -256,7 +266,12 @@ def run_contaminated_study(
         spark, N=N, n_sim=n_sim, gammas=gammas, size_a=size_a, size_b=size_b,
         seed=seed,
     )
-    pop_cache = pop.persist()
+    # battery-column pruning before the persist (see run_nmar_study):
+    # this study's members read y_i/tilde_y_i but never uid or x_i
+    pop_cache = pop.select(
+        "gamma", "sim_id", "y_i", "tilde_y_i", "x1_i", "x2_i",
+        "muestra_A", "muestra_B",
+    ).persist()
     pop_cache.count()
     pop = adaptive_coalesce(pop_cache)  # materialize once before the concurrent battery
     g = ["gamma", "sim_id"]
@@ -441,7 +456,12 @@ def run_stratified_study(
         spark, N=N, n_sim=n_sim, n_A_total=n_A_total, n_B_total=n_B_total,
         seed=seed,
     )
-    pop_cache = pop.persist()
+    # battery-column pruning before the persist (see run_nmar_study):
+    # uid and z_i are unused by this study's battery
+    pop_cache = pop.select(
+        "sim_id", "stratum", "x_i", "y_i", "tilde_y_i",
+        "ind_A", "d_i_A", "ind_B",
+    ).persist()
     pop_cache.count()
     pop = adaptive_coalesce(pop_cache)  # materialize once before the concurrent battery
     g = ["sim_id"]
@@ -625,7 +645,13 @@ def run_nmar_v2_study(
         )
         .drop("__ycol__")
     )
-    long_cache = long.persist()
+    # battery-column pruning before the persist (see run_nmar_study):
+    # uid, x_i and e_i are unused by the v2 battery (it reads the e/x
+    # CUT dummies, not the raw values)
+    long_cache = long.select(
+        "gamma", "sd", "sim_id", "y_val", "x1_i", "x2_i", "e1_i", "e2_i",
+        "muestra_A", "muestra_B",
+    ).persist()
     long_cache.count()
     long = adaptive_coalesce(long_cache)  # materialize once before the concurrent battery
     g = ["gamma", "sd", "sim_id"]

@@ -796,8 +796,8 @@ def svyquantile_rep(
     rd: ReplicateDesign,
     y_col: str,
     qs: tuple = (0.5,),
-    bins: int = 1024,
-    n_narrow: int = 3,
+    bins: int = 2048,
+    n_narrow: int = 2,
 ) -> DataFrame:
     """Exact lower weighted quantiles with replicate SE — closing the
     calibrated-cluster svyquantile refusal (``_psu_refuses_calibration``):

@@ -736,7 +736,11 @@ def duplicated_span_dedup(
     if min_len < 2:
         raise ValueError("min_len must be >= 2 tokens")
     L = int(min_len)
-    toked = df.select(
+    # NULL-text docs are absent from the output — the pre-r16 contract
+    # (the posexplode shape dropped them implicitly; the r16 array-cut
+    # LEFT join re-admitted them as all-NULL rows — ADVICE r16) and the
+    # same rule line_dedup pins explicitly.
+    toked = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("__t__"),
     )
@@ -756,7 +760,15 @@ def duplicated_span_dedup(
     # duplicated starts via ONE window count over the gram stream —
     # the groupBy(key)->join-back form shuffled the (mostly-unique-key,
     # so barely map-side-combinable) gram stream twice (r16; guide
-    # §2.4: two operations keyed the same way share one exchange)
+    # §2.4: two operations keyed the same way share one exchange).
+    # Skew caveat (ADVICE r16): a window count has no map-side partial
+    # aggregation, so a pathologically hot duplicated gram (boilerplate
+    # repeated millions of times) funnels all its occurrences into one
+    # window partition.  Acceptable here because gram keys are near-
+    # unique by construction (L >= 2 token windows) and the row is
+    # 16 bytes; if a large-scale run shows a straggler partition,
+    # replace with a salted two-level count (count by (key, salt), sum
+    # by key) at the price of the second exchange.
     wk = Window.partitionBy("__k__")
     starts = (
         grams.withColumn("__c__", F.count(F.lit(1)).over(wk))

@@ -108,7 +108,13 @@ def dsir_bucket_logratio(
     # evaluated the ``both`` lineage (and therefore BOTH corpus
     # featurization passes feeding it) twice, once for the totals and
     # once for the main side (r16; exact: the sums are integer).  A
-    # single-partition window over <= 2^20 rows is trivial.
+    # single-partition window over <= 2^20 rows is trivial.  ADVICE
+    # r16: the keyless partitionBy() funnels the bucket table onto one
+    # task (and logs Spark's "No Partition Defined" warning) — accepted
+    # deliberately because n_buckets is bounded by construction (the
+    # hashed-feature space, default 4096, <= 2^20 documented); if
+    # n_buckets is ever raised past that, collect the two integer
+    # totals from the persisted ``both`` instead.
     wall = Window.partitionBy()
     ab = float(alpha) * n_buckets
     return both.select(

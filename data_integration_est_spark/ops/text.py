@@ -250,9 +250,11 @@ def bigram_logprob_scores(
     100 TB) + the 1-row total; one per-doc aggregation.  Keep ``lam`` a
     dyadic float (0.75 default) so 1-lam is exact cross-engine.  The
     corpus-scale ``pairs`` projection is read twice (bg build + scoring
-    join) — the honest floor without persisting a corpus-sized exploded
-    table; at scale, feed ``pairs`` (not just ``bg``) from a
-    pre-tokenized column to halve the tokenize cost."""
+    join): r17 persists it (MEMORY_AND_DISK via the bounded registry),
+    trading one disk-backed cache of the exploded pairs for the second
+    tokenize+explode scan of the corpus — the r16 "honest floor" note
+    reversed per the r16 verdict's item 6 (the regex tokenize is the
+    expensive half, and the cache spills rather than OOMs at scale)."""
     toks_arr = F.split(F.trim(F.col(text_col)), r"\s+")
     base = df.select(F.col(id_col), toks_arr.alias("__toks__")).filter(
         F.size("__toks__") >= 2
@@ -261,13 +263,18 @@ def bigram_logprob_scores(
         F.expr("slice(__toks__, 1, size(__toks__) - 1)"),
         F.expr("slice(__toks__, 2, size(__toks__) - 1)"),
     )
-    pairs = base.select(
+    from data_integration_est_spark.util import bounded_persist as _bp
+
+    # consumed by the bg count build AND the scoring join — persisted so
+    # the tokenize+explode runs once (r17; the bounded registry owns the
+    # lazy-return lifecycle)
+    pairs = _bp(base.select(
         id_col, F.explode(zipped).alias("__bg__")
     ).select(
         id_col,
         F.col("__bg__")["0"].alias("__v__"),
         F.col("__bg__")["1"].alias("__w__"),
-    )
+    ))
     # ONE corpus-scale aggregation: the context (cv) and unigram (cw)
     # counts are MARGINALS of the bigram counts, so they derive from the
     # vocabulary-sized bg table instead of re-scanning the corpus (plan
@@ -369,10 +376,11 @@ def trigram_logprob_scores(
     documents with < 3 tokens carry no trigram and are absent.
 
     Physical shape: two corpus-scale explode projections (triples for
-    scoring + counts, pairs for the bigram counts — the honest floor;
-    feed both from a pre-tokenized column at scale), the tg/bg count
-    tables persisted vocabulary-sized, four keyed count joins + the
-    1-row broadcast total, one per-doc aggregation."""
+    scoring + counts — PERSISTED since r17 so the double read costs one
+    tokenize, not two — and pairs for the bigram counts, single-
+    consumer), the tg/bg count tables persisted vocabulary-sized, four
+    keyed count joins + the 1-row broadcast total, one per-doc
+    aggregation."""
     l3, l2, l1 = (float(x) for x in lams)
     if abs(l3 + l2 + l1 - 1.0) > 1e-12 or min(l3, l2, l1) <= 0:
         raise ValueError("lams must be positive and sum to 1")
@@ -395,7 +403,13 @@ def trigram_logprob_scores(
             F.col("__bg__")["1"].alias("__w__"),
         )
     )
-    triples = (
+    from data_integration_est_spark.util import bounded_persist
+
+    # consumed by the tg count build AND the scoring join — persisted so
+    # the triple tokenize+explode runs once (r17, the r16 verdict's item
+    # 6: the "honest floor" double-read reversed; MEMORY_AND_DISK spills
+    # rather than OOMs at scale)
+    triples = bounded_persist(
         base.filter(F.size("__toks__") >= 3)
         .select(
             id_col,
@@ -414,7 +428,6 @@ def trigram_logprob_scores(
             F.col("__tg__")["2"].alias("__w__"),
         )
     )
-    from data_integration_est_spark.util import bounded_persist
 
     # read by the context join, the (v,w) join, vc, wc, tot (bounded
     # registry: the lazy return cannot unpersist, r12)

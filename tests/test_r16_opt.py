@@ -213,6 +213,7 @@ def test_span_dedup_array_cut_n_removed_is_span_mass(spark):
         [
             (0, f"{dup1} mid1 mid2 {dup2}"),
             (1, f"{dup1} other tokens here {dup2}"),
+            (2, None),
         ],
         "doc_id long, text string",
     )
@@ -225,3 +226,7 @@ def test_span_dedup_array_cut_n_removed_is_span_mass(spark):
     assert out[0]["n_tokens"] == 10 and out[0]["n_removed"] == 8
     assert out[1]["text_dedup"] == "other tokens here"
     assert out[1]["n_tokens"] == 11 and out[1]["n_removed"] == 8
+    # NULL-text docs stay ABSENT (the pre-r16 posexplode contract,
+    # matching line_dedup; ADVICE r16 — the array-cut LEFT join had
+    # silently re-admitted them as all-NULL rows)
+    assert 2 not in out

@@ -118,29 +118,33 @@ def test_registry_window_contract():
     assert len(names) >= 50
     window = names[:50]
     rows_only = [n for n in window if REGISTRY[n][1] is None]
-    # r16: the three r11 rows-only rows rotate THROUGH the window (it is
-    # the only place their pass record can refresh before the r18
-    # staleness cliff) — only the sanctioned set may do so (the full
-    # list lives in test_gate_staleness.py)
+    # r17: the four rows-only seeded MC studies rotate THROUGH the
+    # window (their pass records date to r12, due at the r18 staleness
+    # cliff, and the battery code was touched this round) — only the
+    # sanctioned set may do so (the full list lives in
+    # test_gate_staleness.py)
     assert set(rows_only) <= {
-        "mc_nmar_study", "minhash_lsh_pairs", "simhash_buckets",
+        "mc_nmar_study", "mc_nmar_v2_study", "mc_contaminated_study",
+        "mc_stratified_study",
     }, rows_only
-    # the r16 composition: the 9 new replicate-weights/PPS/stratified-RS
-    # capability rows lead, the round's code-touched rows follow, the
-    # r11 rows-only tranche and 27 r12 rows close it (_R16_WINDOW in
-    # entry_queries.py)
-    for n in ("repweight_cal_quantile_events", "repweight_glm_events",
-              "repweight_strat_mean_events", "svyby_rep_domain_events",
-              "repweight_brr_fay_events", "repweight_corr_events",
-              "trim_redistribute_events", "pps_cluster_sample_events",
-              "svychisq_rs_strat_events",
-              "jk_psu_calibrated_events", "cluster_sample_events",
-              "media_dedup_corpus", "svychisq_rs_events",
-              "svyglm_linear", "svyglm_cluster_events",
-              "svyquantile_cluster_events", "svycov_cluster_events",
-              "svymean_cal_cluster_events",
-              "mc_nmar_study", "minhash_lsh_pairs", "simhash_buckets",
-              "mc_nmar_oracle_slice", "event_funnel", "decontam_scan"):
+    # the r17 composition (optimization round — no new capability rows):
+    # the 10 r12-green leftovers lead, the round's code-touched rows
+    # follow (ANN recall, svyquantile family, iterative calfuns, MC
+    # batteries, span/bigram/trigram), 17 r13 rows close it
+    # (_R17_WINDOW in entry_queries.py)
+    for n in ("mc_nmar_v2_study", "mc_contaminated_study",
+              "mc_stratified_study", "minhash_lsh_portable",
+              "simhash_portable_buckets", "embedding_lsh_portable",
+              "unigram_quality", "embedding_gram", "source_cap",
+              "heavy_tokens",
+              "pq_knn_recall", "ivfpq_knn_recall", "ivf_knn_recall",
+              "svyquantile_events", "svyquantile_cluster_events",
+              "trimmed_mean_events", "repweight_cal_quantile_events",
+              "calibrate_bounded_by", "calibrate_logit_by",
+              "calibrate_raking_summary",
+              "mc_deterministic_study", "mc_nmar_study",
+              "mc_nmar_oracle_slice", "span_dedup_stats",
+              "bigram_quality", "trigram_quality"):
         assert n in window, n
     for n, (fn, sql) in REGISTRY.items():
         assert callable(fn), n

@@ -29,7 +29,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
 from data_integration_est_spark.util import local_df
+from data_integration_est_spark.util import plan_uses_cache as _plan_uses_cache
 
 
 def _driver_union_find(rows, vertex_type):
@@ -92,9 +94,22 @@ def connected_components(
     pruned), so this is the common case even at large corpus scale; the
     distributed fixpoint remains the path for genuinely huge edge lists.
     Pass 0 to force the distributed path."""
+    # the symmetrization union reads ``edges`` TWICE (once per
+    # direction): when the edge pipeline is NOT already cache-fed,
+    # persist the narrow two-column projection first so an expensive
+    # lazy lineage (Arrow decode + phash + band join in the media path)
+    # computes once, not twice (r17 — the same double-evaluation class
+    # the r16 continuation swept).  Cache-fed callers (dedup_corpus's
+    # persisted verified-pair list) skip the redundant persist.  The
+    # handle is released as soon as ``sym`` is materialized below.
+    base = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    base_handle = None
+    if not _plan_uses_cache(base):
+        base = base.persist()
+        base_handle = base
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        base
+        .union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
         .persist()
@@ -105,6 +120,8 @@ def connected_components(
     # graphs (measured 4-7 s for a 1k-edge graph).  ~edges_per_partition
     # edge rows per partition; large graphs keep the session parallelism.
     n_edges = sym.count()
+    if base_handle is not None:
+        base_handle.unpersist()
     if n_edges <= driver_max_edges:
         from pyspark.sql.types import StructField, StructType
 

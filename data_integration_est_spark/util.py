@@ -143,6 +143,19 @@ def check_probe_params(sketch, column: str, expect: dict, op: str) -> None:
         )
 
 
+def plan_uses_cache(df) -> bool:
+    """True when any subtree of ``df``'s plan is served by a cached
+    (InMemoryRelation) entry — a driver-side plan inspection only.
+    Used to skip redundant persists of already-cache-fed lineages
+    (r16 _fit_irls; generalized r17)."""
+    try:
+        return "InMemoryRelation" in (
+            df._jdf.queryExecution().withCachedData().toString()
+        )
+    except Exception:  # noqa: BLE001 — inspection is best-effort
+        return False
+
+
 def adaptive_coalesce(df, bytes_per_partition: int = 32 * 1024 * 1024):
     """Coalesce a frame that is about to be persisted and re-scanned by
     an iterative kernel to a DATA-PROPORTIONAL partition count.

@@ -76,16 +76,30 @@ def brute_force_knn(
     """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
 
     Excludes self-matches.  Deterministic tie-break on neighbor id."""
+    # per-side norms precompute BEFORE the pair join (r17): evaluated
+    # once per VECTOR row instead of once per PAIR, and the pair-level
+    # expression shrinks to the dot product alone — the full inlined
+    # cosine (dot + both norms), duplicated by filter pushdown, grew the
+    # generated pair-stage method past janino's 64 KB limit at dim=64
+    # and silently ran interpreted.  Bit-identical: the same sqrt
+    # results are multiplied in the same order.
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
+    ).withColumn("__qn__", norm_array(F.col("qv"), dim))
     c = spread(corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ))
+    )).withColumn("__cn__", norm_array(F.col("cv"), dim))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("qv"), F.col("cv"), dim), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_arrays(F.col("qv"), F.col("cv"), dim)
+                / (F.col("__qn__") * F.col("__cn__")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -141,14 +155,27 @@ def cosine_near_dup_pairs(
                 "stays ~1 at any n_bits) or raise/disable max_pairs "
                 "explicitly."
             )
-    a = spread(df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # per-side norm precompute — see brute_force_knn (r17): once per
+    # vector row, not per pair; pair stage = the dot alone (bit-equal)
+    a = spread(df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )).withColumn("__an__", norm_array(F.col("va"), dim))
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    ).withColumn("__bn__", norm_array(F.col("vb"), dim))
     if candidates is not None:
         pairs = candidates.join(a, "id_a").join(b, "id_b")
     else:
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb"), dim), 6))
+        pairs.withColumn(
+            "cosine",
+            F.round(
+                dot_arrays(F.col("va"), F.col("vb"), dim)
+                / (F.col("__an__") * F.col("__bn__")),
+                6,
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -788,12 +815,23 @@ def _probe_and_rank(
 ) -> DataFrame:
     """Shared IVF probe: equi-join queries' probed cluster ids against the
     (neighbor_id, cv, __c__) corpus, exact cosine re-rank, partial top-k."""
-    q_probes = _query_probes(queries, centroids, n_probe, id_col, vec_col)
-    cand = q_probes.join(c_assigned, on="__c__").filter(
+    # per-side norm precompute — see brute_force_knn (r17)
+    q_probes = _query_probes(
+        queries, centroids, n_probe, id_col, vec_col
+    ).withColumn("__qn__", norm_array(F.col("qv"), dim))
+    cand = q_probes.join(
+        c_assigned.withColumn("__cn__", norm_array(F.col("cv"), dim)),
+        on="__c__",
+    ).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = cand.withColumn(
-        "cosine", F.round(cosine_expr(F.col("qv"), F.col("cv"), dim), 6)
+        "cosine",
+        F.round(
+            dot_arrays(F.col("qv"), F.col("cv"), dim)
+            / (F.col("__qn__") * F.col("__cn__")),
+            6,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -854,7 +892,9 @@ def ivf_probe_partitioned(
     side and pushed as a literal ``cluster_id IN (...)`` partition filter,
     so the corpus scan reads only ~n_probe/n_clusters of the files —
     the pruning shows up as ``PartitionFilters`` on the scan node."""
-    q_probes = _query_probes(queries, centroids, n_probe, id_col, vec_col)
+    q_probes = _query_probes(
+        queries, centroids, n_probe, id_col, vec_col
+    ).withColumn("__qn__", norm_array(F.col("qv"), dim))
     probed = sorted(
         r["__c__"] for r in q_probes.select("__c__").distinct().collect()
     )
@@ -866,12 +906,18 @@ def ivf_probe_partitioned(
             F.col(vec_col).alias("cv"),
             F.col("cluster_id").cast("int").alias("__c__"),
         )
+        .withColumn("__cn__", norm_array(F.col("cv"), dim))
     )
     cand = q_probes.join(corpus, on="__c__").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = cand.withColumn(
-        "cosine", F.round(cosine_expr(F.col("qv"), F.col("cv"), dim), 6)
+        "cosine",
+        F.round(
+            dot_arrays(F.col("qv"), F.col("cv"), dim)
+            / (F.col("__qn__") * F.col("__cn__")),
+            6,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -992,12 +1038,23 @@ def lsh_knn(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("__qn__", norm_array(F.col("qv"), dim))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("__cn__", norm_array(F.col("cv"), dim))
     scored = (
         cand.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .withColumn("cosine", F.round(cosine_expr(F.col("qv"), F.col("cv"), dim), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_arrays(F.col("qv"), F.col("cv"), dim)
+                / (F.col("__qn__") * F.col("__cn__")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
